@@ -1,0 +1,237 @@
+package graft.model
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import java.sql.Timestamp
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Deterministic synthetic fixtures (FIXTURES.md). No wall clock, no
+  * java.util.Random statefulness across partitions: every value is a pure
+  * function of (seed, key) via splitmix64 — so generation distributes over
+  * executors and is bit-stable regardless of partitioning.
+  */
+object Fixtures {
+
+  /** splitmix64 finalizer — the standard public-domain mixing function. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def mix(seed: Long, keys: Long*): Long =
+    keys.foldLeft(mix64(seed))((acc, k) => mix64(acc ^ k))
+
+  /** Uniform int in [0, n) from a hash. */
+  def bounded(h: Long, n: Int): Int = (((h >>> 1) % n).toInt + n) % n
+
+  val Seed = 42L
+
+  // ---------------------------------------------------------------- sources
+
+  private val hostsPool = Vector(
+    "WWW.TechNews.Example.com", "finance.example.ORG", "News.Example.net",
+    "www.example-daily.com", "MEGA.example.com", "feeds.Example.io",
+    "api.newswire.example", "cn.example.com.hk", "Blog.Example.dev",
+    "www.Market-Watch.example"
+  )
+  private val langs = Vector("en", "zh-CN", "zh-HK")
+
+  /** N synthetic sources mirroring the reference registry census
+    * (SURVEY.md §2.3 policies ~55 stop / ~60 skip; §2.6 caps 2–20).
+    * Source 4 ("src-004-mega") is the skew source: its host carries ~20×
+    * the listing volume, exercising salted splits (north rule O12).
+    */
+  def sourceSpecs(nSources: Int): Seq[SourceSpec] =
+    (0 until nSources).map { i =>
+      val h = mix(Seed, 1L, i.toLong)
+      SourceSpec(
+        source = f"src-$i%03d",
+        source_idx = i,
+        dedup_policy =
+          if (bounded(h, 2) == 0) DedupPolicy.StopAtFirstSeen
+          else DedupPolicy.SkipAndContinue,
+        list_cap = 2 + bounded(mix64(h ^ 2L), 19), // 2..20
+        save_cap = 2 + bounded(mix64(h ^ 3L), 19),
+        crawl_delay_ms = Vector(0, 0, 500, 1000)(bounded(mix64(h ^ 4L), 4)),
+        language = langs(bounded(mix64(h ^ 5L), 3)),
+        kind = if (bounded(mix64(h ^ 6L), 8) == 0) 2 else 1
+      )
+    }
+
+  def hostOf(sourceIdx: Int): String =
+    // mega-source gets the mega-host for skew
+    if (sourceIdx % 7 == 4) hostsPool(4)
+    else hostsPool(bounded(mix(Seed, 7L, sourceIdx.toLong), hostsPool.size))
+
+  // ------------------------------------------------------------- list items
+
+  /** Dirty-URL builder: mixed-case host, tracking params, fragments and
+    * shuffled query order — all of which canonicalize away. `dup` aliases a
+    * fraction of items to earlier URLs (intra-batch dup, reference D4).
+    */
+  def dirtyUrl(sourceIdx: Int, pageIdx: Int, itemIdx: Int): String = {
+    val h = mix(Seed, 11L, sourceIdx.toLong, pageIdx.toLong, itemIdx.toLong)
+    // ~12% of items duplicate the previous item's article id (same canonical)
+    val dupBack = if (itemIdx > 0 && bounded(h, 8) == 0) 1 else 0
+    val artId = mix(Seed, 12L, sourceIdx.toLong, pageIdx.toLong,
+      (itemIdx - dupBack).toLong) >>> 20
+    val host = hostOf(sourceIdx)
+    val hostCase = bounded(mix64(h ^ 1L), 3) match {
+      case 0 => host.toLowerCase
+      case 1 => host.toUpperCase
+      case _ => host
+    }
+    val base = s"https://$hostCase/articles/a$artId"
+    val qKeep = s"id=$artId&lang=${langs(bounded(mix64(h ^ 2L), 3))}"
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    // query params in hash-dependent order, with tracking noise
+    if (bounded(mix64(h ^ 3L), 2) == 0) parts += qKeep
+    if (bounded(mix64(h ^ 4L), 3) == 0) parts += s"utm_source=feed&utm_medium=rss"
+    if (bounded(mix64(h ^ 5L), 4) == 0) parts += s"ref=home"
+    val shuffled =
+      if (bounded(mix64(h ^ 6L), 2) == 0) parts.reverse else parts
+    val q = if (shuffled.isEmpty) "" else "?" + shuffled.mkString("&")
+    val frag = if (bounded(mix64(h ^ 7L), 3) == 0) "#section-2" else ""
+    base + q + frag
+  }
+
+  def listItems(spark: SparkSession, nSources: Int, itemsPerSource: Int)
+      : Dataset[ListItem] = {
+    import spark.implicits._
+    val skewFactor = 20 // mega sources list 20x
+    spark.range(0, nSources.toLong).flatMap { si =>
+      val i = si.toInt
+      val n = if (i % 7 == 4) itemsPerSource * skewFactor else itemsPerSource
+      (0 until n).iterator.map { j =>
+        val page = j / 25
+        ListItem(
+          source = f"src-$i%03d",
+          page_idx = page,
+          item_idx = j,
+          url = dirtyUrl(i, page, j),
+          title = {
+            val t = mix(Seed, 13L, i.toLong, j.toLong)
+            if (bounded(t, 20) == 0) "" // empty-title guard F4
+            else s"Title ${t >>> 40} of src-$i item $j"
+          },
+          ts_text = s"${1 + bounded(mix(Seed, 14L, i.toLong, j.toLong), 59)} mins ago",
+          category = Vector("economy", "tech", "property", "video")(
+            bounded(mix(Seed, 15L, i.toLong, j.toLong), 4))
+        )
+      }
+    }
+  }
+
+  /** Pre-existing URL-seen state: for each source, the first `depth` article
+    * ids are already crawled (models the 7-day link cache,
+    * reference config.yaml:14-42 + utils/bigquery_client.py:159-231).
+    */
+  def urlSeenSeed(spark: SparkSession, nSources: Int, depth: Int)
+      : Dataset[SeenEntry] = {
+    import spark.implicits._
+    val baseTs = 1735689600000L // 2025-01-01T00:00:00Z, fixed epoch
+    spark.range(0, nSources.toLong).flatMap { si =>
+      val i = si.toInt
+      (0 until depth).iterator.map { j =>
+        val raw = dirtyUrl(i, j / 25, j)
+        SeenEntry(
+          canonical_url = graft.functions.UrlCanonicalizer.canonicalize(raw),
+          source = f"src-$i%03d",
+          crawled_at = new Timestamp(baseTs - (j.toLong * 60000L))
+        )
+      }
+    }.dropDuplicates("canonical_url")
+  }
+
+  def robots(nSources: Int): Seq[RobotsRule] =
+    hostsPool.flatMap { host =>
+      val h = mix(Seed, 21L, host.hashCode.toLong)
+      Seq(
+        RobotsRule(host.toLowerCase, "/", allow = true,
+          crawl_delay_ms = Vector(0, 250, 500, 1000)(bounded(h, 4))),
+        RobotsRule(host.toLowerCase, "/private", allow = false, 0)
+      )
+    }
+
+  // ----------------------------------------------------------------- images
+
+  /** Deterministic RGB image keyed by id — every pixel a pure hash. */
+  def renderImage(imageId: String, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val k = imageId.hashCode.toLong
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // smooth-ish gradient + hash noise: JPEG-compressible yet unique
+        val base = ((x * 255 / w) << 16) | ((y * 255 / h) << 8)
+        val noise = (mix(Seed, 31L, k, (y.toLong << 32) | x.toLong) & 0x3f3f3f).toInt
+        img.setRGB(x, y, (base ^ noise) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  def imageDoc(rowIdx: Long): ImageDoc = {
+    val id = f"img-$rowIdx%08d"
+    val h = mix(Seed, 32L, rowIdx)
+    val dims = Vector(16, 32, 64)
+    val w = dims(bounded(h, 3))
+    val hh = dims(bounded(mix64(h ^ 1L), 3))
+    val fmt = if (bounded(mix64(h ^ 2L), 4) == 0) "jpg" else "png"
+    val img = renderImage(id, w, hh)
+    val bytes = encode(img, if (fmt == "jpg") "jpg" else "png")
+    val lang = langs(bounded(mix64(h ^ 3L), 3))
+    ImageDoc(
+      image_id = id,
+      bytes = bytes,
+      w = w,
+      h = hh,
+      fmt = fmt,
+      caption = s"caption of $id in $lang",
+      phash = mix(Seed, 33L, rowIdx) // stable stand-in (FIXTURES.md §1)
+    )
+  }
+
+  def images(spark: SparkSession, n: Long): Dataset[ImageDoc] = {
+    import spark.implicits._
+    spark.range(0, n).map(i => imageDoc(i))
+  }
+
+  /** Page store: canonical_url -> payload. Every canonical URL that the
+    * listings can produce resolves here; ~3% get a non-200 status to
+    * exercise error isolation (C5).
+    */
+  def pageStore(spark: SparkSession, nSources: Int, itemsPerSource: Int)
+      : Dataset[PageRow] = {
+    import spark.implicits._
+    listItems(spark, nSources, itemsPerSource)
+      .map { li =>
+        val cu = graft.functions.UrlCanonicalizer.canonicalize(li.url)
+        val h = mix(Seed, 41L, cu.hashCode.toLong)
+        val imgIdx = (h >>> 40) % 1000
+        val iid = f"img-$imgIdx%08d"
+        val lang = langs(bounded(mix64(h ^ 1L), 3))
+        PageRow(
+          canonical_url = cu,
+          image_id = iid,
+          caption = s"caption of $iid in $lang",
+          fetch_cost_ms = 50 + bounded(mix64(h ^ 2L), 450),
+          status = if (bounded(mix64(h ^ 3L), 33) == 0) 403 else 200
+        )
+      }
+      .dropDuplicates("canonical_url")
+  }
+}

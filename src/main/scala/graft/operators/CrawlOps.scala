@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.UrlFunctions._
+
+/** The reference's query surface re-expressed as Catalyst plans over the
+  * driver's `events` table, shaped as a crawl frontier:
+  * source=event_type, link=url(event_id), crawled_at=ts.
+  * Reference cites are in each method's doc (SURVEY.md §2.3/§2.5/§2.6).
+  *
+  * Scale notes (100 TB design point):
+  *  - the limits table is tiny → always broadcast (J1);
+  *  - windows partition by `source` (bounded cardinality ~hundreds) — at
+  *    real scale the frontier windows partition by host-hash range with
+  *    salting (see politeness.Scheduler), never by a single global order;
+  *  - all predicates are deterministic Column exprs → Catalyst pushes them
+  *    into the parquet scan (verified via explain in OpsSpec).
+  */
+object CrawlOps {
+
+  /** events → frontier-shaped DataFrame. The link is built deterministically
+    * from (event_type, event_id) so DuckDB can construct the identical value.
+    */
+  def frontier(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(
+        col("event_type").as("source"),
+        concat(lit("https://"), col("event_type"),
+          lit(".example.com/articles/a"), col("event_id").cast("string"))
+          .as("link"),
+        col("ts").as("crawled_at"),
+        col("event_id"),
+        col("user_id"),
+        col("value"))
+
+  /** Per-source link-cache limits (reference config.yaml:13-42: default 30,
+    * some sources "all" → 999999). Tiny table → broadcast join (O4/J1).
+    */
+  def limitsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("click", 30), ("error", 50), ("purchase", 10),
+      ("signup", 999999), ("view", 25)
+    ).toDF("source", "max_limit")
+  }
+
+  /** Limit as a CASE expression, for oracle parity. */
+  def limitCase: Column =
+    when(col("source") === "click", 30)
+      .when(col("source") === "error", 50)
+      .when(col("source") === "purchase", 10)
+      .when(col("source") === "signup", 999999)
+      .otherwise(25)
+
+  /** D1 — dedup-cache bootstrap, bulk form: one scan, per-source top-N via
+    * window + broadcast limits join + distinct.
+    * Reference: utils/bigquery_client.py:159-231 (window :205, join :210-213,
+    * distinct :222-228).
+    */
+  def dedupBootstrap(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = frontier(spark, sfDir)
+    val w = Window.partitionBy("source")
+      .orderBy(desc("crawled_at"), asc("event_id")) // deterministic tie-break
+    f.withColumn("rn", row_number().over(w))
+      .join(broadcast(limitsDf(spark)), Seq("source"))
+      .filter(col("rn") <= col("max_limit"))
+      .select("source", "link")
+      .distinct()
+  }
+
+  /** D2 — single-source latest-N.
+    * Reference: utils/bigquery_client.py:122-145.
+    */
+  def latestForSource(spark: SparkSession, sfDir: String,
+      source: String = "click", n: Int = 30): DataFrame =
+    frontier(spark, sfDir)
+      .filter(col("source") === source)
+      .orderBy(desc("crawled_at"), asc("event_id"))
+      .limit(n)
+      .select("link", "crawled_at", "event_id")
+
+  /** D3/D6 — skip-and-continue dedup: candidates anti-joined against the
+    * seen set. Seen is shaped as event_id % 3 == 0 over the older half.
+    * Reference: utils/bigquery_client.py:233-263; scrapers loop `continue`
+    * e.g. scrapers/simple/coinlive.py:51-54.
+    */
+  def antiJoinSeen(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = frontier(spark, sfDir)
+    val seen = f.filter(col("event_id") % 3 === 0).select(col("link").as("seen_link"))
+    f.join(seen, f("link") === seen("seen_link"), "left_anti")
+      .select("source", "link", "event_id")
+  }
+
+  /** D5 — stop-at-first-seen prefix law: per source, keep only items
+    * strictly before the first already-seen item in list order (list order =
+    * event_id asc). Reference `break` semantics, e.g.
+    * scrapers/simple/mingpao.py:47-48, techcrunch.py:99-102.
+    *
+    * Formulated as min-over-window of the seen positions, not a loop: the
+    * output equals the longest unseen prefix (proof-tested in CrawlSpec
+    * against the sequential simulator).
+    */
+  def stopAtFirstSeen(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = frontier(spark, sfDir)
+      .withColumn("is_seen", (col("event_id") % 7 === 0).cast("int"))
+    val w = Window.partitionBy("source")
+    f.withColumn("first_seen_idx",
+        min(when(col("is_seen") === 1, col("event_id"))).over(w))
+      .filter(col("first_seen_idx").isNull ||
+        col("event_id") < col("first_seen_idx"))
+      .select("source", "link", "event_id")
+  }
+
+  /** T3 — per-source ordinal caps (NOT a global limit): row_number over list
+    * order ≤ per-source cap. Reference list slices, e.g.
+    * scrapers/simple/techcrunch.py:85 ([:3]), stcn.py:40 ([:15]).
+    */
+  def perSourceCaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = frontier(spark, sfDir)
+    val w = Window.partitionBy("source").orderBy(asc("event_id"))
+    f.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= limitCase)
+      .select("source", "link", "event_id", "rn")
+  }
+
+  /** D7 — first-occurrence distinct: keep the first (by list order) row per
+    * link. Reference client-side seen-set within a listing,
+    * scrapers/simple/scmp.py:84-97; utils/bigquery_client.py:223-228.
+    */
+  def firstOccurrenceDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = frontier(spark, sfDir)
+      // fold link space so duplicates actually occur: bucket event_id
+      .withColumn("dup_link",
+        concat(lit("https://"), col("source"),
+          lit(".example.com/articles/a"), (col("event_id") % 97).cast("string")))
+    val w = Window.partitionBy("dup_link").orderBy(asc("event_id"))
+    f.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("dup_link").as("link"), col("source"), col("event_id"))
+  }
+
+  /** A1/A3 — per-source stats: counts + active days + skipped-like counter.
+    * Reference: scrapers/base_scraper.py:31; utils/bigquery_client.py:393-405.
+    */
+  def statsPerSource(spark: SparkSession, sfDir: String): DataFrame =
+    frontier(spark, sfDir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("total"),
+        countDistinct(to_date(col("crawled_at"))).as("active_days"),
+        sum(when(col("event_id") % 3 === 0, 1).otherwise(0)).as("skipped"),
+        sum(when(col("value") < 0, 1).otherwise(0)).as("errors"))
+      .orderBy(desc("total"), asc("source"))
+
+  /** P2+north-rule — canonicalize dirty URLs. The dirty form is built
+    * deterministically (uppercase host, utm noise, fragment, unsorted query)
+    * so the DuckDB oracle can construct the expected canonical form
+    * directly. Exercises the custom Catalyst expression end-to-end.
+    */
+  def canonicalizeUrls(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = spark.read.parquet(s"$sfDir/events.parquet")
+    val dirty = concat(
+      lit("HTTPS://"), upper(col("event_type")), lit(".Example.COM/articles/a"),
+      col("event_id").cast("string"),
+      lit("?utm_source=feed&lang=en&id="), col("event_id").cast("string"),
+      lit("&utm_medium=rss#section"))
+    f.select(
+      col("event_id"),
+      canonicalize_url(dirty).as("canonical_url"),
+      url_host(canonicalize_url(dirty)).as("host"))
+  }
+
+  /** C3 — politeness epoch assignment: per-host rate budget turns list
+    * position into a deterministic fetch epoch (replaces the reference's
+    * time.sleep politeness, e.g. scrapers/simple/udn.py:31).
+    * epoch = floor(rank_within_host / budget).
+    */
+  def politenessEpochs(spark: SparkSession, sfDir: String,
+      budgetPerEpoch: Int = 5): DataFrame = {
+    val f = frontier(spark, sfDir)
+    val w = Window.partitionBy("source").orderBy(asc("crawled_at"), asc("event_id"))
+    f.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("fetch_epoch",
+        floor((col("rn") - 1) / budgetPerEpoch).cast("long"))
+      .select("source", "link", "event_id", "rn", "fetch_epoch")
+  }
+}
