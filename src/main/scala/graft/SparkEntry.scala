@@ -27,7 +27,10 @@ object SparkEntry {
     "q_first_occurrence_distinct" -> ((s, d) => CrawlOps.firstOccurrenceDistinct(s, d)),
     "q_stats_per_source" -> ((s, d) => CrawlOps.statsPerSource(s, d)),
     "q_canonicalize_urls" -> ((s, d) => CrawlOps.canonicalizeUrls(s, d)),
-    "q_politeness_epochs" -> ((s, d) => CrawlOps.politenessEpochs(s, d))
+    "q_politeness_epochs" -> ((s, d) => CrawlOps.politenessEpochs(s, d)),
+    "q_unseen_filter_bloom" -> ((s, d) => CrawlOps.unseenFilterBloom(s, d)),
+    "q_salted_host_rank" -> ((s, d) => CrawlOps.saltedHostRank(s, d)),
+    "q_robots_gate" -> ((s, d) => CrawlOps.robotsGate(s, d))
   )
 
   def oracleSql: Map[String, String] = {
@@ -104,7 +107,39 @@ object SparkEntry {
            |      FROM f)
            |SELECT source, link, event_id, rn,
            |       CAST(FLOOR((rn - 1) / 5.0) AS BIGINT) AS fetch_epoch
-           |FROM r""".stripMargin
+           |FROM r""".stripMargin,
+      "q_unseen_filter_bloom" ->
+        s"""WITH f AS ($frontierCte)
+           |SELECT source, link, event_id FROM f
+           |WHERE link NOT IN (SELECT link FROM f WHERE event_id % 3 = 0)""".stripMargin,
+      "q_salted_host_rank" ->
+        s"""WITH f AS ($frontierCte),
+           |h AS (SELECT source || '.example.com' AS host, link, event_id FROM f)
+           |SELECT host, link, event_id,
+           |       ROW_NUMBER() OVER (PARTITION BY host ORDER BY event_id ASC) AS host_rank
+           |FROM h""".stripMargin,
+      "q_robots_gate" ->
+        s"""WITH f AS ($frontierCte),
+           |h AS (
+           |  SELECT source || '.example.com' AS host, event_id,
+           |         CASE WHEN event_id % 10 = 0 THEN '/private/a' || CAST(event_id AS VARCHAR)
+           |              WHEN event_id % 10 = 5 THEN '/private/open/a' || CAST(event_id AS VARCHAR)
+           |              ELSE '/articles/a' || CAST(event_id AS VARCHAR) END AS path
+           |  FROM f)
+           |SELECT host, path, event_id,
+           |  CASE
+           |    WHEN host = 'click.example.com' AND path LIKE '/private/open%' THEN TRUE
+           |    WHEN host = 'click.example.com' AND path LIKE '/private%' THEN FALSE
+           |    WHEN host = 'click.example.com' THEN TRUE
+           |    WHEN host = 'purchase.example.com' AND path LIKE '/private%' THEN FALSE
+           |    ELSE TRUE END AS allowed,
+           |  CASE
+           |    WHEN host = 'click.example.com' AND path LIKE '/private/open%' THEN 500
+           |    WHEN host = 'click.example.com' AND path LIKE '/private%' THEN 0
+           |    WHEN host = 'click.example.com' THEN 1000
+           |    WHEN host = 'error.example.com' THEN 250
+           |    ELSE 0 END AS robots_delay_ms
+           |FROM h""".stripMargin
     )
   }
 }

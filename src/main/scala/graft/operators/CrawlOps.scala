@@ -173,6 +173,56 @@ object CrawlOps {
       url_host(canonicalize_url(dirty)).as("host"))
   }
 
+  /** D3 at scale — the two-phase Bloom-prefiltered unseen filter (exact
+    * result; the Bloom only bounds the confirm join). Same semantics as
+    * [[antiJoinSeen]], different physical strategy — both verified against
+    * the identical DuckDB oracle.
+    */
+  def unseenFilterBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = frontier(spark, sfDir)
+    val seen = f.filter(col("event_id") % 3 === 0).select("link")
+    val nSeg = 8
+    val segments = graft.seen.UrlSeen.buildSegments(
+      seen, "link", nSeg, expectedItemsPerSegment = 1000000, fpp = 1e-6)
+    graft.seen.UrlSeen.filterUnseen(f, segments, seen, "link", nSeg)
+      .select("source", "link", "event_id")
+  }
+
+  /** O12 — order-aligned salted per-host rank (skewed mega-host path),
+    * equal by construction to ROW_NUMBER over (host) — the DuckDB oracle
+    * uses the single-window form.
+    */
+  def saltedHostRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = frontier(spark, sfDir).withColumn("host", url_host(col("link")))
+    graft.politeness.Scheduler.saltedHostRank(
+        f, "host",
+        bucketCol = floor(col("event_id") / 500),
+        orderCols = Seq(col("event_id").asc))
+      .select("host", "link", "event_id", "host_rank")
+  }
+
+  /** North-rule robots gate: longest-prefix allow/delay per (host, path). */
+  def robotsGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val f = frontier(spark, sfDir)
+      .withColumn("host", url_host(col("link")))
+      .withColumn("path",
+        when(col("event_id") % 10 === 0,
+          concat(lit("/private/a"), col("event_id").cast("string")))
+          .when(col("event_id") % 10 === 5,
+            concat(lit("/private/open/a"), col("event_id").cast("string")))
+          .otherwise(concat(lit("/articles/a"), col("event_id").cast("string"))))
+    val rules = Seq(
+      ("click.example.com", "/", true, 1000),
+      ("click.example.com", "/private", false, 0),
+      ("click.example.com", "/private/open", true, 500),
+      ("error.example.com", "/", true, 250),
+      ("purchase.example.com", "/private", false, 0)
+    ).toDF("host", "path_prefix", "allow", "crawl_delay_ms")
+    graft.politeness.Scheduler.applyRobots(f, rules, "host", "path")
+      .select("host", "path", "event_id", "allowed", "robots_delay_ms")
+  }
+
   /** C3 — politeness epoch assignment: per-host rate budget turns list
     * position into a deterministic fetch epoch (replaces the reference's
     * time.sleep politeness, e.g. scrapers/simple/udn.py:31).

@@ -1,0 +1,106 @@
+package graft.politeness
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-host politeness scheduling — the engine's replacement for the
+  * reference's `time.sleep(1)` between detail fetches
+  * (scrapers/simple/udn.py:31, forbes.py:32) and its 5-worker pool
+  * (main.py:320-331): deterministic fetch epochs computed from list
+  * position instead of wall clock, so scheduling is reproducible and
+  * resumable (SURVEY.md §2.9 C1-C3).
+  */
+object Scheduler {
+
+  /** Exact per-host rank with order-aligned salting (the skew path,
+    * north rule "salted splits for skewed mega-hosts").
+    *
+    * A plain `row_number over (partition by host order by ...)` puts a
+    * mega-host's entire frontier slice into ONE task. Instead, two stages:
+    *
+    *   1. rank within (host, bucket) — `bucket` must be ALIGNED with the
+    *      order: every row of bucket b precedes every row of bucket b+1 in
+    *      the desired host order. Partitions are now bounded by bucket size.
+    *   2. per-(host, bucket) counts → running offset over buckets (tiny:
+    *      one row per bucket, windowed per host) → global rank =
+    *      offset + local rank, via a broadcast join back.
+    *
+    * Equality with the single-window formulation is property-tested in
+    * PolitenessSpec; alignment is the caller's contract (for crawl order
+    * the bucket is (source_idx, item_idx / chunk), which is order-aligned
+    * because host order is source-major then list-position).
+    */
+  def saltedHostRank(df: DataFrame, hostCol: String, bucketCol: Column,
+      orderCols: Seq[Column], rankName: String = "host_rank"): DataFrame = {
+    val withBucket = df.withColumn("__bucket", bucketCol)
+    val wLocal = Window.partitionBy(col(hostCol), col("__bucket"))
+      .orderBy(orderCols: _*)
+    val local = withBucket.withColumn("__local_rn",
+      row_number().over(wLocal).cast("long"))
+    val wOffset = Window.partitionBy(col(hostCol)).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withBucket
+      .groupBy(col(hostCol), col("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(wOffset), lit(0L)))
+      .select(col(hostCol).as("__h"), col("__bucket").as("__b"), col("__offset"))
+    local
+      .join(broadcast(offsets),
+        local(hostCol) === col("__h") && col("__bucket") === col("__b"))
+      .withColumn(rankName, col("__offset") + col("__local_rn"))
+      .drop("__bucket", "__local_rn", "__h", "__b", "__offset")
+  }
+
+  /** Single-window reference formulation (correct at any scale Spark can
+    * hold one host in one partition; the oracle for saltedHostRank).
+    */
+  def plainHostRank(df: DataFrame, hostCol: String,
+      orderCols: Seq[Column], rankName: String = "host_rank"): DataFrame =
+    df.withColumn(rankName,
+      row_number().over(
+        Window.partitionBy(col(hostCol)).orderBy(orderCols: _*)).cast("long"))
+
+  /** rank → fetch epoch under a per-host budget.
+    *
+    * budget rows per epoch ≈ epochMillis / crawlDelayMillis (≥ 1): a host
+    * with crawl_delay 1000 ms and 5-minute epochs admits 300 fetches per
+    * epoch; everything beyond spills to later epochs — the batch analog of
+    * the reference's sleep-paced sequential loop.
+    */
+  def assignEpochs(ranked: DataFrame, rankCol: String, crawlDelayMs: Column,
+      epochMillis: Long = 300000L): DataFrame = {
+    val budget = greatest(lit(1L),
+      (lit(epochMillis) / greatest(crawlDelayMs, lit(1))).cast("long"))
+    ranked.withColumn("fetch_epoch",
+      floor((col(rankCol) - 1) / budget).cast("long"))
+  }
+
+  /** Robots gate: longest-prefix rule per (host, path). Rules tables are
+    * tiny (one row per host×prefix) → broadcast; match = prefix test,
+    * longest matching prefix wins; default allow when no rule matches.
+    * Returns df + (allowed, robots_delay_ms).
+    */
+  def applyRobots(df: DataFrame, rules: DataFrame, hostCol: String,
+      pathCol: String): DataFrame = {
+    // Rules grouped per host into a length-desc-sorted array → ONE broadcast
+    // join on host, then codegen'd higher-order functions pick the longest
+    // matching prefix per row. No extra shuffle, no per-row window.
+    val perHost = rules
+      .groupBy(col("host").as("__rhost"))
+      .agg(sort_array(collect_list(struct(
+        length(col("path_prefix")).as("len"),
+        col("path_prefix").as("prefix"),
+        col("allow").as("allow"),
+        col("crawl_delay_ms").as("delay"))), asc = false).as("__rules"))
+    val joined = df.join(broadcast(perHost),
+      df(hostCol) === col("__rhost"), "left")
+    val matched = get(filter(col("__rules"),
+      r => startswith(df(pathCol), r.getField("prefix"))), lit(0))
+    joined
+      .withColumn("allowed", coalesce(matched.getField("allow"), lit(true)))
+      .withColumn("robots_delay_ms", coalesce(matched.getField("delay"), lit(0)))
+      .drop("__rhost", "__rules")
+  }
+}

@@ -1,0 +1,127 @@
+package graft.seen
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{BooleanType, DataType}
+
+/** Partitioned URL-seen state — the scale path for the reference's
+  * in-memory `set[str]` link cache (utils/bigquery_client.py:46,115-120).
+  *
+  * Design for 10^10 frontier entries (north rule):
+  *  - URLs are canonicalized then hashed with the built-in `xxhash64`;
+  *  - the seen set is split into `nSegments` hash-range segments, each a
+  *    Bloom filter sized for FPP ≤ 1e-6 (BloomFilter.create);
+  *  - dedup is two-phase: segment-join probe (cheap, prunes ~all truly-new
+  *    URLs) then an exact left-anti join on the Bloom-positive remainder —
+  *    so false positives cost a join row, never a dropped URL. The result
+  *    is exact; the Bloom only bounds the anti-join's build side.
+  *
+  * Both phases co-partition by `seg` (the same pmod of the same hash), so
+  * at cluster scale the probe join is a zero-skew shuffle on a
+  * uniformly-distributed key, and the per-segment filter bytes (~36 MB at
+  * 10^7 entries/segment) stream once per partition, not per row.
+  */
+object UrlSeen {
+
+  val DefaultFpp = 1e-6
+
+  def urlHash(url: Column): Column = xxhash64(url)
+
+  def segmentOf(urlHashCol: Column, nSegments: Int): Column =
+    pmod(urlHashCol, lit(nSegments.toLong))
+
+  // ----------------------------------------------------------- aggregator
+
+  /** Builds one Bloom segment from the url-hash column of a group.
+    * A typed Aggregator registered via functions.udaf → planned as a
+    * TypedImperativeAggregate (ObjectHashAggregate keeps the filter as a
+    * live object per group; bytes are only materialized at output).
+    */
+  final class BloomAggregator(expectedItems: Long, fpp: Double)
+      extends Aggregator[Long, BloomFilter, Array[Byte]] {
+    override def zero: BloomFilter = BloomFilter.create(expectedItems, fpp)
+    override def reduce(b: BloomFilter, key: Long): BloomFilter = { b.put(key); b }
+    override def merge(a: BloomFilter, b: BloomFilter): BloomFilter =
+      a.mergeInPlace(b)
+    override def finish(b: BloomFilter): Array[Byte] = b.serialize()
+    override def bufferEncoder: Encoder[BloomFilter] =
+      Encoders.javaSerialization[BloomFilter]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** seen(url strings) → (seg, bloom bytes), one row per segment. */
+  def buildSegments(seen: DataFrame, urlCol: String, nSegments: Int,
+      expectedItemsPerSegment: Long, fpp: Double = DefaultFpp): DataFrame = {
+    val bloomAgg = udaf(new BloomAggregator(expectedItemsPerSegment, fpp))
+    val h = urlHash(col(urlCol))
+    seen
+      .select(segmentOf(h, nSegments).as("seg"), h.as("url_hash"))
+      .groupBy("seg")
+      .agg(bloomAgg(col("url_hash")).as("bloom"))
+  }
+
+  // ------------------------------------------------------------ probe expr
+
+  /** might_contain(bloomBytes, hash) — codegen'd static call, probing the
+    * serialized form directly (no deserialization per row).
+    */
+  case class BloomMightContain(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(bytes: Any, key: Any): Any =
+      BloomFilter.mightContainSerialized(
+        bytes.asInstanceOf[Array[Byte]], key.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (b, k) =>
+        s"graft.seen.BloomFilter.mightContainSerialized($b, $k)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): BloomMightContain =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def might_contain(bloom: Column, key: Column): Column =
+    Bridge.column(BloomMightContain(Bridge.expression(bloom), Bridge.expression(key)))
+
+  // ------------------------------------------------------------- two-phase
+
+  /** Exact unseen-filter: candidates minus seen, Bloom-accelerated.
+    *
+    * @param candidates must carry `urlCol` (canonical URL)
+    * @param segments   output of [[buildSegments]]
+    * @param seen       the exact seen table (urlCol), for the confirm join
+    * @return candidates' rows whose URL is NOT in seen (exact)
+    */
+  def filterUnseen(candidates: DataFrame, segments: DataFrame, seen: DataFrame,
+      urlCol: String, nSegments: Int): DataFrame = {
+    val h = urlHash(col(urlCol))
+    val withSeg = candidates
+      .withColumn("__hash", h)
+      .withColumn("__seg", segmentOf(col("__hash"), nSegments))
+    // phase 1: bloom probe (left join: a candidate whose segment has no
+    // bloom row is definitely unseen)
+    val probed = withSeg.join(
+      segments.withColumnRenamed("seg", "__seg2"),
+      col("__seg") === col("__seg2"), "left")
+    val definitelyNew = probed
+      .filter(col("bloom").isNull || !might_contain(col("bloom"), col("__hash")))
+      .drop("__hash", "__seg", "__seg2", "bloom")
+    // phase 2: exact confirm for bloom-positives only (≈ true-seen + FPP mass)
+    val maybeSeen = probed
+      .filter(col("bloom").isNotNull && might_contain(col("bloom"), col("__hash")))
+      .drop("__hash", "__seg", "__seg2", "bloom")
+    val confirmedNew = maybeSeen.join(
+      seen.select(col(urlCol).as("__seen_url")),
+      maybeSeen(urlCol) === col("__seen_url"), "left_anti")
+    definitelyNew.unionByName(confirmedNew)
+  }
+
+  /** Exact-only path (small scale / oracle parity): plain left-anti join. */
+  def filterUnseenExact(candidates: DataFrame, seen: DataFrame,
+      urlCol: String): DataFrame =
+    candidates.join(seen.select(col(urlCol).as("__seen_url")),
+      candidates(urlCol) === col("__seen_url"), "left_anti")
+}

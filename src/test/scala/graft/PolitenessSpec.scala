@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Fixtures
+import graft.politeness.Scheduler
+
+class PolitenessSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def skewedFrontier = {
+    // hosts with very different volumes; order key = (source_idx, item_idx)
+    val rows = for {
+      s <- 0 until 6
+      i <- 0 until (if (s == 4) 2000 else 100) // source 4 is the mega host
+    } yield (s"host${s % 3}.example.com", s, i,
+      s"https://host${s % 3}.example.com/s$s/i$i")
+    rows.toDF("host", "source_idx", "item_idx", "url")
+  }
+
+  test("salted host rank equals the single-window rank (order-aligned buckets)") {
+    val df = skewedFrontier
+    val order = Seq(col("source_idx").asc, col("item_idx").asc)
+    val plain = Scheduler.plainHostRank(df, "host", order)
+      .select("url", "host_rank").as[(String, Long)].collect().toMap
+    // bucket aligned with (source_idx, item_idx): source-major + 256-row chunks
+    val bucket = col("source_idx") * 1000 + floor(col("item_idx") / 256)
+    val salted = Scheduler.saltedHostRank(df, "host", bucket, order)
+      .select("url", "host_rank").as[(String, Long)].collect().toMap
+    assert(salted.size === plain.size)
+    plain.foreach { case (url, r) =>
+      assert(salted(url) === r, s"rank mismatch for $url")
+    }
+  }
+
+  test("epoch assignment: per-epoch volume never exceeds the host budget") {
+    val df = Scheduler.plainHostRank(skewedFrontier, "host",
+      Seq(col("source_idx"), col("item_idx")))
+    val withEpochs = Scheduler.assignEpochs(df, "host_rank",
+      crawlDelayMs = lit(1000), epochMillis = 60000L) // budget 60/epoch
+    val maxPerEpoch = withEpochs.groupBy("host", "fetch_epoch").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxPerEpoch <= 60)
+    // epochs are contiguous from 0 per host
+    val eps = withEpochs.filter(col("host") === "host1.example.com")
+      .select("fetch_epoch").distinct().as[Long].collect().sorted
+    assert(eps.head === 0L)
+    assert(eps.toSeq === (eps.head to eps.last).toSeq)
+  }
+
+  test("robots: longest matching prefix wins; default allow") {
+    val rules = Seq(
+      ("a.com", "/", true, 100),
+      ("a.com", "/private", false, 0),
+      ("a.com", "/private/open", true, 50)
+    ).toDF("host", "path_prefix", "allow", "crawl_delay_ms")
+    val df = Seq(
+      ("a.com", "/news/1"),
+      ("a.com", "/private/x"),
+      ("a.com", "/private/open/y"),
+      ("b.com", "/anything") // no rules → default allow
+    ).toDF("host", "path")
+    val got = Scheduler.applyRobots(df, rules, "host", "path")
+      .select("path", "allowed", "robots_delay_ms")
+      .as[(String, Boolean, Int)].collect()
+      .map { case (p, a, d) => p -> ((a, d)) }.toMap
+    assert(got("/news/1") === ((true, 100)))
+    assert(got("/private/x") === ((false, 0)))
+    assert(got("/private/open/y") === ((true, 50)))
+    assert(got("/anything") === ((true, 0)))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.seen.{BloomFilter, UrlSeen}
+
+class UrlSeenSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bloom filter: zero false negatives, FPP within budget") {
+    val n = 100000
+    val bf = BloomFilter.create(n, 1e-4)
+    val keys = (0 until n).map(i => graft.model.Fixtures.mix(7L, i.toLong))
+    keys.foreach(bf.put)
+    assert(keys.forall(bf.mightContain), "false negative!")
+    // probe disjoint keys; observed FPP should be ≤ ~3x the design point
+    val probes = (0 until 200000).map(i => graft.model.Fixtures.mix(99L, i.toLong))
+      .filterNot(keys.toSet)
+    val fp = probes.count(bf.mightContain)
+    val observed = fp.toDouble / probes.size
+    assert(observed <= 3e-4, s"observed FPP $observed")
+  }
+
+  test("bloom serialized probe agrees with object probe") {
+    val bf = BloomFilter.create(1000, 1e-6)
+    val keys = (0L until 1000L).map(graft.model.Fixtures.mix64)
+    keys.foreach(bf.put)
+    val bytes = bf.serialize()
+    val back = BloomFilter.deserialize(bytes)
+    (0L until 5000L).map(graft.model.Fixtures.mix64).foreach { k =>
+      assert(bf.mightContain(k) === BloomFilter.mightContainSerialized(bytes, k))
+      assert(bf.mightContain(k) === back.mightContain(k))
+    }
+  }
+
+  test("two-phase filterUnseen is EXACT: equals plain anti-join") {
+    val all = spark.range(0, 20000)
+      .select(concat(lit("https://h"), (col("id") % 37).cast("string"),
+        lit(".example.com/a/"), col("id").cast("string")).as("url"),
+        col("id"))
+    val seen = all.filter(col("id") % 3 === 0).select("url")
+    val candidates = all.filter(col("id") >= 10000)
+    val nSeg = 8
+    val segments = UrlSeen.buildSegments(seen, "url", nSeg,
+      expectedItemsPerSegment = 2000, fpp = 1e-4)
+    assert(segments.count() === nSeg)
+    val got = UrlSeen.filterUnseen(candidates, segments, seen, "url", nSeg)
+      .select("id").as[Long].collect().sorted
+    val expected = UrlSeen.filterUnseenExact(candidates, seen, "url")
+      .select("id").as[Long].collect().sorted
+    assert(got.length === expected.length)
+    assert(got.toSeq === expected.toSeq)
+    // sanity: candidates with id%3==0 are all dropped
+    assert(got.forall(_ % 3 != 0))
+  }
+
+  test("filterUnseen with empty seen set passes everything through") {
+    val candidates = spark.range(0, 100)
+      .select(concat(lit("https://x.com/"), col("id").cast("string")).as("url"))
+    val emptySeen = candidates.filter(lit(false))
+    val segments = UrlSeen.buildSegments(emptySeen, "url", 4, 100, 1e-4)
+    val got = UrlSeen.filterUnseen(candidates, segments, emptySeen, "url", 4)
+    assert(got.count() === 100)
+  }
+}
