@@ -85,7 +85,11 @@ object Fixtures {
       case 1 => host.toUpperCase
       case _ => host
     }
-    val base = s"https://$hostCase/articles/a$artId"
+    // ~6% of articles live under /private — robots-disallowed (north-rule
+    // gate). Keyed off artId (not item hash) so dup-aliased items keep the
+    // same path and stay true canonical duplicates.
+    val pathRoot = if (bounded(mix64(artId ^ 9L), 16) == 0) "private" else "articles"
+    val base = s"https://$hostCase/$pathRoot/a$artId"
     val qKeep = s"id=$artId&lang=${langs(bounded(mix64(h ^ 2L), 3))}"
     val parts = scala.collection.mutable.ArrayBuffer[String]()
     // query params in hash-dependent order, with tracking noise

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Fixtures
+import graft.pipeline.{CrawlTick, RefSimulator}
+
+/** North-rule criterion: the Spark CrawlTick plan must reproduce the
+  * sequential reference-simulator's crawl ordering, URL-seen set and
+  * per-source stats EXACTLY (SURVEY.md §5, BASELINE.json).
+  */
+class CrawlTickSpec extends SparkTestBase {
+
+  private val nSources = 25
+  private val itemsPerSource = 30
+  private val seenDepth = 6
+
+  private lazy val fx = {
+    import spark.implicits._
+    val listingsDs = Fixtures.listItems(spark, nSources, itemsPerSource)
+    val sources = Fixtures.sourceSpecs(nSources)
+    val robots = Fixtures.robots(nSources)
+    val pagesDs = Fixtures.pageStore(spark, nSources, itemsPerSource)
+    val seenDs = Fixtures.urlSeenSeed(spark, nSources, seenDepth)
+    (listingsDs, sources, robots, pagesDs, seenDs)
+  }
+
+  private def runBoth(salted: Boolean) = {
+    import spark.implicits._
+    val (listingsDs, sources, robots, pagesDs, seenDs) = fx
+    val (emitted, stats) = CrawlTick.run(
+      spark,
+      listingsDs.toDF(),
+      sources.toDF(),
+      seenDs.toDF().select("canonical_url"),
+      robots.toDF(),
+      pagesDs.toDF(),
+      salted = salted)
+
+    val sim = RefSimulator.run(
+      listingsDs.collect().toSeq,
+      sources,
+      seenDs.collect().map(_.canonical_url).toSet,
+      robots,
+      pagesDs.collect().map(p => p.canonical_url -> p).toMap)
+    (emitted, stats, sim)
+  }
+
+  private def assertExactMatch(salted: Boolean): Unit = {
+    val (emitted, stats, sim) = runBoth(salted)
+
+    val got = emitted
+      .select("canonical_url", "source", "title", "caption", "image_id",
+        "host", "fetch_epoch", "emit_idx")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._8)
+      .toVector
+    val expected = sim.emits.map(e =>
+      (e.canonicalUrl, e.source, e.title, e.caption, e.imageId, e.host,
+        e.fetchEpoch, e.emitIdx))
+
+    assert(got.nonEmpty, "tick emitted nothing — fixture degenerate")
+    assert(got.size === expected.size,
+      s"emit count ${got.size} != sim ${expected.size}")
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g === e, s"row $i diverges")
+    }
+
+    // URL-seen set after the tick
+    val gotSeen = emitted.select("canonical_url").collect()
+      .map(_.getString(0)).toSet ++
+      fx._5.collect().map(_.canonical_url).toSet
+    assert(gotSeen === sim.seenAfter)
+
+    // per-source stats
+    val gotStats = stats.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    sim.stats.foreach { case (s, st) =>
+      assert(gotStats(s) === ((st.newArticles, st.skipped, st.errors)),
+        s"stats diverge for $s")
+    }
+  }
+
+  test("crawl tick matches reference simulator exactly (plain host rank)") {
+    assertExactMatch(salted = false)
+  }
+
+  test("crawl tick matches reference simulator exactly (salted host rank)") {
+    assertExactMatch(salted = true)
+  }
+
+  test("fixture exercises every gate") {
+    val (_, stats, sim) = runBoth(salted = false)
+    val tot = sim.stats.values
+    assert(tot.map(_.skipped).sum > 0, "no skips — dedup untested")
+    assert(tot.map(_.errors).sum > 0, "no errors — fetch-error path untested")
+    assert(tot.map(_.newArticles).sum > 0)
+    // both dedup policies present among sources that actually stopped early
+    val specs = Fixtures.sourceSpecs(nSources)
+    assert(specs.exists(_.dedup_policy == graft.model.DedupPolicy.StopAtFirstSeen))
+    assert(specs.exists(_.dedup_policy == graft.model.DedupPolicy.SkipAndContinue))
+    stats.unpersist()
+  }
+
+  test("emitted ids are md5 of canonical url") {
+    val (emitted, _, _) = runBoth(salted = false)
+    val bad = emitted.filter(col("id") =!= md5(col("canonical_url"))).count()
+    assert(bad === 0L)
+  }
+}
