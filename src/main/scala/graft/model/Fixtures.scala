@@ -69,33 +69,60 @@ object Fixtures {
 
   // ------------------------------------------------------------- list items
 
-  /** Dirty-URL builder: mixed-case host, tracking params, fragments and
-    * shuffled query order — all of which canonicalize away. `dup` aliases a
-    * fraction of items to earlier URLs (intra-batch dup, reference D4).
+  /** Publish-stream model: each source publishes article g = 0, 1, 2, …
+    * over time (higher g = newer). A tick-t listing shows the newest
+    * `itemsPerSource` articles, newest first — so consecutive ticks overlap
+    * on their tails, which is exactly the assumption behind the reference's
+    * stop-at-first-seen policy (newest-first lists, SURVEY.md §2.3 D5).
+    *
+    * Articles published per source per tick; the mega source (skew, O12)
+    * publishes and lists `SkewFactor`× as much.
     */
-  def dirtyUrl(sourceIdx: Int, pageIdx: Int, itemIdx: Int): String = {
-    val h = mix(Seed, 11L, sourceIdx.toLong, pageIdx.toLong, itemIdx.toLong)
-    // ~12% of items duplicate the previous item's article id (same canonical)
-    val dupBack = if (itemIdx > 0 && bounded(h, 8) == 0) 1 else 0
-    val artId = mix(Seed, 12L, sourceIdx.toLong, pageIdx.toLong,
-      (itemIdx - dupBack).toLong) >>> 20
+  val NewPerTick = 15
+  val SkewFactor = 20
+  val DefaultPreSeen = 6 // articles already crawled before tick 0
+
+  def isMega(sourceIdx: Int): Boolean = sourceIdx % 7 == 4
+
+  def newPerTick(sourceIdx: Int): Int =
+    if (isMega(sourceIdx)) NewPerTick * SkewFactor else NewPerTick
+
+  /** Total articles published by source i at the moment tick t runs. */
+  def publishedAt(sourceIdx: Int, tick: Int, preSeen: Int = DefaultPreSeen): Long =
+    preSeen.toLong + (tick + 1).toLong * newPerTick(sourceIdx)
+
+  /** Article-intrinsic properties (stable across every listing occurrence —
+    * the occurrence only varies case/param-order/tracking noise, all of
+    * which canonicalize away).
+    */
+  private def artIdOf(sourceIdx: Int, g: Long): Long =
+    mix(Seed, 12L, sourceIdx.toLong, g) >>> 20
+
+  /** Dirty listing URL for article g of source i, occurrence-salted by
+    * occKey: mixed-case host, utm noise, fragments, shuffled query order.
+    * canonicalize(dirtyUrl(i, g, k1)) == canonicalize(dirtyUrl(i, g, k2))
+    * for all k1, k2 — property-tested in UrlCanonicalizerSpec.
+    */
+  def dirtyUrl(sourceIdx: Int, g: Long, occKey: Long): String = {
+    val a = mix(Seed, 16L, sourceIdx.toLong, g) // article-keyed variation
+    val h = mix(Seed, 11L, sourceIdx.toLong, g, occKey) // occurrence-keyed
+    val artId = artIdOf(sourceIdx, g)
     val host = hostOf(sourceIdx)
     val hostCase = bounded(mix64(h ^ 1L), 3) match {
       case 0 => host.toLowerCase
       case 1 => host.toUpperCase
       case _ => host
     }
-    // ~6% of articles live under /private — robots-disallowed (north-rule
-    // gate). Keyed off artId (not item hash) so dup-aliased items keep the
-    // same path and stay true canonical duplicates.
+    // ~6% of articles live under /private — robots-disallowed (north rule)
     val pathRoot = if (bounded(mix64(artId ^ 9L), 16) == 0) "private" else "articles"
     val base = s"https://$hostCase/$pathRoot/a$artId"
-    val qKeep = s"id=$artId&lang=${langs(bounded(mix64(h ^ 2L), 3))}"
     val parts = scala.collection.mutable.ArrayBuffer[String]()
-    // query params in hash-dependent order, with tracking noise
-    if (bounded(mix64(h ^ 3L), 2) == 0) parts += qKeep
+    // params that survive canonicalization are ARTICLE-keyed
+    if (bounded(mix64(a ^ 3L), 2) == 0)
+      parts += s"id=$artId&lang=${langs(bounded(mix64(a ^ 2L), 3))}"
+    if (bounded(mix64(a ^ 5L), 4) == 0) parts += s"ref=home"
+    // tracking noise + ordering + fragment are OCCURRENCE-keyed
     if (bounded(mix64(h ^ 4L), 3) == 0) parts += s"utm_source=feed&utm_medium=rss"
-    if (bounded(mix64(h ^ 5L), 4) == 0) parts += s"ref=home"
     val shuffled =
       if (bounded(mix64(h ^ 6L), 2) == 0) parts.reverse else parts
     val q = if (shuffled.isEmpty) "" else "?" + shuffled.mkString("&")
@@ -103,35 +130,53 @@ object Fixtures {
     base + q + frag
   }
 
-  def listItems(spark: SparkSession, nSources: Int, itemsPerSource: Int)
-      : Dataset[ListItem] = {
+  /** The canonical form of article g of source i (any occurrence). */
+  def canonicalOf(sourceIdx: Int, g: Long): String =
+    graft.functions.UrlCanonicalizer.canonicalize(
+      dirtyUrl(sourceIdx, g, occKey = 0L))
+
+  /** Listing of source i at tick t: newest `n_i` articles, newest first.
+    * ~12% of items duplicate the item just above them (intra-batch dup D4);
+    * ~5% have blank titles (guard F4).
+    */
+  def listItemsAt(spark: SparkSession, nSources: Int, itemsPerSource: Int,
+      tick: Int, preSeen: Int = DefaultPreSeen): Dataset[ListItem] = {
     import spark.implicits._
-    val skewFactor = 20 // mega sources list 20x
     spark.range(0, nSources.toLong).flatMap { si =>
       val i = si.toInt
-      val n = if (i % 7 == 4) itemsPerSource * skewFactor else itemsPerSource
-      (0 until n).iterator.map { j =>
-        val page = j / 25
-        ListItem(
+      val n = if (isMega(i)) itemsPerSource * SkewFactor else itemsPerSource
+      val published = publishedAt(i, tick, preSeen)
+      (0 until n).iterator.flatMap { j =>
+        val h = mix(Seed, 17L, i.toLong, tick.toLong, j.toLong)
+        // duplicate-of-newer-item aliasing: reuse the article above in the list
+        val dup = j > 0 && bounded(h, 8) == 0
+        val g = published - 1 - j + (if (dup) 1 else 0)
+        if (g < 0) Iterator.empty
+        else Iterator.single(ListItem(
           source = f"src-$i%03d",
-          page_idx = page,
+          page_idx = j / 25,
           item_idx = j,
-          url = dirtyUrl(i, page, j),
+          url = dirtyUrl(i, g, occKey = mix(Seed, 18L, tick.toLong, j.toLong)),
           title = {
-            val t = mix(Seed, 13L, i.toLong, j.toLong)
-            if (bounded(t, 20) == 0) "" // empty-title guard F4
-            else s"Title ${t >>> 40} of src-$i item $j"
+            val t = mix(Seed, 13L, i.toLong, g)
+            if (bounded(t, 20) == 0) "" // blank-title guard F4 (article-keyed)
+            else s"Title ${t >>> 40} of src-$i article $g"
           },
-          ts_text = s"${1 + bounded(mix(Seed, 14L, i.toLong, j.toLong), 59)} mins ago",
+          ts_text = s"${1 + bounded(mix(Seed, 14L, i.toLong, tick.toLong, j.toLong), 59)} mins ago",
           category = Vector("economy", "tech", "property", "video")(
-            bounded(mix(Seed, 15L, i.toLong, j.toLong), 4))
-        )
+            bounded(mix(Seed, 15L, i.toLong, g), 4))
+        ))
       }
     }
   }
 
-  /** Pre-existing URL-seen state: for each source, the first `depth` article
-    * ids are already crawled (models the 7-day link cache,
+  /** Tick-0 listing (back-compat convenience). */
+  def listItems(spark: SparkSession, nSources: Int, itemsPerSource: Int)
+      : Dataset[ListItem] =
+    listItemsAt(spark, nSources, itemsPerSource, tick = 0)
+
+  /** Pre-existing URL-seen state: articles g < depth of each source are
+    * already crawled (models the 7-day link cache,
     * reference config.yaml:14-42 + utils/bigquery_client.py:159-231).
     */
   def urlSeenSeed(spark: SparkSession, nSources: Int, depth: Int)
@@ -141,9 +186,8 @@ object Fixtures {
     spark.range(0, nSources.toLong).flatMap { si =>
       val i = si.toInt
       (0 until depth).iterator.map { j =>
-        val raw = dirtyUrl(i, j / 25, j)
         SeenEntry(
-          canonical_url = graft.functions.UrlCanonicalizer.canonicalize(raw),
+          canonical_url = canonicalOf(i, j.toLong),
           source = f"src-$i%03d",
           crawled_at = new Timestamp(baseTs - (j.toLong * 60000L))
         )
@@ -214,28 +258,35 @@ object Fixtures {
     spark.range(0, n).map(i => imageDoc(i))
   }
 
-  /** Page store: canonical_url -> payload. Every canonical URL that the
-    * listings can produce resolves here; ~3% get a non-200 status to
-    * exercise error isolation (C5).
+  /** Page row for one canonical URL — pure function of the URL, so every
+    * occurrence (any tick, any source listing) resolves identically.
+    * ~3% get a non-200 status to exercise error isolation (C5).
     */
-  def pageStore(spark: SparkSession, nSources: Int, itemsPerSource: Int)
-      : Dataset[PageRow] = {
+  def pageRowOf(canonicalUrl: String): PageRow = {
+    val h = mix(Seed, 41L, canonicalUrl.hashCode.toLong)
+    val imgIdx = (h >>> 40) % 1000
+    val iid = f"img-$imgIdx%08d"
+    val lang = langs(bounded(mix64(h ^ 1L), 3))
+    PageRow(
+      canonical_url = canonicalUrl,
+      image_id = iid,
+      caption = s"caption of $iid in $lang",
+      fetch_cost_ms = 50 + bounded(mix64(h ^ 2L), 450),
+      status = if (bounded(mix64(h ^ 3L), 33) == 0) 403 else 200
+    )
+  }
+
+  /** Page store covering every article published up to and including
+    * `maxTick`: canonical_url -> payload (the deterministic stand-in for
+    * the detail-page fetch S9).
+    */
+  def pageStore(spark: SparkSession, nSources: Int, maxTick: Int = 0,
+      preSeen: Int = DefaultPreSeen): Dataset[PageRow] = {
     import spark.implicits._
-    listItems(spark, nSources, itemsPerSource)
-      .map { li =>
-        val cu = graft.functions.UrlCanonicalizer.canonicalize(li.url)
-        val h = mix(Seed, 41L, cu.hashCode.toLong)
-        val imgIdx = (h >>> 40) % 1000
-        val iid = f"img-$imgIdx%08d"
-        val lang = langs(bounded(mix64(h ^ 1L), 3))
-        PageRow(
-          canonical_url = cu,
-          image_id = iid,
-          caption = s"caption of $iid in $lang",
-          fetch_cost_ms = 50 + bounded(mix64(h ^ 2L), 450),
-          status = if (bounded(mix64(h ^ 3L), 33) == 0) 403 else 200
-        )
-      }
-      .dropDuplicates("canonical_url")
+    spark.range(0, nSources.toLong).flatMap { si =>
+      val i = si.toInt
+      (0L until publishedAt(i, maxTick, preSeen)).iterator
+        .map(g => pageRowOf(canonicalOf(i, g)))
+    }.dropDuplicates("canonical_url")
   }
 }

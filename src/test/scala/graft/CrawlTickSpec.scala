@@ -20,7 +20,7 @@ class CrawlTickSpec extends SparkTestBase {
     val listingsDs = Fixtures.listItems(spark, nSources, itemsPerSource)
     val sources = Fixtures.sourceSpecs(nSources)
     val robots = Fixtures.robots(nSources)
-    val pagesDs = Fixtures.pageStore(spark, nSources, itemsPerSource)
+    val pagesDs = Fixtures.pageStore(spark, nSources, maxTick = 0)
     val seenDs = Fixtures.urlSeenSeed(spark, nSources, seenDepth)
     (listingsDs, sources, robots, pagesDs, seenDs)
   }

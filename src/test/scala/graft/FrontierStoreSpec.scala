@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Fixtures
+import graft.pipeline.{CrawlTick, RefSimulator}
+import graft.store.FrontierStore
+
+/** Resumability (north rule): tick 0 → commit → REOPEN the store → tick 1
+  * resumed from the snapshot must equal the simulator chained over both
+  * ticks. Plus snapshot lineage, metrics, and time-travel reads.
+  */
+class FrontierStoreSpec extends SparkTestBase {
+
+  private val nSources = 12
+  private val itemsPerSource = 24
+  private val storeDir = "target/test-store"
+
+  private def fixtures(tick: Int) = {
+    import spark.implicits._
+    (Fixtures.listItemsAt(spark, nSources, itemsPerSource, tick),
+      Fixtures.sourceSpecs(nSources),
+      Fixtures.robots(nSources),
+      Fixtures.pageStore(spark, nSources, maxTick = 1))
+  }
+
+  test("two-tick resume from snapshot matches chained simulator exactly") {
+    import spark.implicits._
+    new FrontierStore(storeDir).delete()
+
+    val seed = Fixtures.urlSeenSeed(spark, nSources, Fixtures.DefaultPreSeen)
+    val (l0, sources, robots, pages) = fixtures(0)
+    val (l1, _, _, _) = fixtures(1)
+
+    // --- Spark side: tick 0, commit, REOPEN, tick 1 from stored seen ---
+    val store0 = new FrontierStore(storeDir).init()
+    store0.initSeen(spark, seed.toDF())
+    val (e0, s0) = CrawlTick.run(spark, l0.toDF(), sources.toDF(),
+      store0.seen(spark), robots.toDF(), pages.toDF())
+    store0.commit(spark, e0, s0, fetchEpoch = 0L)
+
+    val store1 = new FrontierStore(storeDir) // fresh handle: resume path
+    val (e1, s1) = CrawlTick.run(spark, l1.toDF(), sources.toDF(),
+      store1.seen(spark), robots.toDF(), pages.toDF())
+    store1.commit(spark, e1, s1, fetchEpoch = 1L)
+
+    // --- simulator side: sequential, chained seen ---
+    val pagesMap = pages.collect().map(p => p.canonical_url -> p).toMap
+    val sim0 = RefSimulator.run(l0.collect().toSeq, sources,
+      seed.collect().map(_.canonical_url).toSet, robots, pagesMap)
+    val sim1 = RefSimulator.run(l1.collect().toSeq, sources,
+      sim0.seenAfter, robots, pagesMap)
+
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("canonical_url", "source", "fetch_epoch", "emit_idx")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._4).toVector
+
+    assert(key(e0) === sim0.emits.map(e =>
+      (e.canonicalUrl, e.source, e.fetchEpoch, e.emitIdx)))
+    assert(key(e1) === sim1.emits.map(e =>
+      (e.canonicalUrl, e.source, e.fetchEpoch, e.emitIdx)))
+    assert(key(e1).nonEmpty, "tick 1 emitted nothing — no resume coverage")
+
+    // tick-1 listings must actually overlap tick-0 emissions (stop/skip
+    // resume semantics exercised), i.e. some tick-1 rows were deduped
+    // against STORED state, not the original seed
+    val sim1SkippedSeen = sim1.stats.values.map(_.skipped).sum
+    assert(sim1SkippedSeen > 0)
+
+    // final URL-seen set matches exactly (the north-rule seen criterion)
+    val storedSeen = store1.seen(spark).collect().map(_.getString(0)).toSet
+    assert(storedSeen === sim1.seenAfter)
+  }
+
+  test("snapshot chain, lineage and metrics are recorded") {
+    val store = new FrontierStore(storeDir)
+    val ids = store.snapshotIds()
+    assert(ids === Seq(0, 1, 2))
+    val m2 = store.manifest(2)
+    assert(m2.parentId === 1)
+    assert(m2.fetchEpoch === 1L)
+    assert(m2.newArticles > 0)
+    // per-partition lineage: segment counts sum to the delta row count
+    val m1 = store.manifest(1)
+    val deltaRows = spark.read
+      .parquet(s"$storeDir/${m1.seenDeltaPath}").count()
+    assert(m1.segmentCounts.values.sum === deltaRows)
+    assert(m1.segmentCounts.keys.forall(s => s >= 0 && s < 16))
+  }
+
+  test("time-travel: articles as of snapshot 1 exclude tick-1 rows") {
+    val store = new FrontierStore(storeDir)
+    val at1 = store.articles(spark, Some(1)).count()
+    val at2 = store.articles(spark, Some(2)).count()
+    val m2 = store.manifest(2)
+    assert(at2 === at1 + m2.newArticles)
+  }
+
+  test("articles are dt-partitioned and carry the clustering columns") {
+    val store = new FrontierStore(storeDir)
+    val df = store.articles(spark, Some(2))
+    assert(df.columns.contains("dt"))
+    // epochs 0 and 1 are 5 min apart → same daily partition (the reference
+    // partitions by DATE(pub_date), create_bigquery_table.sql:26)
+    val dts = df.select("dt").distinct().collect().map(_.get(0).toString)
+    assert(dts.toSeq === Seq("2025-01-01"))
+    assert(Seq("source", "language").forall(df.columns.contains))
+  }
+}
