@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.CrawlOps
+import graft.operators.{CrawlOps, TrainingOps}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * each paired (where SQL-expressible) with a DuckDB oracle over the same
@@ -30,7 +30,19 @@ object SparkEntry {
     "q_politeness_epochs" -> ((s, d) => CrawlOps.politenessEpochs(s, d)),
     "q_unseen_filter_bloom" -> ((s, d) => CrawlOps.unseenFilterBloom(s, d)),
     "q_salted_host_rank" -> ((s, d) => CrawlOps.saltedHostRank(s, d)),
-    "q_robots_gate" -> ((s, d) => CrawlOps.robotsGate(s, d))
+    "q_robots_gate" -> ((s, d) => CrawlOps.robotsGate(s, d)),
+    // --- training-data pipeline surface (dedup / similarity / text) ---
+    "q_doc_exact_dedup" -> ((s, d) => TrainingOps.exactDedup(s, d)),
+    "q_doc_fingerprints" -> ((s, d) => TrainingOps.fingerprints(s, d)),
+    "q_doc_tokens" -> ((s, d) => TrainingOps.tokenCounts(s, d)),
+    "q_doc_langid" -> ((s, d) => TrainingOps.langId(s, d)),
+    "q_doc_quality" -> ((s, d) => TrainingOps.qualityScores(s, d)),
+    "q_doc_simhash" -> ((s, d) => TrainingOps.simhash(s, d)),
+    "q_doc_minhash" -> ((s, d) => TrainingOps.minhashSignatures(s, d)),
+    "q_doc_lsh_pairs" -> ((s, d) => TrainingOps.lshCandidatePairs(s, d)),
+    "q_doc_jaccard_pairs" -> ((s, d) => TrainingOps.jaccardVerifiedPairs(s, d)),
+    "q_emb_topk" -> ((s, d) => TrainingOps.bruteForceTopK(s, d)),
+    "q_emb_lsh_buckets" -> ((s, d) => TrainingOps.lshBuckets(s, d))
   )
 
   def oracleSql: Map[String, String] = {
@@ -140,6 +152,159 @@ object SparkEntry {
            |    WHEN host = 'error.example.com' THEN 250
            |    ELSE 0 END AS robots_delay_ms
            |FROM h""".stripMargin
+    ) ++ trainingOracles
+  }
+
+  /** DuckDB oracles for the training-data ops. Parity rules (see
+    * TrainingOps doc): md5-only hashing, integer-only similarity math,
+    * floor-before-cast on divisions, explicit tie-breaks.
+    */
+  private def trainingOracles: Map[String, String] = {
+    val h60 = (e: String) => s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+    // shared CTE chain: corpus with synthetic near-dups → tokens →
+    // distinct word-3-gram shingles → k=8 minhash signatures
+    val nearDupCtes =
+      s"""corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id,
+         |         substr(text, 1, greatest(length(text) - 30, 50)) AS text
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM corpus),
+         |sh0 AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+         |  FROM tok),
+         |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+         |mh AS (
+         |  SELECT doc_id, CAST(s AS BIGINT) AS seed,
+         |         MIN(${h60("CAST(s AS VARCHAR) || ':' || sh")}) AS minhash
+         |  FROM sh, generate_series(0, 7) AS g(s)
+         |  GROUP BY 1, 2)""".stripMargin
+    // NOTE: no line in these shared CTE strings may START with '||' — they
+    // are re-stripMargin'ed when interpolated into the per-query SQL, and a
+    // leading '||' would lose a pipe.
+    val sigCtes =
+      s"""$nearDupCtes,
+         |sigs AS (
+         |  SELECT doc_id, CAST(floor(seed / 2.0) AS BIGINT) AS band,
+         |         CAST(MAX(CASE WHEN seed % 2 = 0 THEN minhash END) AS VARCHAR) || ':' ||
+         |         CAST(MAX(CASE WHEN seed % 2 = 1 THEN minhash END) AS VARCHAR) AS band_sig
+         |  FROM mh GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sigs a JOIN sigs b
+         |    ON a.band = b.band AND a.band_sig = b.band_sig
+         |   AND a.doc_id < b.doc_id)""".stripMargin
+    val quant =
+      "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+    Map(
+      "q_doc_exact_dedup" ->
+        """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
+          |       CAST(COUNT(*) AS BIGINT) AS dup_count
+          |FROM documents GROUP BY 1""".stripMargin,
+      "q_doc_fingerprints" ->
+        s"""SELECT doc_id,
+           |  ${h60("text")} AS fingerprint,
+           |  ${h60("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")} AS norm_fingerprint
+           |FROM documents""".stripMargin,
+      "q_doc_tokens" ->
+        """SELECT doc_id,
+          |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_pieces,
+          |  CAST(length(text) AS BIGINT) AS n_chars_actual
+          |FROM documents""".stripMargin,
+      "q_doc_langid" ->
+        """SELECT doc_id,
+          |  CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS cjk_chars,
+          |  CAST(length(text) AS BIGINT) AS total_chars,
+          |  CASE WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) * 10
+          |            > length(text) * 3
+          |       THEN 'zh' ELSE 'en' END AS pred_lang
+          |FROM documents""".stripMargin,
+      "q_doc_quality" ->
+        """SELECT doc_id,
+          |  CAST(length(text) AS BIGINT) AS n,
+          |  CAST(len(regexp_extract_all(text, '[,.;:!?]')) AS BIGINT) AS punct_count,
+          |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS stopword_count,
+          |  CAST((CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END)
+          |     + (CASE WHEN len(regexp_extract_all(text, '[,.;:!?]')) * 100 <= length(text) * 10 THEN 1 ELSE 0 END)
+          |     + (CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) > 0 THEN 1 ELSE 0 END)
+          |     AS BIGINT) AS quality_score
+          |FROM documents""".stripMargin,
+      "q_doc_simhash" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id,
+           |         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS token
+           |  FROM documents),
+           |th AS (SELECT doc_id, ${h60("token")} AS th FROM tok),
+           |votes AS (
+           |  SELECT doc_id, b,
+           |         SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote_sum
+           |  FROM th, generate_series(0, 59) AS g(b)
+           |  GROUP BY 1, 2)
+           |SELECT doc_id,
+           |       CAST(SUM(CASE WHEN vote_sum > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+           |FROM votes GROUP BY doc_id""".stripMargin,
+      "q_doc_minhash" ->
+        s"""WITH $nearDupCtes
+           |SELECT doc_id, seed, minhash FROM mh""".stripMargin,
+      "q_doc_lsh_pairs" ->
+        s"""WITH $sigCtes
+           |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+      "q_doc_jaccard_pairs" ->
+        s"""WITH $sigCtes,
+           |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+           |inter AS (
+           |  SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+           |  FROM pairs p
+           |  JOIN sh sa ON sa.doc_id = p.doc_a
+           |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+           |  GROUP BY 1, 2)
+           |SELECT p.doc_a, p.doc_b,
+           |       COALESCE(i.inter, 0) AS inter,
+           |       za.sz AS size_a, zb.sz AS size_b,
+           |       (COALESCE(i.inter, 0) * 10 >=
+           |        (za.sz + zb.sz - COALESCE(i.inter, 0)) * 6) AS is_dup
+           |FROM pairs p
+           |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+           |JOIN sizes za ON za.doc_id = p.doc_a
+           |JOIN sizes zb ON zb.doc_id = p.doc_b""".stripMargin,
+      "q_emb_topk" ->
+        s"""WITH q AS (
+           |  SELECT vec_id AS query_id, $quant AS qv
+           |  FROM embeddings WHERE vec_id < 8),
+           |c AS (
+           |  SELECT vec_id AS neighbor_id, $quant AS nv
+           |  FROM embeddings WHERE vec_id >= 8),
+           |s AS (
+           |  SELECT query_id, neighbor_id,
+           |         CAST(list_sum(list_transform(range(1, len(qv) + 1),
+           |              i -> qv[i] * nv[i])) AS BIGINT) AS dot
+           |  FROM q, c),
+           |r AS (
+           |  SELECT query_id, neighbor_id, dot,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |              ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+           |  FROM s)
+           |SELECT query_id, neighbor_id, dot, rank FROM r WHERE rank <= 10""".stripMargin,
+      "q_emb_lsh_buckets" ->
+        s"""WITH planes AS (
+           |  SELECT p, i,
+           |         (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 1001) - 500 AS c
+           |  FROM generate_series(0, 15) AS gp(p), generate_series(1, 64) AS gi(i)),
+           |e AS (SELECT vec_id, $quant AS q FROM embeddings),
+           |dots AS (
+           |  SELECT e.vec_id, pl.p, SUM(pl.c * e.q[pl.i]) AS dot
+           |  FROM e, planes pl GROUP BY 1, 2)
+           |SELECT vec_id,
+           |       CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+           |FROM dots GROUP BY vec_id""".stripMargin
     )
   }
 }

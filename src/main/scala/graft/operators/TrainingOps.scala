@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data pipeline operators over the driver's
+  * `documents` and `embeddings` tables: deduplication (exact, MinHash-LSH,
+  * SimHash, n-gram Jaccard), similarity search (brute-force int-quantized
+  * cosine top-k, random-hyperplane LSH buckets), and text analysis
+  * (language-ID, quality scoring, token counting, fingerprinting).
+  *
+  * Every op is paired with a DuckDB oracle (SparkEntry.oracleSql). Oracle
+  * parity rules used throughout:
+  *  - all hashing is md5-based (`hash60`): both engines produce identical
+  *    md5 hex, and a 15-hex-digit (60-bit) prefix parses into a positive
+  *    BIGINT on both sides — no engine-private hash functions;
+  *  - all similarity arithmetic is INTEGER (embeddings quantized to
+  *    round(x*1000) as BIGINT; Jaccard thresholds cross-multiplied) — no
+  *    float aggregation order sensitivity;
+  *  - ranks use explicit deterministic tie-breaks.
+  *
+  * Scale notes (100 TB design point):
+  *  - shingle/minhash stages explode per token — the heaviest shuffle keys
+  *    are (doc_id, seed) and (band, band_sig), both high-cardinality and
+  *    uniform (hash-derived), so no skew salt needed;
+  *  - LSH candidate generation is a self-equi-join on (band, band_sig) —
+  *    shuffle-bounded by true-collision mass, the whole point of LSH vs the
+  *    O(n²) pairwise join;
+  *  - brute-force top-k broadcasts the (tiny) query side and never shuffles
+  *    the corpus; the LSH-bucket variant is the scale path (bucket-local
+  *    candidate sets);
+  *  - quality/lang-id/token ops are pure row-local projections — one scan,
+  *    no shuffle, fully codegen'd.
+  */
+object TrainingOps {
+
+  def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** 60-bit positive hash from md5 hex — engine-portable (see class doc). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ===================================================== text analysis ===
+
+  /** Exact dedup by content hash (the hash-groupBy family): one group per
+    * distinct text, keeper = lowest doc_id.
+    */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keeper_id"),
+        count(lit(1)).as("dup_count"))
+
+  /** Document fingerprints: raw and whitespace-normalized 60-bit content
+    * fingerprints (cheap dedup/lineage keys).
+    */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      hash60(col("text")).as("fingerprint"),
+      hash60(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .as("norm_fingerprint"))
+
+  /** Token counting: whitespace tokens + BPE-ish piece count (letter runs,
+    * digit runs, single punctuation).
+    */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+        .cast("long").as("n_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+        .cast("long").as("n_bpe_pieces"),
+      length(col("text")).cast("long").as("n_chars_actual"))
+
+  /** Language ID by CJK-codepoint ratio (the reference's heuristic,
+    * /root/reference/utils/spider_util.py:79-92 — codepoint-range scan).
+    * Integer cross-multiply, no float ratio.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("cjk_chars",
+        length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", ""))
+          .cast("long"))
+      .withColumn("total_chars", length(col("text")).cast("long"))
+      .select(
+        col("doc_id"), col("cjk_chars"), col("total_chars"),
+        when(col("cjk_chars") * 10 > col("total_chars") * 3, "zh")
+          .otherwise("en").as("pred_lang"))
+
+  /** Quality scoring: length, punctuation density, stopword presence —
+    * score = number of passed checks (0..3).
+    */
+  def qualityScores(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("n", length(col("text")).cast("long"))
+      .withColumn("punct_count",
+        regexp_count(col("text"), lit("[,.;:!?]")).cast("long"))
+      .withColumn("stopword_count",
+        regexp_count(lower(col("text")),
+          lit("\\b(the|a|of|and|to|in|is)\\b")).cast("long"))
+      .select(
+        col("doc_id"), col("n"), col("punct_count"), col("stopword_count"),
+        (when(col("n") >= 100, 1).otherwise(0) +
+          when(col("punct_count") * 100 <= col("n") * 10, 1).otherwise(0) +
+          when(col("stopword_count") > 0, 1).otherwise(0))
+          .cast("long").as("quality_score"))
+
+  /** 60-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * hashes, weighted by multiplicity.
+    */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), "\\s+"), t => t =!= ""))
+          .as("token"))
+      .withColumn("th", hash60(col("token")))
+      .select(col("doc_id"), col("th"),
+        explode(sequence(lit(0), lit(59))).as("b"))
+      .withColumn("vote",
+        when(expr("shiftright(th, CAST(b AS INT)) & 1") === 1, 1).otherwise(-1))
+      .groupBy("doc_id", "b")
+      .agg(sum("vote").as("vote_sum"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote_sum") > 0,
+          expr("shiftleft(1L, CAST(b AS INT))")).otherwise(0L))
+        .as("simhash"))
+
+  // ============================================= near-dup: MinHash/LSH ===
+
+  val MinhashSeeds = 8 // 4 bands × 2 rows
+
+  /** Corpus with synthetic near-duplicates: every document gets a mutated
+    * twin (tail chopped) at doc_id+100000 — constructed identically in the
+    * oracle so LSH has true positives to find.
+    */
+  def nearDupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select("doc_id", "text")
+    val mutated = d.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      expr("substr(text, 1, greatest(length(text) - 30, 50))").as("text"))
+    d.unionByName(mutated)
+  }
+
+  /** Distinct word-3-gram shingles per corpus doc. */
+  def shingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = nearDupCorpus(spark, sfDir)
+      .withColumn("t", filter(split(col("text"), "\\s+"), x => x =!= ""))
+    tok
+      .withColumn("sh",
+        when(size(col("t")) >= 3,
+          transform(sequence(lit(1), size(col("t")) - 2),
+            i => concat_ws(" ",
+              element_at(col("t"), i),
+              element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2))))
+          .otherwise(array()))
+      .select(col("doc_id"), explode(col("sh")).as("sh"))
+      .dropDuplicates("doc_id", "sh")
+  }
+
+  /** MinHash signatures: k=8 seeded md5 min-hashes per doc. */
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = explode(sequence(lit(0), lit(MinhashSeeds - 1))).as("seed")
+    shingles(spark, sfDir)
+      .select(col("doc_id"), col("sh"), seeds)
+      .withColumn("seed", col("seed").cast("long"))
+      .groupBy("doc_id", "seed")
+      .agg(min(hash60(concat(col("seed").cast("string"), lit(":"), col("sh"))))
+        .as("minhash"))
+  }
+
+  /** LSH banding (4 bands × 2 rows): band signature = the band's two
+    * minhashes; candidate pairs = docs sharing any (band, sig).
+    */
+  def lshBandSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    minhashSignatures(spark, sfDir)
+      // floor() before the cast: Spark casts double→long by truncation but
+      // DuckDB's CAST rounds — floor on both sides keeps parity
+      .withColumn("band", floor(col("seed") / 2).cast("long"))
+      .groupBy("doc_id", "band")
+      .agg(concat_ws(":",
+        max(when(col("seed") % 2 === 0, col("minhash"))).cast("string"),
+        max(when(col("seed") % 2 === 1, col("minhash"))).cast("string"))
+        .as("band_sig"))
+
+  def lshCandidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = lshBandSignatures(spark, sfDir)
+    val a = sigs.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
+    val b = sigs.select(col("band").as("band_b"), col("band_sig").as("sig_b"),
+      col("doc_id").as("doc_b"))
+    a.join(b, col("band") === col("band_b") &&
+        col("band_sig") === col("sig_b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard verification of the LSH candidates (the
+    * confirm phase — keeps the near-dup result exact, mirroring the
+    * Bloom-then-confirm URL-seen design). is_dup at Jaccard ≥ 0.6 via
+    * integer cross-multiplication.
+    */
+  def jaccardVerifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = lshCandidatePairs(spark, sfDir)
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("size_b")),
+        Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"), col("inter"),
+        col("size_a"), col("size_b"),
+        (col("inter") * 10 >=
+          (col("size_a") + col("size_b") - col("inter")) * 6).as("is_dup"))
+  }
+
+  // ======================================== similarity search (ANN) =====
+
+  val QuantScale = 1000
+  val NQueryVecs = 8
+  val TopK = 10
+
+  /** Int-quantized embedding: exact cross-engine arithmetic. */
+  def quantized(c: Column): Column =
+    transform(c, x => round(x.cast("double") * QuantScale).cast("long"))
+
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Brute-force top-k: the first NQueryVecs vectors query the rest.
+    * Query side is tiny → broadcast; corpus never shuffles (rank window
+    * partitions by query_id, cardinality NQueryVecs — at real scale use
+    * per-partition top-k + final merge, same plan AQE produces here).
+    */
+  def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir).withColumn("q", quantized(col("embedding")))
+    val queries = broadcast(e.filter(col("vec_id") < NQueryVecs)
+      .select(col("vec_id").as("query_id"), col("q").as("qv")))
+    val corpus = e.filter(col("vec_id") >= NQueryVecs)
+      .select(col("vec_id").as("neighbor_id"), col("q").as("nv"))
+    val scored = queries.join(corpus)
+      .withColumn("dot", intDot(col("qv"), col("nv")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(desc("dot"), asc("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "dot", "rank")
+  }
+
+  val LshPlanes = 16
+
+  /** Random-hyperplane LSH: 16 md5-derived hyperplanes (components in
+    * [-500, 500]), bucket = 16-bit sign signature — the scale path for ANN
+    * (bucket-local candidate sets instead of all-pairs).
+    */
+  def lshPlaneDf(spark: SparkSession): DataFrame =
+    spark.range(0, LshPlanes.toLong).toDF("p")
+      .withColumn("plane",
+        transform(sequence(lit(1), lit(64)),
+          i => (conv(substring(md5(
+              concat(col("p").cast("string"), lit("_"), i.cast("string"))),
+              1, 8), 16, 10).cast("long") % 1001) - 500))
+
+  def lshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+    e.join(broadcast(lshPlaneDf(spark)))
+      .withColumn("dot", intDot(col("q"), col("plane")))
+      .groupBy("vec_id")
+      .agg(sum(when(col("dot") > 0,
+          expr("shiftleft(1L, CAST(p AS INT))")).otherwise(0L))
+        .as("bucket"))
+  }
+}
