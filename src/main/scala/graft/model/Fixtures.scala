@@ -207,17 +207,36 @@ object Fixtures {
 
   // ----------------------------------------------------------------- images
 
-  /** Deterministic RGB image keyed by id — every pixel a pure hash. */
+  /** Deterministic RGB image keyed by id: per-image phase-shifted triangle
+    * waves (smooth — JPEG holds the 40 dB invariant — yet visually distinct
+    * per image, so perceptual hashes separate) plus low-amplitude hash
+    * noise for uniqueness.
+    */
   def renderImage(imageId: String, w: Int, h: Int): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     val k = imageId.hashCode.toLong
+    def tri(v: Int): Int = { val m = ((v % 510) + 510) % 510; if (m < 255) m else 510 - m }
+    val px = bounded(mix(Seed, 34L, k), 510)
+    val py = bounded(mix(Seed, 35L, k), 510)
+    val fx = 1 + bounded(mix(Seed, 36L, k), 3) // spatial frequency 1..3
+    val fy = 1 + bounded(mix(Seed, 37L, k), 3)
+    // Correlated channels (luma-dominant): ImageIO's JPEG writer chroma-
+    // subsamples 4:2:0, so per-pixel-independent R/G/B gradients cannot
+    // survive at any quality — the pattern must live in luma to hold the
+    // 40 dB invariant.
+    val tintR = bounded(mix(Seed, 38L, k), 31)
+    val tintB = bounded(mix(Seed, 39L, k), 31)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        // smooth-ish gradient + hash noise: JPEG-compressible yet unique
-        val base = ((x * 255 / w) << 16) | ((y * 255 / h) << 8)
-        val noise = (mix(Seed, 31L, k, (y.toLong << 32) | x.toLong) & 0x3f3f3f).toInt
+        val l = (tri(x * fx * 510 / w + px) + tri(y * fy * 510 / h + py)) / 2
+        val lum = 16 + l * 192 / 255 // keep away from clipping
+        val r = math.min(255, lum + tintR)
+        val g = lum
+        val b = math.min(255, lum + tintB)
+        val base = (r << 16) | (g << 8) | b
+        val noise = (mix(Seed, 31L, k, (y.toLong << 32) | x.toLong) & 0x030303).toInt
         img.setRGB(x, y, (base ^ noise) & 0xffffff)
         x += 1
       }
@@ -228,8 +247,30 @@ object Fixtures {
 
   def encode(img: BufferedImage, fmt: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, fmt, bos)
+    if (fmt == "jpg") {
+      // explicit quality: the default (~0.75) dips below the 40 dB PSNR
+      // invariant on noisy fixtures (BASELINE.json input_hint)
+      val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(0.95f)
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      writer.dispose()
+      ios.close()
+    } else ImageIO.write(img, fmt, bos)
     bos.toByteArray
+  }
+
+  /** The caption of image `rowIdx` — single source of truth, shared by the
+    * image table and the page store so the sink's caption-equality
+    * invariant (BASELINE.json input_hint) is meaningful.
+    */
+  def captionOf(rowIdx: Long): String = {
+    val h = mix(Seed, 32L, rowIdx)
+    val lang = langs(bounded(mix64(h ^ 3L), 3))
+    f"caption of img-$rowIdx%08d in $lang"
   }
 
   def imageDoc(rowIdx: Long): ImageDoc = {
@@ -241,14 +282,13 @@ object Fixtures {
     val fmt = if (bounded(mix64(h ^ 2L), 4) == 0) "jpg" else "png"
     val img = renderImage(id, w, hh)
     val bytes = encode(img, if (fmt == "jpg") "jpg" else "png")
-    val lang = langs(bounded(mix64(h ^ 3L), 3))
     ImageDoc(
       image_id = id,
       bytes = bytes,
       w = w,
       h = hh,
       fmt = fmt,
-      caption = s"caption of $id in $lang",
+      caption = captionOf(rowIdx),
       phash = mix(Seed, 33L, rowIdx) // stable stand-in (FIXTURES.md §1)
     )
   }
@@ -265,12 +305,10 @@ object Fixtures {
   def pageRowOf(canonicalUrl: String): PageRow = {
     val h = mix(Seed, 41L, canonicalUrl.hashCode.toLong)
     val imgIdx = (h >>> 40) % 1000
-    val iid = f"img-$imgIdx%08d"
-    val lang = langs(bounded(mix64(h ^ 1L), 3))
     PageRow(
       canonical_url = canonicalUrl,
-      image_id = iid,
-      caption = s"caption of $iid in $lang",
+      image_id = f"img-$imgIdx%08d",
+      caption = captionOf(imgIdx), // MUST match the image table's caption
       fetch_cost_ms = 50 + bounded(mix64(h ^ 2L), 450),
       status = if (bounded(mix64(h ^ 3L), 33) == 0) 403 else 200
     )
