@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CrawlOps, TrainingOps}
+import graft.operators.{CrawlOps, ScanOps, TrainingOps}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * each paired (where SQL-expressible) with a DuckDB oracle over the same
@@ -42,7 +42,29 @@ object SparkEntry {
     "q_doc_lsh_pairs" -> ((s, d) => TrainingOps.lshCandidatePairs(s, d)),
     "q_doc_jaccard_pairs" -> ((s, d) => TrainingOps.jaccardVerifiedPairs(s, d)),
     "q_emb_topk" -> ((s, d) => TrainingOps.bruteForceTopK(s, d)),
-    "q_emb_lsh_buckets" -> ((s, d) => TrainingOps.lshBuckets(s, d))
+    "q_emb_lsh_buckets" -> ((s, d) => TrainingOps.lshBuckets(s, d)),
+    // --- scan/projection surface (S4, P5, P8, J4) ---
+    "q_json_payload" -> ((s, d) => ScanOps.jsonPayload(s, d)),
+    "q_epoch_parse" -> ((s, d) => ScanOps.epochParse(s, d)),
+    "q_html_clean" -> ((s, d) => ScanOps.htmlClean(s, d)),
+    "q_section_assign" -> ((s, d) => ScanOps.sectionAssign(s, d)),
+    // --- fixture-backed pipeline queries (no SQL oracle → rows-only
+    //     check; exact-match correctness lives in sbt test vs the
+    //     reference simulator / image invariants) ---
+    "q_crawl_tick" -> ((s, _) => {
+      import graft.model.Fixtures
+      val nSources = 30
+      graft.pipeline.CrawlTick.run(s,
+        Fixtures.listItemsAt(s, nSources, 30, tick = 0).toDF(),
+        { import s.implicits._; Fixtures.sourceSpecs(nSources).toDF() },
+        Fixtures.urlSeenSeed(s, nSources, 6).toDF().select("canonical_url"),
+        { import s.implicits._; Fixtures.robots(nSources).toDF() },
+        Fixtures.pageStore(s, nSources, maxTick = 0).toDF(),
+        salted = true)._1
+    }),
+    "q_image_meta" -> ((s, _) =>
+      graft.functions.ImageOps.decodeMeta(
+        graft.model.Fixtures.images(s, 2000L)).toDF())
   )
 
   def oracleSql: Map[String, String] = {
@@ -152,8 +174,56 @@ object SparkEntry {
            |    WHEN host = 'error.example.com' THEN 250
            |    ELSE 0 END AS robots_delay_ms
            |FROM h""".stripMargin
-    ) ++ trainingOracles
+    ) ++ trainingOracles ++ scanOracles
   }
+
+  private def scanOracles: Map[String, String] = Map(
+    "q_json_payload" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_str
+        |FROM events""".stripMargin,
+    "q_epoch_parse" ->
+      """WITH b AS (
+        |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |r AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 2 = 0 THEN sec * 1000 ELSE sec END AS raw_epoch
+        |  FROM b),
+        |n AS (
+        |  SELECT event_id, raw_epoch,
+        |         CASE WHEN raw_epoch > 1000000000000
+        |              THEN CAST(floor(raw_epoch / 1000.0) AS BIGINT)
+        |              ELSE raw_epoch END AS norm_s
+        |  FROM r)
+        |SELECT event_id, raw_epoch, norm_s, norm_s + 28800 AS local_epoch_s
+        |FROM n""".stripMargin,
+    "q_html_clean" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         '<div class="article"><h1>t</h1><p>' || text ||
+        |         '</p><script>var ad = 1;</script><img src="x.png"/></div>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(regexp_replace(html,
+        |            '(?s)<script.*?</script>', '', 'g'),
+        |            '<[^>]+>', ' ', 'g'),
+        |            '\s+', ' ', 'g')) AS clean_text
+        |FROM h""".stripMargin,
+    "q_section_assign" ->
+      """WITH p AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 10 = 0 THEN '/private/a' || CAST(event_id AS VARCHAR)
+        |              WHEN event_id % 10 = 5 THEN '/private/open/a' || CAST(event_id AS VARCHAR)
+        |              ELSE '/articles/a' || CAST(event_id AS VARCHAR) END AS path
+        |  FROM events)
+        |SELECT event_id, path,
+        |       CASE WHEN path LIKE '/private/open%' THEN 'open_archive'
+        |            WHEN path LIKE '/private%' THEN 'restricted'
+        |            WHEN path LIKE '/articles%' THEN 'news'
+        |            ELSE 'other' END AS section
+        |FROM p""".stripMargin
+  )
 
   /** DuckDB oracles for the training-data ops. Parity rules (see
     * TrainingOps doc): md5-only hashing, integer-only similarity math,

@@ -54,6 +54,21 @@ class UrlSeenSpec extends SparkTestBase {
     assert(got.forall(_ % 3 != 0))
   }
 
+  test("partitioned segment build equals the Aggregator formulation bitwise") {
+    val seen = spark.range(0, 5000)
+      .select(concat(lit("https://h"), (col("id") % 13).cast("string"),
+        lit(".example.com/a/"), col("id").cast("string")).as("url"))
+    def collectSegs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bloom"))
+        .sortBy(_._1)
+    val fast = collectSegs(UrlSeen.buildSegments(seen, "url", 4, 2000, 1e-4))
+    val agg = collectSegs(UrlSeen.buildSegmentsAgg(seen, "url", 4, 2000, 1e-4))
+    assert(fast.map(_._1).toSeq === agg.map(_._1).toSeq)
+    fast.zip(agg).foreach { case ((s, a), (_, b)) =>
+      assert(java.util.Arrays.equals(a, b), s"segment $s bytes differ")
+    }
+  }
+
   test("filterUnseen with empty seen set passes everything through") {
     val candidates = spark.range(0, 100)
       .select(concat(lit("https://x.com/"), col("id").cast("string")).as("url"))
