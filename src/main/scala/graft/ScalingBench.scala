@@ -15,23 +15,40 @@ package graft
   */
 object ScalingBench {
 
+  def arm(cpus: Int, frontierN: Long): Double = {
+    val spark = Bench.session(cpus.toString)
+    spark.sparkContext.setLogLevel("WARN")
+    // warmup at FULL size: the first full-size run pays heap expansion,
+    // page-fault and JIT-tier costs (measured 5× the steady state)
+    Bench.frontierJob(spark, frontierN).count()
+    spark.catalog.clearCache() // each timed run starts cold — no reuse
+    val secs = (1 to 3).map { i =>
+      val (_, s) = Bench.timed(Bench.frontierJob(spark, frontierN).count())
+      spark.catalog.clearCache()
+      println(f"[scaling] cpus=$cpus run$i ${s}%.2f s")
+      s
+    }
+    spark.stop()
+    secs.min // best-of-3: drops residual JIT/GC noise
+  }
+
   def main(args: Array[String]): Unit = {
     val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE_CPUS", "8").toInt
     val nLarge = nSmall * 4
     val frontierN = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "8000000").toLong
 
-    def arm(cpus: Int): Double = {
-      val spark = Bench.session(cpus.toString)
-      spark.sparkContext.setLogLevel("WARN")
-      Bench.frontierJob(spark, frontierN / 8).count() // warmup
-      val (_, sec) = Bench.timed(Bench.frontierJob(spark, frontierN).count())
-      val (_, sec2) = Bench.timed(Bench.frontierJob(spark, frontierN).count())
-      spark.stop()
-      math.min(sec, sec2) // best-of-2: drops residual warmup noise
+    // single-arm mode: run one parallelism level in a dedicated JVM (the
+    // two-arm-in-one-JVM mode makes the second arm inherit the first's
+    // heap garbage; separate invocations measure clean)
+    sys.env.get("SPARK_GRAFT_ARM").foreach { a =>
+      val cpus = a.toInt
+      val sec = arm(cpus, frontierN)
+      println(f"""{"metric":"scaling_arm","cpus":$cpus,"sec":$sec%.2f,"frontier_n":$frontierN,"urls_per_sec":${(frontierN / sec).toLong}}""")
+      return
     }
 
-    val tSmall = arm(nSmall)
-    val tLarge = arm(nLarge)
+    val tSmall = arm(nSmall, frontierN)
+    val tLarge = arm(nLarge, frontierN)
     val thrSmall = frontierN / tSmall
     val thrLarge = frontierN / tLarge
     val efficiency = (thrLarge / thrSmall) / (nLarge.toDouble / nSmall)

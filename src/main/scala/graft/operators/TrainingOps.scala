@@ -190,7 +190,11 @@ object TrainingOps {
         .as("band_sig"))
 
   def lshCandidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // persist the signatures: the self-join reads them twice, and without a
+    // materialization point each side re-derives the whole shingle→minhash
+    // chain (the pipeline's most expensive stage)
     val sigs = lshBandSignatures(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigs.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
     val b = sigs.select(col("band").as("band_b"), col("band_sig").as("sig_b"),
       col("doc_id").as("doc_b"))
@@ -206,7 +210,10 @@ object TrainingOps {
     * integer cross-multiplication.
     */
   def jaccardVerifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // shingles feed four consumers (intersection ×2, sizes, minhash chain)
+    // — persist once instead of four shuffle-chains from the raw corpus
     val sh = shingles(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pairs = lshCandidatePairs(spark, sfDir)
     val inter = pairs

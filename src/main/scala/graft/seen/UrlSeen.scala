@@ -121,9 +121,53 @@ object UrlSeen {
   def might_contain(bloom: Column, key: Column): Column =
     Bridge.column(BloomMightContain(Bridge.expression(bloom), Bridge.expression(key)))
 
+  /** Probe helper over the broadcast segment array (null slot = empty
+    * segment = definitely unseen). Static — inlined by codegen.
+    */
+  def probeSegments(segs: Array[Array[Byte]], h: Long): Boolean = {
+    val n = segs.length
+    val seg = (((h % n) + n) % n).toInt
+    val b = segs(seg)
+    b != null && BloomFilter.mightContainSerialized(b, h)
+  }
+
+  /** Codegen'd probe over broadcast segments: no per-row boxing, no UDF
+    * serialization boundary — the broadcast is materialized once per task
+    * into a mutable member and probed with a static call inside the
+    * whole-stage-codegen span.
+    */
+  case class BloomSegmentsProbe(child: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(h: Any): Any =
+      probeSegments(bc.value, h.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("bloomSegsBc", bc)
+      val segsVar = ctx.addMutableState("byte[][]", "bloomSegs",
+        v => s"$v = (byte[][]) ((org.apache.spark.broadcast.Broadcast) $bcRef).value();")
+      defineCodeGen(ctx, ev, h =>
+        s"graft.seen.UrlSeen.probeSegments($segsVar, $h)")
+    }
+    override protected def withNewChildInternal(c: Expression): BloomSegmentsProbe =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------------- two-phase
 
   /** Exact unseen-filter: candidates minus seen, Bloom-accelerated.
+    *
+    * Probe strategy: the segment bytes are BROADCAST as a map and probed
+    * by a scalar function — NOT joined onto the candidate rows. (A
+    * seg-equi-join would inline the segment's full byte array into every
+    * matching UnsafeRow: at 900 KB/segment × 10^7 candidates that copies
+    * terabytes. The broadcast ships each segment once per executor.)
+    *
+    * At the 10^10 design point (1000 × 36 MB segments, > executor-memory
+    * broadcast), the same truth table runs co-partitioned instead: both
+    * sides `repartition(pmod(xxhash64(url), nSeg))` and each task streams
+    * its one segment from the store before scanning its candidate split —
+    * the layout FrontierStore already writes (`data/seen/snap-K/seg=N`).
     *
     * @param candidates must carry `urlCol` (canonical URL)
     * @param segments   output of [[buildSegments]]
@@ -132,22 +176,19 @@ object UrlSeen {
     */
   def filterUnseen(candidates: DataFrame, segments: DataFrame, seen: DataFrame,
       urlCol: String, nSegments: Int): DataFrame = {
-    val h = urlHash(col(urlCol))
-    val withSeg = candidates
-      .withColumn("__hash", h)
-      .withColumn("__seg", segmentOf(col("__hash"), nSegments))
-    // phase 1: bloom probe (left join: a candidate whose segment has no
-    // bloom row is definitely unseen)
-    val probed = withSeg.join(
-      segments.withColumnRenamed("seg", "__seg2"),
-      col("__seg") === col("__seg2"), "left")
-    val definitelyNew = probed
-      .filter(col("bloom").isNull || !might_contain(col("bloom"), col("__hash")))
-      .drop("__hash", "__seg", "__seg2", "bloom")
-    // phase 2: exact confirm for bloom-positives only (≈ true-seen + FPP mass)
-    val maybeSeen = probed
-      .filter(col("bloom").isNotNull && might_contain(col("bloom"), col("__hash")))
-      .drop("__hash", "__seg", "__seg2", "bloom")
+    val spark = candidates.sparkSession
+    val segsArr = new Array[Array[Byte]](nSegments)
+    segments.collect().foreach { r =>
+      segsArr(r.getLong(0).toInt) = r.getAs[Array[Byte]]("bloom")
+    }
+    val bc = spark.sparkContext.broadcast(segsArr)
+    val probe = Bridge.column(BloomSegmentsProbe(
+      Bridge.expression(urlHash(col(urlCol))), bc))
+    val flagged = candidates.withColumn("__maybe", probe)
+    // phase 1: bloom-negative → definitely unseen (no false negatives)
+    val definitelyNew = flagged.filter(!col("__maybe")).drop("__maybe")
+    // phase 2: exact confirm for bloom-positives only (true-seen + FPP mass)
+    val maybeSeen = flagged.filter(col("__maybe")).drop("__maybe")
     val confirmedNew = maybeSeen.join(
       seen.select(col(urlCol).as("__seen_url")),
       maybeSeen(urlCol) === col("__seen_url"), "left_anti")
