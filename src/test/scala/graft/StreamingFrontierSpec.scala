@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.model.{Fixtures, ListItem}
+import graft.streaming.StreamingFrontier
+
+/** Streaming URL-seen dedup: first-occurrence-only across micro-batches,
+  * equivalent to the batch anti-join formulation.
+  */
+class StreamingFrontierSpec extends SparkTestBase {
+
+  test("stateful dedup emits each canonical URL once across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val nSources = 8
+    // tick 0 and tick 1 listings overlap on their tails (publish-stream
+    // fixture) — the second batch must only emit the genuinely new URLs
+    val batch0 = Fixtures.listItemsAt(spark, nSources, 20, tick = 0).collect().toSeq
+    val batch1 = Fixtures.listItemsAt(spark, nSources, 20, tick = 1).collect().toSeq
+
+    val input = MemoryStream[ListItem]
+    val deduped = StreamingFrontier.dedupStream(
+      StreamingFrontier.candidates(input.toDS(), nSegments = 8))
+
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName("dedup_out")
+      .outputMode("append")
+      .start()
+
+    input.addData(batch0)
+    q.processAllAvailable()
+    val after0 = spark.table("dedup_out").count()
+
+    input.addData(batch1)
+    q.processAllAvailable()
+    val all = spark.table("dedup_out")
+      .select("canonical_url").as[String].collect()
+    q.stop()
+
+    // 1. no canonical URL emitted twice
+    assert(all.length === all.distinct.length, "duplicate emission")
+
+    // 2. equals the batch formulation: distinct canonicals of batch0+batch1
+    val expected = (batch0 ++ batch1)
+      .map(li => graft.functions.UrlCanonicalizer.canonicalize(li.url))
+      .distinct.sorted
+    assert(all.sorted.toSeq === expected.toSeq)
+
+    // 3. the second batch actually hit state (emitted < its row count)
+    assert(after0 > 0)
+    val emitted1 = all.length - after0
+    assert(emitted1 > 0, "batch 1 emitted nothing")
+    assert(emitted1 < batch1.size, "batch 1 saw no dedup against state")
+  }
+}
