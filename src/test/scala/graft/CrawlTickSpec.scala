@@ -105,6 +105,31 @@ class CrawlTickSpec extends SparkTestBase {
     stats.unpersist()
   }
 
+  test("exact match holds at 100 sources with 20x skew (salted path)") {
+    import spark.implicits._
+    val n = 100
+    val listingsDs = Fixtures.listItemsAt(spark, n, 40, tick = 0)
+    val sources = Fixtures.sourceSpecs(n)
+    val robots = Fixtures.robots(n)
+    val pagesDs = Fixtures.pageStore(spark, n, maxTick = 0)
+    val seenDs = Fixtures.urlSeenSeed(spark, n, 8)
+
+    val (emitted, _) = CrawlTick.run(spark, listingsDs.toDF(), sources.toDF(),
+      seenDs.toDF().select("canonical_url"), robots.toDF(), pagesDs.toDF(),
+      salted = true)
+    val sim = RefSimulator.run(listingsDs.collect().toSeq, sources,
+      seenDs.collect().map(_.canonical_url).toSet, robots,
+      pagesDs.collect().map(p => p.canonical_url -> p).toMap)
+
+    val got = emitted.select("canonical_url", "fetch_epoch", "emit_idx")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3).toVector
+    val exp = sim.emits.map(e => (e.canonicalUrl, e.fetchEpoch, e.emitIdx))
+    assert(got.size === exp.size)
+    assert(got === exp)
+    assert(got.size > 300, s"only ${got.size} emits — fixture too thin")
+  }
+
   test("emitted ids are md5 of canonical url") {
     val (emitted, _, _) = runBoth(salted = false)
     val bad = emitted.filter(col("id") =!= md5(col("canonical_url"))).count()

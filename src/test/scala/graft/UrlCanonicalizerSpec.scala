@@ -76,6 +76,17 @@ class UrlCanonicalizerSpec extends AnyFunSuite {
     assert(b === c)
   }
 
+  test("fixture occurrence-invariance: same article, any dirtiness, one canonical") {
+    // FIXTURES.md §2: dirtyUrl varies case/param-order/tracking per
+    // OCCURRENCE but canonical identity is ARTICLE-keyed
+    for (src <- 0 until 5; g <- 0L until 20L) {
+      val canon = (0L until 6L)
+        .map(k => canonicalize(graft.model.Fixtures.dirtyUrl(src, g, k)))
+        .distinct
+      assert(canon.size === 1, s"src=$src g=$g: $canon")
+    }
+  }
+
   test("hostOf / pathOf decompose canonical urls") {
     assert(hostOf("https://news.example.com/a/b?x=1") === "news.example.com")
     assert(pathOf("https://news.example.com/a/b?x=1") === "/a/b")
