@@ -61,15 +61,17 @@ case class ExtractEmbeddedJson(left: Expression, right: Expression)
     if (r == null) null else UTF8String.fromString(r)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val code = nullSafeCodeGen(ctx, ev, (h, m) => {
+    // fresh local per occurrence: a fixed name would collide (and silently
+    // kill whole-stage codegen) when the expression appears twice in scope
+    val tmp = ctx.freshName("graftEj")
+    nullSafeCodeGen(ctx, ev, (h, m) => {
       s"""
-         |String graftEj = graft.functions.EmbeddedJson.extract(
+         |String $tmp = graft.functions.EmbeddedJson.extract(
          |  $h.toString(), $m.toString());
-         |if (graftEj == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = UTF8String.fromString(graftEj); }
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = UTF8String.fromString($tmp); }
        """.stripMargin
     })
-    code
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ExtractEmbeddedJson =

@@ -157,6 +157,23 @@ object CrawlTick {
   def run(spark: SparkSession, listings: DataFrame, sources: DataFrame,
       seenSnapshot: DataFrame, robots: DataFrame, pages: DataFrame,
       salted: Boolean = false): (DataFrame, DataFrame) = {
+    val t = runTick(spark, listings, sources, seenSnapshot, robots, pages, salted)
+    (t.emitted, t.stats)
+  }
+
+  /** One tick's outputs plus an explicit cache-release hook. The tick
+    * `.cache()`s two multiply-consumed intermediates; a long-running driver
+    * looping ticks MUST call `cleanup()` after materializing (committing)
+    * the outputs, or cached blocks accumulate across ticks (ADVICE r1).
+    * [[run]] keeps the old shape for single-shot callers whose caches die
+    * with the session.
+    */
+  final case class TickResult(emitted: DataFrame, stats: DataFrame,
+      cleanup: () => Unit)
+
+  def runTick(spark: SparkSession, listings: DataFrame, sources: DataFrame,
+      seenSnapshot: DataFrame, robots: DataFrame, pages: DataFrame,
+      salted: Boolean = false): TickResult = {
 
     val flagged = select(listings, sources, seenSnapshot, robots).cache()
 
@@ -223,6 +240,7 @@ object CrawlTick {
           coalesce(col("xsrc_losses"), lit(0L))).as("skipped"),
         coalesce(col("errors"), lit(0L)).as("errors"))
 
-    (emitted, stats)
+    TickResult(emitted, stats,
+      () => { flagged.unpersist(); deduped.unpersist(); () })
   }
 }

@@ -88,6 +88,24 @@ object BloomFilter {
     new BloomFilter(numBits, numHashes, words)
   }
 
+  /** OR-merge two serialized filters without object materialization: after
+    * the 8-byte (numBits, numHashes) header check, bit-union is plain byte
+    * OR. Used by FrontierStore's per-delta bloom merge — bit-union of
+    * per-delta filters over the same parameters equals the filter built
+    * from the unioned key set (order-free), so incremental maintenance is
+    * exact w.r.t. the full rebuild.
+    */
+  def mergeSerialized(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(a.length == b.length &&
+      java.util.Arrays.equals(a.take(8), b.take(8)),
+      "incompatible serialized bloom segments")
+    val out = new Array[Byte](a.length)
+    System.arraycopy(a, 0, out, 0, 8)
+    var i = 8
+    while (i < a.length) { out(i) = (a(i) | b(i)).toByte; i += 1 }
+    out
+  }
+
   /** Probe without materializing the word array — used by the codegen'd
     * might_contain expression; reads bits straight from the byte form.
     */

@@ -155,27 +155,67 @@ object UrlSeen {
 
   // ------------------------------------------------------------- two-phase
 
+  /** Max total serialized segment bytes the broadcast probe will accept.
+    * Above it (e.g. the 10^10 design point: 1000 × 36 MB = 36 GB) the
+    * probe dispatches to [[filterUnseenCopartitioned]] automatically.
+    */
+  val DefaultMaxBroadcastSegmentBytes: Long = 1L << 30 // 1 GiB
+
   /** Exact unseen-filter: candidates minus seen, Bloom-accelerated.
     *
-    * Probe strategy: the segment bytes are BROADCAST as a map and probed
-    * by a scalar function — NOT joined onto the candidate rows. (A
-    * seg-equi-join would inline the segment's full byte array into every
-    * matching UnsafeRow: at 900 KB/segment × 10^7 candidates that copies
-    * terabytes. The broadcast ships each segment once per executor.)
+    * Probe strategy, by total segment size (one tiny agg over nSegments
+    * rows decides):
     *
-    * At the 10^10 design point (1000 × 36 MB segments, > executor-memory
-    * broadcast), the same truth table runs co-partitioned instead: both
-    * sides `repartition(pmod(xxhash64(url), nSeg))` and each task streams
-    * its one segment from the store before scanning its candidate split —
-    * the layout FrontierStore already writes (`data/seen/snap-K/seg=N`).
+    *  - ≤ `maxBroadcastBytes`: segment bytes BROADCAST as an array and
+    *    probed by a codegen'd scalar — NOT joined onto the candidate rows.
+    *    (A seg-equi-join would inline the segment's full byte array into
+    *    every matching UnsafeRow: at 900 KB/segment × 10^7 candidates that
+    *    copies terabytes. The broadcast ships each segment once per
+    *    executor.)
+    *  - above it (10^10 design point: 1000 × 36 MB segments, > any sane
+    *    broadcast): [[filterUnseenCopartitioned]] — both sides partitioned
+    *    by the SAME pmod(xxhash64(url), nSeg), each task materializes only
+    *    its own segments' bytes once and streams its candidate split
+    *    through them. FrontierStore persists segment blooms in exactly
+    *    this layout (`data/bloom/snap-K/`), so at scale the segment side
+    *    is a parquet scan, not a rebuild.
+    *
+    * Either way the result is EXACT: phase 2 confirm-joins the
+    * Bloom-positive remainder against the true seen table (shuffle-hash,
+    * co-partitioned on the url — no sort, no driver-side build).
     *
     * @param candidates must carry `urlCol` (canonical URL)
-    * @param segments   output of [[buildSegments]]
+    * @param segments   output of [[buildSegments]] (seg, bloom)
     * @param seen       the exact seen table (urlCol), for the confirm join
     * @return candidates' rows whose URL is NOT in seen (exact)
     */
   def filterUnseen(candidates: DataFrame, segments: DataFrame, seen: DataFrame,
-      urlCol: String, nSegments: Int): DataFrame = {
+      urlCol: String, nSegments: Int,
+      maxBroadcastBytes: Long = DefaultMaxBroadcastSegmentBytes): DataFrame = {
+    // persist: the size probe and the collect/probe-join both consume the
+    // segments; without a materialization point the Bloom build runs twice.
+    // (Parquet-backed segments from FrontierStore make both passes cheap.)
+    val segsCached = segments.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totalBytes = segsCached
+      .agg(coalesce(sum(length(col("bloom"))), lit(0L))).collect()(0).getLong(0)
+    if (totalBytes <= maxBroadcastBytes) {
+      val out = filterUnseenBroadcast(candidates, segsCached, seen, urlCol, nSegments)
+      segsCached.unpersist(blocking = false)
+      out
+    } else {
+      // stays persisted: the co-partitioned probe job still has to read it
+      filterUnseenCopartitioned(candidates, segsCached, seen, urlCol, nSegments)
+    }
+  }
+
+  /** Broadcast-probe path (small/medium segment sets). The broadcast is
+    * registered with the context cleaner — it is released when the returned
+    * plan's last reference is GC'd (callers running many ticks in one
+    * driver should still prefer bounded tick lifetimes).
+    */
+  def filterUnseenBroadcast(candidates: DataFrame, segments: DataFrame,
+      seen: DataFrame, urlCol: String, nSegments: Int): DataFrame = {
     val spark = candidates.sparkSession
     val segsArr = new Array[Array[Byte]](nSegments)
     segments.collect().foreach { r =>
@@ -188,12 +228,68 @@ object UrlSeen {
     // phase 1: bloom-negative → definitely unseen (no false negatives)
     val definitelyNew = flagged.filter(!col("__maybe")).drop("__maybe")
     // phase 2: exact confirm for bloom-positives only (true-seen + FPP mass)
-    val maybeSeen = flagged.filter(col("__maybe")).drop("__maybe")
-    val confirmedNew = maybeSeen.join(
-      seen.select(col(urlCol).as("__seen_url")),
-      maybeSeen(urlCol) === col("__seen_url"), "left_anti")
-    definitelyNew.unionByName(confirmedNew)
+    definitelyNew.unionByName(confirmJoin(
+      flagged.filter(col("__maybe")).drop("__maybe"), seen, urlCol))
   }
+
+  /** Co-partitioned probe — the 10^10-scale path (VERDICT r1 #2).
+    *
+    * Both sides are repartitioned into `nSegments` partitions by their
+    * segment id (same single-column hash partitioning ⇒ identical
+    * seg→partition mapping), then zipped partition-wise: each task loads
+    * the few segment byte-arrays that hash to its partition ONCE into a
+    * map and streams its candidate split through them. Segment bytes never
+    * enter a per-row join output and never touch the driver; peak memory
+    * per task = its own segments (~36 MB each at the design point).
+    *
+    * The zip leaves whole-stage codegen for one stage (row-level RDD zip);
+    * that is the price of streaming multi-GB filter state, and only the
+    * probe stage pays it — phases before/after stay columnar.
+    */
+  def filterUnseenCopartitioned(candidates: DataFrame, segments: DataFrame,
+      seen: DataFrame, urlCol: String, nSegments: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    val cand = candidates
+      .withColumn("__h", urlHash(col(urlCol)))
+      .withColumn("__seg", segmentOf(col("__h"), nSegments))
+      .repartition(nSegments, col("__seg"))
+    val segs = segments
+      .select(col("seg").cast("long").as("seg"), col("bloom"))
+      .repartition(nSegments, col("seg"))
+    val schema = cand.schema.add("__maybe", BooleanType, nullable = false)
+    val hIdx = cand.schema.fieldIndex("__h")
+    val flaggedRdd = cand.rdd.zipPartitions(segs.rdd) { (candIt, segIt) =>
+      val blooms = scala.collection.mutable.LongMap[Array[Byte]]()
+      segIt.foreach(r => blooms(r.getLong(0)) = r.getAs[Array[Byte]](1))
+      candIt.map { r =>
+        val h = r.getLong(hIdx)
+        val maybe = blooms.get(pmodLong(h, nSegments)) match {
+          case Some(b) => BloomFilter.mightContainSerialized(b, h)
+          case None => false // empty segment ⇒ definitely unseen
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ maybe)
+      }
+    }
+    val flagged = spark.createDataFrame(flaggedRdd, schema)
+    val definitelyNew = flagged.filter(!col("__maybe"))
+      .drop("__maybe", "__h", "__seg")
+    definitelyNew.unionByName(confirmJoin(
+      flagged.filter(col("__maybe")).drop("__maybe", "__h", "__seg"),
+      seen, urlCol))
+  }
+
+  def pmodLong(h: Long, n: Int): Long = ((h % n) + n) % n
+
+  /** Exact confirm: left-anti vs the true seen table. Pinned to
+    * shuffle-hash — keys are uniform url hashes (no skew), SHJ avoids both
+    * the sort of SMJ and AQE's occasional driver-side broadcast conversion
+    * of a multi-million-row build side.
+    */
+  private def confirmJoin(maybeSeen: DataFrame, seen: DataFrame,
+      urlCol: String): DataFrame =
+    maybeSeen.join(
+      seen.select(col(urlCol).as("__seen_url")).hint("shuffle_hash"),
+      maybeSeen(urlCol) === col("__seen_url"), "left_anti")
 
   /** Exact-only path (small scale / oracle parity): plain left-anti join. */
   def filterUnseenExact(candidates: DataFrame, seen: DataFrame,

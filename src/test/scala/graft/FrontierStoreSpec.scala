@@ -33,16 +33,21 @@ class FrontierStoreSpec extends SparkTestBase {
     val (l1, _, _, _) = fixtures(1)
 
     // --- Spark side: tick 0, commit, REOPEN, tick 1 from stored seen ---
+    // (runTick + cleanup: the long-running-loop cache hygiene path)
     val store0 = new FrontierStore(storeDir).init()
     store0.initSeen(spark, seed.toDF())
-    val (e0, s0) = CrawlTick.run(spark, l0.toDF(), sources.toDF(),
+    val t0 = CrawlTick.runTick(spark, l0.toDF(), sources.toDF(),
       store0.seen(spark), robots.toDF(), pages.toDF())
+    val (e0, s0) = (t0.emitted, t0.stats)
     store0.commit(spark, e0, s0, fetchEpoch = 0L)
+    t0.cleanup()
 
     val store1 = new FrontierStore(storeDir) // fresh handle: resume path
-    val (e1, s1) = CrawlTick.run(spark, l1.toDF(), sources.toDF(),
+    val t1 = CrawlTick.runTick(spark, l1.toDF(), sources.toDF(),
       store1.seen(spark), robots.toDF(), pages.toDF())
+    val (e1, s1) = (t1.emitted, t1.stats)
     store1.commit(spark, e1, s1, fetchEpoch = 1L)
+    t1.cleanup()
 
     // --- simulator side: sequential, chained seen ---
     val pagesMap = pages.collect().map(p => p.canonical_url -> p).toMap
@@ -85,9 +90,72 @@ class FrontierStoreSpec extends SparkTestBase {
     // per-partition lineage: segment counts sum to the delta row count
     val m1 = store.manifest(1)
     val deltaRows = spark.read
-      .parquet(s"$storeDir/${m1.seenDeltaPath}").count()
+      .parquet(s"$storeDir/${m1.seenDeltaPath.get}").count()
     assert(m1.segmentCounts.values.sum === deltaRows)
     assert(m1.segmentCounts.keys.forall(s => s >= 0 && s < 16))
+  }
+
+  test("per-delta blooms OR-merge bitwise-equal to a full-seen rebuild") {
+    val store = new FrontierStore(storeDir)
+    val merged = store.segments(spark)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bloom"))
+      .sortBy(_._1)
+    assert(merged.nonEmpty)
+    val rebuilt = graft.seen.UrlSeen.buildSegments(
+        store.seen(spark), "canonical_url", 16, 100000L, 1e-6)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bloom"))
+      .sortBy(_._1)
+    assert(merged.map(_._1).toSeq === rebuilt.map(_._1).toSeq)
+    merged.zip(rebuilt).foreach { case ((s, a), (_, b)) =>
+      assert(java.util.Arrays.equals(a, b), s"segment $s bytes differ")
+    }
+    // and the store-served segments drive an exact filterUnseen
+    val cands = store.seen(spark).limit(50)
+    val got = graft.seen.UrlSeen.filterUnseen(
+      cands, store.segments(spark), store.seen(spark), "canonical_url", 16)
+    assert(got.count() === 0) // all candidates are seen
+  }
+
+  test("idle tick (zero emissions) commits cleanly and does not poison reads") {
+    import spark.implicits._
+    val store = new FrontierStore(storeDir)
+    val before = store.seen(spark).count()
+    val beforeArticles = store.articles(spark).count()
+    val emptyEmit = store.articles(spark).limit(0)
+      .select("canonical_url", "source", "language")
+    val emptyStats = Seq.empty[(String, Long, Long, Long)]
+      .toDF("source", "new_articles", "skipped", "errors")
+    val m = store.commit(spark, emptyEmit, emptyStats, fetchEpoch = 2L)
+    assert(m.seenDeltaPath.isEmpty && m.articlesPath.isEmpty)
+    // every read still works after the idle tick (ADVICE r1: empty
+    // partitioned dirs used to break schema inference on all later reads)
+    assert(store.seen(spark).count() === before)
+    assert(store.articles(spark).count() === beforeArticles)
+    assert(store.segments(spark).count() === 16)
+  }
+
+  test("compact(): one-delta reads, content identical, blooms preserved") {
+    val store = new FrontierStore(storeDir)
+    val preSeen = store.seen(spark).collect().map(_.getString(0)).toSet
+    val preChain = store.seenDeltaPaths(store.snapshotIds().last)
+    assert(preChain.size >= 2, "need a multi-delta chain to compact")
+    val m = store.compact(spark)
+    assert(m.kind === FrontierStore.KindCompaction)
+    // read cost now independent of tick count: exactly one delta path
+    assert(store.seenDeltaPaths(m.snapshotId) ===
+      Seq(java.nio.file.Paths.get(storeDir).resolve(m.seenDeltaPath.get).toString))
+    assert(store.seen(spark).collect().map(_.getString(0)).toSet === preSeen)
+    // blooms still exact vs rebuild
+    val merged = store.segments(spark)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bloom")).sortBy(_._1)
+    val rebuilt = graft.seen.UrlSeen.buildSegments(
+        store.seen(spark), "canonical_url", 16, 100000L, 1e-6)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bloom")).sortBy(_._1)
+    merged.zip(rebuilt).foreach { case ((s, a), (_, b)) =>
+      assert(java.util.Arrays.equals(a, b), s"segment $s differs post-compaction")
+    }
+    // article history and time-travel untouched
+    assert(store.articles(spark, Some(2)).count() > 0)
   }
 
   test("time-travel: articles as of snapshot 1 exclude tick-1 rows") {

@@ -69,6 +69,44 @@ class UrlSeenSpec extends SparkTestBase {
     }
   }
 
+  test("co-partitioned probe ≡ broadcast probe ≡ exact anti-join") {
+    val all = spark.range(0, 20000)
+      .select(concat(lit("https://h"), (col("id") % 37).cast("string"),
+        lit(".example.com/a/"), col("id").cast("string")).as("url"),
+        col("id"))
+    val seen = all.filter(col("id") % 3 === 0).select("url")
+    val candidates = all.filter(col("id") >= 10000)
+    val nSeg = 8
+    val segments = UrlSeen.buildSegments(seen, "url", nSeg,
+      expectedItemsPerSegment = 2000, fpp = 1e-4)
+    val expected = UrlSeen.filterUnseenExact(candidates, seen, "url")
+      .select("id").as[Long].collect().sorted
+    // force the co-partitioned dispatch via a zero broadcast budget
+    val viaDispatch = UrlSeen.filterUnseen(candidates, segments, seen, "url",
+        nSeg, maxBroadcastBytes = 0L)
+      .select("id").as[Long].collect().sorted
+    assert(viaDispatch.toSeq === expected.toSeq)
+    // direct call, schema preserved
+    val direct = UrlSeen.filterUnseenCopartitioned(
+      candidates, segments, seen, "url", nSeg)
+    assert(direct.columns.toSeq === Seq("url", "id"))
+    assert(direct.select("id").as[Long].collect().sorted.toSeq === expected.toSeq)
+  }
+
+  test("co-partitioned probe with empty + missing segments stays exact") {
+    // 2 segments populated out of 16: probe must treat missing segment
+    // rows as definitely-unseen, not error or drop
+    val seen = spark.range(0, 40)
+      .select(concat(lit("https://s.com/"), col("id").cast("string")).as("url"))
+    val candidates = spark.range(0, 4000)
+      .select(concat(lit("https://s.com/"), col("id").cast("string")).as("url"),
+        col("id"))
+    val segments = UrlSeen.buildSegments(seen, "url", 16, 100, 1e-4)
+    val got = UrlSeen.filterUnseenCopartitioned(
+      candidates, segments, seen, "url", 16)
+    assert(got.count() === 3960)
+  }
+
   test("filterUnseen with empty seen set passes everything through") {
     val candidates = spark.range(0, 100)
       .select(concat(lit("https://x.com/"), col("id").cast("string")).as("url"))
