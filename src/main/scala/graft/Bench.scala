@@ -13,9 +13,11 @@ object Bench {
     // Shuffle spill dir: prefer tmpfs — a real N-node cluster brings N
     // NVMe devices, so per-node shuffle bandwidth scales with the cluster;
     // a single shared /tmp disk would cap the large arm artificially.
+    // Capacity-guarded: a small /dev/shm (containers often mount 64 MB)
+    // passes the writable check but strangles shuffle writes.
     val localDir = {
       val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) {
+      if (shm.isDirectory && shm.canWrite && shm.getUsableSpace > (16L << 30)) {
         val d = new java.io.File(shm, "graft-spark-local")
         d.mkdirs(); d.getAbsolutePath
       } else System.getProperty("java.io.tmpdir")
@@ -39,6 +41,12 @@ object Bench {
   def frontierJob(spark: SparkSession, n: Long, nHosts: Int = 1000,
       nSegments: Int = 32): DataFrame = {
     import graft.functions.UrlFunctions._
+    // Both synthetic inputs are persisted: candidates feed the two probe
+    // branches (bloom-negative pass-through + confirm anti-join) and seen
+    // feeds both the segment build and the confirm join — in a real tick
+    // each is ONE store scan read twice with pruning; here the generation
+    // chain is string-heavy, and recomputing it per consumer would charge
+    // the dedup stage for fixture synthesis.
     val cand = spark.range(0, n).toDF("uid")
       .withColumn("host",
         concat(lit("h"), pmod(col("uid") * 2654435761L, lit(nHosts.toLong)),
@@ -52,6 +60,7 @@ object Bench {
           lit("&lang=en&utm_medium=rss&id="), col("uid"),
           lit("&ref=home&utm_campaign=daily&s=1#sec")))
       .withColumn("canonical_url", canonicalize_url(col("raw_url")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seen: every third URL (same construction → exact-parity probe)
     val seen = spark.range(0, n, 3).toDF("uid")
       .withColumn("host",
@@ -63,6 +72,7 @@ object Bench {
           lit("?id="), col("uid"), lit("&lang=en&ref=home&s=1&z="),
           pmod(col("uid"), lit(97L))))
       .select("canonical_url")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val segments = graft.seen.UrlSeen.buildSegments(
       seen, "canonical_url", nSegments,
       expectedItemsPerSegment = math.max(1000L, n / nSegments), fpp = 1e-6)
@@ -89,6 +99,17 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Force full materialization through the noop sink: a bare count()
+    * lets Catalyst prune unreferenced projections AND the final politeness
+    * windows — it would time a smaller job than the one claimed.
+    */
+  def force(df: DataFrame): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write.format("noop").mode("overwrite").save()
+    obs.get("rows").asInstanceOf[Long]
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -97,15 +118,71 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // frontier headline FIRST (throughput metric, north rule) — measured
-    // on a clean heap, before the query suite fragments it
-    frontierJob(spark, frontierN / 4).count() // warmup: codegen + JIT
+    // on a clean heap, before the query suite fragments it. Forced through
+    // the noop sink (full plan incl. politeness windows — no count() pruning).
+    //
+    // Warmup at FULL size: the first full-size execution pays JVM heap
+    // growth + JIT and measures up to 7× steady state (round-1 driver
+    // record: 126 s vs 18 s warm — BENCH_r01 reconciliation). A quarter-
+    // size warmup does NOT pay the heap growth; a steady-state claim must
+    // warm at the size it times.
+    force(frontierJob(spark, frontierN)) // warmup: heap growth + codegen + JIT
     spark.catalog.clearCache() // drop warmup persists — no cross-run reuse
-    val (run1Rows, run1Sec) = timed(frontierJob(spark, frontierN).count())
+    val (run1Rows, run1Sec) = timed(force(frontierJob(spark, frontierN)))
     spark.catalog.clearCache()
-    val (_, run2Sec) = timed(frontierJob(spark, frontierN).count())
+    val (_, run2Sec) = timed(force(frontierJob(spark, frontierN)))
     spark.catalog.clearCache()
     val (frontierRows, frontierSec) = (run1Rows, math.min(run1Sec, run2Sec))
     val urlsPerSec = (frontierN / frontierSec).toLong
+
+    // per-stage attribution (VERDICT r1 #1): absolute time of each prefix
+    // sub-plan at the same n, JIT-warm, so a slow environment shows WHERE.
+    // Stages overlap by construction (each includes its predecessors).
+    // Each stage is warmed once then timed once (same full-size-warmup
+    // rule as above); the generator inputs are NOT persisted here so
+    // gen_canonicalize shows the real per-pass cost and the later stages
+    // show theirs on top of a persisted input (matching frontierJob).
+    val stages = scala.collection.mutable.LinkedHashMap[String, Double]()
+    locally {
+      import graft.functions.UrlFunctions._
+      val nHosts = 1000
+      def candGen = spark.range(0, frontierN).toDF("uid")
+        .withColumn("host", concat(lit("h"),
+          pmod(col("uid") * 2654435761L, lit(nHosts.toLong)), lit(".example.com")))
+        .withColumn("raw_url", concat(lit("HTTPS://WWW."), col("host"),
+          lit("/Section/"), pmod(col("uid"), lit(50L)), lit("/articles/a"),
+          col("uid"), lit("?utm_source=feed&z="), pmod(col("uid"), lit(97L)),
+          lit("&lang=en&utm_medium=rss&id="), col("uid"),
+          lit("&ref=home&utm_campaign=daily&s=1#sec")))
+        .withColumn("canonical_url", canonicalize_url(col("raw_url")))
+      def seenGen = spark.range(0, frontierN, 3).toDF("uid")
+        .withColumn("host", concat(lit("h"),
+          pmod(col("uid") * 2654435761L, lit(nHosts.toLong)), lit(".example.com")))
+        .withColumn("canonical_url", concat(lit("https://www."), col("host"),
+          lit("/Section/"), pmod(col("uid"), lit(50L)), lit("/articles/a"),
+          col("uid"), lit("?id="), col("uid"), lit("&lang=en&ref=home&s=1&z="),
+          pmod(col("uid"), lit(97L))))
+        .select("canonical_url")
+      def stage(name: String)(df: => DataFrame): Unit = {
+        force(df) // warm
+        stages(name) = timed(force(df))._2
+        spark.catalog.clearCache()
+      }
+      stage("gen_canonicalize")(candGen)
+      stage("bloom_build")(graft.seen.UrlSeen.buildSegments(
+        seenGen, "canonical_url", 32, math.max(1000L, frontierN / 32), 1e-6))
+      locally {
+        val cand = candGen.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val seen = seenGen.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        stage("dedup_exact")(graft.seen.UrlSeen.filterUnseen(
+          cand, graft.seen.UrlSeen.buildSegments(seen, "canonical_url", 32,
+            math.max(1000L, frontierN / 32), 1e-6),
+          seen, "canonical_url", 32))
+      }
+      stages("full_job_best") = frontierSec
+    }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -117,10 +194,15 @@ object Bench {
     }
     results("frontier_tick") = frontierSec
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def jmap(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${results.values.sum}%.3f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"frontier_n":$frontierN,"frontier_scheduled_rows":$frontierRows,"frontier_urls_per_sec":$urlsPerSec}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","cpus":$cpus,"frontier_n":$frontierN,"frontier_scheduled_rows":$frontierRows,"frontier_urls_per_sec":$urlsPerSec,"frontier_runs_sec":[${f"$run1Sec%.3f"},${f"$run2Sec%.3f"}],"frontier_stages":${jmap(stages)}}"""
+    println(line)
+    // the driver greps stdout through sbt's [info] prefix — the file copy
+    // is the parse-proof record (BENCH_r01.json came back "parsed": null)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_OUT.json"), line + "\n")
     spark.stop()
   }
 }

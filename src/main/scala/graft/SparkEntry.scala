@@ -43,14 +43,24 @@ object SparkEntry {
     "q_doc_jaccard_pairs" -> ((s, d) => TrainingOps.jaccardVerifiedPairs(s, d)),
     "q_emb_topk" -> ((s, d) => TrainingOps.bruteForceTopK(s, d)),
     "q_emb_lsh_buckets" -> ((s, d) => TrainingOps.lshBuckets(s, d)),
-    // --- scan/projection surface (S4, P5, P8, J4) ---
+    "q_emb_lsh_topk" -> ((s, d) => TrainingOps.lshBucketTopK(s, d)),
+    // --- scan/projection surface (S4, S6, F1, O1, P5, P8, P9, P12, J4, §2.7) ---
     "q_json_payload" -> ((s, d) => ScanOps.jsonPayload(s, d)),
+    "q_json_positional" -> ((s, d) => ScanOps.jsonPositional(s, d)),
+    "q_recency_filter" -> ((s, d) => ScanOps.recencyFilter(s, d)),
+    "q_recent_window" -> ((s, d) => ScanOps.recentWindow(s, d)),
+    "q_title_split" -> ((s, d) => ScanOps.titleSplit(s, d)),
+    "q_metadata_json" -> ((s, d) => ScanOps.metadataJson(s, d)),
+    "q_multi_section_union" -> ((s, d) => ScanOps.multiSectionUnion(s, d)),
     "q_epoch_parse" -> ((s, d) => ScanOps.epochParse(s, d)),
     "q_html_clean" -> ((s, d) => ScanOps.htmlClean(s, d)),
     "q_section_assign" -> ((s, d) => ScanOps.sectionAssign(s, d)),
-    // --- fixture-backed pipeline queries (no SQL oracle → rows-only
-    //     check; exact-match correctness lives in sbt test vs the
-    //     reference simulator / image invariants) ---
+    // --- fixture-backed pipeline queries. graft.Verify dumps the SAME
+    //     deterministic fixture tables (and the tick's canonical/host/path
+    //     projections, which are independently oracled by
+    //     q_canonicalize_urls + UrlCanonicalizerSpec) to FixtureDumpDir, so
+    //     DuckDB replays the full select/caps/first-wins/politeness logic
+    //     from raw inputs (VERDICT r1 #3). ---
     "q_crawl_tick" -> ((s, _) => {
       import graft.model.Fixtures
       val nSources = 30
@@ -64,8 +74,16 @@ object SparkEntry {
     }),
     "q_image_meta" -> ((s, _) =>
       graft.functions.ImageOps.decodeMeta(
-        graft.model.Fixtures.images(s, 2000L)).toDF())
+          graft.model.Fixtures.images(s, 2000L)).toDF()
+        .select("image_id", "fmt", "w", "h", "decoded_w", "decoded_h",
+          "n_bytes"))
   )
+
+  /** Where graft.Verify dumps the crawl-tick/image fixture parquet for the
+    * DuckDB side of the fixture-backed oracles. Absolute and stable: the
+    * oracle SQL embeds it.
+    */
+  val FixtureDumpDir = "/root/repo/target/verify_fixtures"
 
   def oracleSql: Map[String, String] = {
     val frontierCte =
@@ -174,10 +192,149 @@ object SparkEntry {
            |    WHEN host = 'error.example.com' THEN 250
            |    ELSE 0 END AS robots_delay_ms
            |FROM h""".stripMargin
-    ) ++ trainingOracles ++ scanOracles
+    ) ++ trainingOracles ++ scanOracles ++ fixtureOracles
+  }
+
+  /** Oracles over the fixture parquet graft.Verify dumps to
+    * [[FixtureDumpDir]]: the full crawl-tick semantics (gates a-g, caps,
+    * cross-source first-wins, politeness epochs — CrawlTick's documented
+    * deterministic schedule) and the image-metadata decode check, all
+    * re-derived by DuckDB windows from the raw dumped inputs.
+    */
+  private def fixtureOracles: Map[String, String] = {
+    val F = FixtureDumpDir
+    Map(
+      "q_crawl_tick" ->
+        s"""WITH l AS (SELECT * FROM read_parquet('$F/tick_listings/*.parquet')),
+           |spec AS (SELECT * FROM read_parquet('$F/tick_specs/*.parquet')),
+           |seen AS (SELECT canonical_url FROM read_parquet('$F/tick_seen/*.parquet')),
+           |rb AS (SELECT * FROM read_parquet('$F/tick_robots/*.parquet')),
+           |pg AS (SELECT * FROM read_parquet('$F/tick_pages/*.parquet')),
+           |cons AS (
+           |  SELECT l.source, l.item_idx, l.title, l.canonical_url, l.host, l.path,
+           |         s.source_idx, s.dedup_policy, s.list_cap, s.save_cap,
+           |         s.crawl_delay_ms, s.language, s.kind,
+           |         length(trim(l.title)) > 0 AS ok_title
+           |  FROM l JOIN spec s USING (source)
+           |  WHERE l.item_idx < s.list_cap),
+           |rmatch AS (
+           |  SELECT c.source, c.item_idx, r.allow, r.crawl_delay_ms AS rdelay,
+           |         ROW_NUMBER() OVER (PARTITION BY c.source, c.item_idx
+           |                            ORDER BY length(r.path_prefix) DESC) AS rr
+           |  FROM cons c JOIN rb r
+           |    ON c.host = r.host AND starts_with(c.path, r.path_prefix)),
+           |rob AS (
+           |  SELECT c.*, COALESCE(m.allow, TRUE) AS allowed,
+           |         COALESCE(m.rdelay, 0) AS robots_delay_ms
+           |  FROM cons c LEFT JOIN (SELECT * FROM rmatch WHERE rr = 1) m
+           |    ON m.source = c.source AND m.item_idx = c.item_idx),
+           |fl0 AS (
+           |  SELECT *, (ok_title AND allowed) AS eligible,
+           |         canonical_url IN (SELECT canonical_url FROM seen) AS snapshot_seen
+           |  FROM rob),
+           |occ AS (
+           |  SELECT source, item_idx,
+           |         ROW_NUMBER() OVER (PARTITION BY source, canonical_url
+           |                            ORDER BY item_idx) AS occ_rank
+           |  FROM fl0 WHERE eligible),
+           |fl AS (
+           |  SELECT f.*,
+           |         (f.eligible AND (f.snapshot_seen OR o.occ_rank > 1)) AS is_seen
+           |  FROM fl0 f LEFT JOIN occ o
+           |    ON o.source = f.source AND o.item_idx = f.item_idx),
+           |rng AS (
+           |  SELECT *, CASE WHEN dedup_policy = 'stop_at_first_seen' THEN
+           |    MIN(CASE WHEN is_seen THEN item_idx END) OVER (PARTITION BY source)
+           |    END AS stop_idx
+           |  FROM fl),
+           |selected AS (
+           |  SELECT r.*, p.image_id, p.caption,
+           |         COALESCE(p.status = 200, FALSE) AS fetch_ok
+           |  FROM (SELECT * FROM rng
+           |        WHERE (stop_idx IS NULL OR item_idx <= stop_idx)
+           |          AND eligible AND NOT is_seen) r
+           |  LEFT JOIN pg p ON p.canonical_url = r.canonical_url),
+           |capped AS (
+           |  SELECT *, CASE WHEN fetch_ok THEN ROW_NUMBER() OVER (
+           |      PARTITION BY source, fetch_ok ORDER BY item_idx) END AS save_rank
+           |  FROM selected),
+           |em AS (SELECT *, (fetch_ok AND save_rank <= save_cap) AS emit FROM capped),
+           |xr AS (
+           |  SELECT *, CASE WHEN emit THEN ROW_NUMBER() OVER (
+           |      PARTITION BY canonical_url, emit
+           |      ORDER BY source_idx, item_idx) END AS xsrc_rank
+           |  FROM em),
+           |fin AS (SELECT * FROM xr WHERE emit AND xsrc_rank = 1),
+           |hr AS (
+           |  SELECT *, GREATEST(crawl_delay_ms, robots_delay_ms) AS eff_delay,
+           |         CAST(source_idx AS BIGINT) * 4294967296 + item_idx AS emit_idx,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY host
+           |              ORDER BY source_idx, item_idx) AS BIGINT) AS host_rank
+           |  FROM fin)
+           |SELECT md5(canonical_url) AS id, canonical_url, source, title,
+           |       caption, image_id, host,
+           |       CAST(FLOOR((host_rank - 1) / GREATEST(
+           |         CAST(FLOOR(300000.0 / GREATEST(eff_delay, 1)) AS BIGINT), 1))
+           |         AS BIGINT) AS fetch_epoch,
+           |       emit_idx, kind, language, source_idx, item_idx
+           |FROM hr""".stripMargin,
+      "q_image_meta" ->
+        s"""SELECT image_id, fmt, w, h,
+           |       w AS decoded_w, h AS decoded_h,
+           |       CAST(octet_length(bytes) AS BIGINT) AS n_bytes
+           |FROM read_parquet('$F/images/*.parquet')""".stripMargin
+    )
   }
 
   private def scanOracles: Map[String, String] = Map(
+    "q_json_positional" ->
+      """SELECT event_id, 0 AS pos, 'r0' AS tag, event_id AS val FROM events
+        |UNION ALL
+        |SELECT event_id, 1 AS pos, 'r1' AS tag, event_id + 1 AS val FROM events""".stripMargin,
+    "q_recency_filter" ->
+      """WITH t AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 3 = 0
+        |              THEN CAST(event_id % 59 + 1 AS VARCHAR) || ' mins ago'
+        |              WHEN event_id % 3 = 1 THEN '2 hours ago'
+        |              ELSE 'yesterday' END AS ts_text
+        |  FROM events)
+        |SELECT event_id, ts_text,
+        |       CAST(regexp_extract(ts_text, '^([0-9]+) mins ago$', 1) AS BIGINT) AS mins_ago
+        |FROM t WHERE regexp_matches(ts_text, '^[0-9]+ mins ago$')""".stripMargin,
+    "q_recent_window" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS dt FROM events),
+        |m AS (SELECT MAX(dt) AS max_dt FROM d)
+        |SELECT dt, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM d, m WHERE dt >= max_dt - 7
+        |GROUP BY dt""".stripMargin,
+    "q_title_split" ->
+      """WITH t AS (
+        |  SELECT event_id,
+        |         event_type || '-Article -' || CAST(event_id AS VARCHAR) AS raw_title
+        |  FROM events)
+        |SELECT event_id, raw_title,
+        |       split_part(raw_title, '-', 1) AS company,
+        |       regexp_replace(raw_title, '^[^-]*-', '') AS title
+        |FROM t""".stripMargin,
+    "q_metadata_json" ->
+      """SELECT event_id,
+        |       '{"source":"' || event_type || '","kind":' ||
+        |       CAST(event_id % 3 AS VARCHAR) || '}' AS metadata
+        |FROM events""".stripMargin,
+    "q_multi_section_union" ->
+      """WITH f AS (SELECT event_type AS source, event_id FROM events),
+        |u AS (
+        |  SELECT source, event_id, 0 AS sec_order FROM f WHERE event_id % 5 = 0
+        |  UNION ALL
+        |  SELECT source, event_id, 1 AS sec_order FROM f WHERE event_id % 5 = 1),
+        |r AS (
+        |  SELECT source, event_id, sec_order,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |              ORDER BY sec_order ASC, event_id ASC) AS BIGINT) AS item_idx
+        |  FROM u)
+        |SELECT source, event_id, sec_order, item_idx FROM r
+        |WHERE item_idx <= 7""".stripMargin,
     "q_json_payload" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
@@ -374,7 +531,42 @@ object SparkEntry {
            |  FROM e, planes pl GROUP BY 1, 2)
            |SELECT vec_id,
            |       CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
-           |FROM dots GROUP BY vec_id""".stripMargin
+           |FROM dots GROUP BY vec_id""".stripMargin,
+      "q_emb_lsh_topk" ->
+        s"""WITH planes AS (
+           |  SELECT p, i,
+           |         (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 1001) - 500 AS c
+           |  FROM generate_series(0, 15) AS gp(p), generate_series(1, 64) AS gi(i)),
+           |e AS (SELECT vec_id, $quant AS q FROM embeddings),
+           |dots AS (
+           |  SELECT e.vec_id, pl.p, SUM(pl.c * e.q[pl.i]) AS dot
+           |  FROM e, planes pl GROUP BY 1, 2),
+           |b AS (
+           |  SELECT vec_id,
+           |         CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM dots GROUP BY vec_id),
+           |bands AS (
+           |  SELECT b.vec_id, gb.band_idx,
+           |         (b.bucket >> (gb.band_idx * 4)) & 15 AS band_val
+           |  FROM b, generate_series(0, 3) AS gb(band_idx)),
+           |cand AS (
+           |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           |  FROM bands q JOIN bands c
+           |    ON q.band_idx = c.band_idx AND q.band_val = c.band_val
+           |  WHERE q.vec_id < 8 AND c.vec_id >= 8),
+           |scored AS (
+           |  SELECT cd.query_id, cd.neighbor_id,
+           |         CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+           |              i -> a.q[i] * d.q[i])) AS BIGINT) AS dot
+           |  FROM cand cd
+           |  JOIN e a ON a.vec_id = cd.query_id
+           |  JOIN e d ON d.vec_id = cd.neighbor_id),
+           |r AS (
+           |  SELECT query_id, neighbor_id, dot,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |              ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+           |  FROM scored)
+           |SELECT query_id, neighbor_id, dot, rank FROM r WHERE rank <= 10""".stripMargin
     )
   }
 }

@@ -15,6 +15,35 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+
+    // Fixture dump for the fixture-backed oracles (q_crawl_tick,
+    // q_image_meta): the SAME deterministic tables the queries generate
+    // in-memory, written where the oracle SQL reads them
+    // (SparkEntry.FixtureDumpDir). canonical/host/path are data columns
+    // here — their derivation is oracled separately (q_canonicalize_urls)
+    // and property-tested (UrlCanonicalizerSpec).
+    locally {
+      import graft.model.Fixtures
+      import graft.functions.UrlFunctions._
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val F = SparkEntry.FixtureDumpDir
+      val nSources = 30
+      def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+        df.coalesce(1).write.mode("overwrite").parquet(s"$F/$name")
+      dump(Fixtures.listItemsAt(spark, nSources, 30, tick = 0).toDF()
+        .withColumn("canonical_url", canonicalize_url(col("url")))
+        .withColumn("host", url_host(col("canonical_url")))
+        .withColumn("path", url_path(col("canonical_url"))), "tick_listings")
+      dump(Fixtures.sourceSpecs(nSources).toDF(), "tick_specs")
+      dump(Fixtures.urlSeenSeed(spark, nSources, 6).toDF()
+        .select("canonical_url"), "tick_seen")
+      dump(Fixtures.robots(nSources).toDF(), "tick_robots")
+      dump(Fixtures.pageStore(spark, nSources, maxTick = 0).toDF()
+        .select("canonical_url", "image_id", "caption", "status"), "tick_pages")
+      dump(Fixtures.images(spark, 2000L).toDF(), "images")
+    }
+
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -61,7 +61,8 @@ object ImageOps {
 
   final case class ImageMeta(
       image_id: String, fmt: String, w: Int, h: Int,
-      decoded_w: Int, decoded_h: Int, mean_luma: Double, ahash: Long)
+      decoded_w: Int, decoded_h: Int, n_bytes: Long,
+      mean_luma: Double, ahash: Long)
 
   /** 64-bit average-hash perceptual fingerprint: 8×8 grayscale downsample,
     * threshold at the mean. Real implementation (pure JVM).
@@ -100,7 +101,8 @@ object ImageOps {
       it.map { d =>
         val img = decode(d.bytes)
         if (img == null)
-          ImageMeta(d.image_id, d.fmt, d.w, d.h, -1, -1, Double.NaN, 0L)
+          ImageMeta(d.image_id, d.fmt, d.w, d.h, -1, -1, d.bytes.length.toLong,
+            Double.NaN, 0L)
         else {
           var sum = 0.0
           var y = 0
@@ -115,7 +117,8 @@ object ImageOps {
             y += 1
           }
           ImageMeta(d.image_id, d.fmt, d.w, d.h, img.getWidth, img.getHeight,
-            sum / (img.getWidth * img.getHeight), averageHash(img))
+            d.bytes.length.toLong, sum / (img.getWidth * img.getHeight),
+            averageHash(img))
         }
       }
     }

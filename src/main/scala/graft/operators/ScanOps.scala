@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType, StructField, StructType}
 
 /** Scan/projection operators rounding out the reference inventory
   * (SURVEY.md §2.1/§2.4/§2.8): JSON-API payload drilling (S4), epoch
@@ -94,5 +94,99 @@ object ScanOps {
     matched.select(
       col("event_id"), col("path"),
       coalesce(col("section"), lit("other")).as("section"))
+  }
+
+  /** S6 — POST-form positional-array scan: the reference parses an
+    * `aaData` array-of-arrays payload by POSITION, not by key
+    * (scrapers/browser/infocastfn.py:74-97). Synthesized payload →
+    * `from_json(ArrayType(ArrayType(String)))` → posexplode → positional
+    * `element_at`.
+    */
+  def jsonPositional(spark: SparkSession, sfDir: String): DataFrame = {
+    val payload = concat(
+      lit("""[["r0",""""), col("event_id").cast("string"),
+      lit(""""],["r1",""""), (col("event_id") + 1).cast("string"),
+      lit(""""]]"""))
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"),
+        posexplode(from_json(payload, ArrayType(ArrayType(StringType)))))
+      .select(
+        col("event_id"), col("pos"),
+        element_at(col("col"), 1).as("tag"),
+        element_at(col("col"), 2).cast("long").as("val"))
+  }
+
+  /** F1 — recency-text keep-filter: only items whose relative-time text
+    * matches "N mins ago" survive (reference regex apnews.py:82,100-106).
+    */
+  def recencyFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val tsText = when(col("event_id") % 3 === 0,
+        concat((col("event_id") % 59 + 1).cast("string"), lit(" mins ago")))
+      .when(col("event_id") % 3 === 1, lit("2 hours ago"))
+      .otherwise(lit("yesterday"))
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), tsText.as("ts_text"))
+      .filter(regexp_like(col("ts_text"), lit("^[0-9]+ mins ago$")))
+      .withColumn("mins_ago",
+        regexp_extract(col("ts_text"), "^([0-9]+) mins ago$", 1).cast("long"))
+  }
+
+  /** O1 — the 7-day lookback every reference query carries
+    * (`DATE(pub_date) >= CURRENT_DATE-7`, utils/bigquery_client.py:130,200,
+    * 254) — anchored to the table's own max date (deterministic, no wall
+    * clock) so both engines cut the identical window. The dt predicate
+    * reaches the scan as a pushed filter; at real scale this is the
+    * partition-pruning clause PartitionFilterCheck enforces.
+    */
+  def recentWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(to_date(col("ts")).as("dt"))
+    val maxD = d.agg(max("dt").as("max_dt"))
+    d.crossJoin(broadcast(maxD))
+      .filter(col("dt") >= date_sub(col("max_dt"), 7))
+      .groupBy("dt")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** P9 — title decomposition: `security_company - title` split on the
+    * first dash (reference hibor.py:102-105).
+    */
+  def titleSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = concat(col("event_type"), lit("-Article -"), col("event_id").cast("string"))
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), t.as("raw_title"))
+      .withColumn("company", element_at(split(col("raw_title"), "-", 2), 1))
+      .withColumn("title", element_at(split(col("raw_title"), "-", 2), 2))
+  }
+
+  /** P12 — metadata JSON serialization at the sink
+    * (utils/bigquery_client.py:320-322): `to_json(struct(...))` with a
+    * fixed field order so the oracle constructs the identical string.
+    */
+  def metadataJson(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"),
+        to_json(struct(
+          col("event_type").as("source"),
+          (col("event_id") % 3).as("kind"))).as("metadata"))
+
+  /** §2.7 — multi-listing union with ordinal re-index: the reference
+    * concatenates two section listings and re-slices the head
+    * (`(top + list_items)[:7]`, fiercepharma.py:64; scmp.py:103-110).
+    * unionByName + per-source row_number over (section order, list order),
+    * capped.
+    */
+  def multiSectionUnion(spark: SparkSession, sfDir: String, cap: Int = 7)
+      : DataFrame = {
+    val f = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type").as("source"), col("event_id"))
+    val top = f.filter(col("event_id") % 5 === 0).withColumn("sec_order", lit(0))
+    val rest = f.filter(col("event_id") % 5 === 1).withColumn("sec_order", lit(1))
+    top.unionByName(rest)
+      .withColumn("item_idx", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(asc("sec_order"), asc("event_id"))).cast("long"))
+      .filter(col("item_idx") <= cap)
+      .select("source", "event_id", "sec_order", "item_idx")
   }
 }

@@ -9,27 +9,36 @@ import graft.functions.UrlFunctions._
 /** Structured-Streaming form of the frontier dedup: the reference's
   * cron-triggered batch loop (deploy/setup_scheduler.sh:15 — a tick every
   * 5 min) maps naturally onto micro-batches; the URL-seen set becomes
-  * keyed state in `flatMapGroupsWithState`, partitioned by frontier
-  * segment exactly like the batch Bloom segments (same `pmod(xxhash64)`
-  * key), so state size per group is bounded and the shuffle is uniform.
+  * keyed state in `flatMapGroupsWithState`.
   *
   * Semantics: emits each canonical URL's FIRST occurrence across the whole
   * stream (intra-batch and inter-batch dedup — the D4 claim semantics, made
   * exactly-once by the state store + checkpointing). Equivalence with the
   * batch anti-join formulation is asserted in StreamingFrontierSpec.
   *
-  * Scale notes: state per segment-group is a Set of 8-byte hashes — the
-  * exact-state analog of a Bloom segment (the Bloom variant drops memory
-  * 10× at the cost of the confirm join, which streaming cannot do without
-  * a second stage; at 10^10 scale the streaming layer would keep the exact
-  * set in RocksDB state backend, which Spark shards per segment key).
+  * State design (reworked per ADVICE/VERDICT r1):
+  *  - keyed by the canonical URL STRING itself → dedup is exact; a 64-bit
+  *    hash key would silently drop ~3 genuinely-new URLs per 10^10 at the
+  *    design point on collisions;
+  *  - one state row per URL → a micro-batch touches (reads + writes) only
+  *    the state rows of the URLs it contains: state-update work is
+  *    ∝ batch's distinct URLs, NOT ∝ total seen history (the previous
+  *    per-segment Set state re-serialized the whole segment every batch);
+  *  - at 10^10 keys the state must live off-heap: run with the RocksDB
+  *    state store provider (`spark.sql.streaming.stateStore.providerClass =
+  *    ...state.RocksDBStateStoreProvider`, rocksdbjni ships in
+  *    /opt/spark/jars) — Spark shards it by the same groupByKey hash that
+  *    shards the shuffle, so the layout matches the batch path's
+  *    hash-range segments. StreamingFrontierSpec runs one query under
+  *    RocksDB to keep the config working.
   */
 object StreamingFrontier {
 
   final case class Candidate(canonical_url: String, source: String,
       item_idx: Int, url_hash: Long, seg: Long)
 
-  final case class SeenState(hashes: Set[Long])
+  /** Per-URL seen marker: which occurrence claimed the URL (lineage). */
+  final case class UrlClaim(source: String, item_idx: Int)
 
   /** raw listing stream → candidates keyed by frontier segment. */
   def candidates(listings: Dataset[graft.model.ListItem], nSegments: Int)
@@ -44,27 +53,26 @@ object StreamingFrontier {
       .as[Candidate]
   }
 
-  /** Per-segment stateful dedup: first occurrence wins, state grows by the
-    * emitted hashes only. Deterministic within a micro-batch: candidates
-    * are processed in (source, item_idx) order.
+  /** Exact stateful dedup, keyed by canonical URL: the first occurrence
+    * (deterministically the lowest (source, item_idx) within the batch)
+    * wins; later batches' occurrences hit the per-URL state row and emit
+    * nothing. State reads/writes per batch ∝ the batch's distinct URLs.
     */
   def dedupStream(cands: Dataset[Candidate]): Dataset[Candidate] = {
     val spark = cands.sparkSession
     import spark.implicits._
     cands
-      .groupByKey(_.seg)
-      .flatMapGroupsWithState[SeenState, Candidate](
+      .groupByKey(_.canonical_url)
+      .flatMapGroupsWithState[UrlClaim, Candidate](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[Candidate], state: GroupState[SeenState]) =>
-          val seen = scala.collection.mutable.Set[Long]() ++
-            state.getOption.map(_.hashes).getOrElse(Set.empty)
-          val out = Vector.newBuilder[Candidate]
-          // deterministic order inside the group (batch arrival order is not)
-          rows.toVector.sortBy(c => (c.source, c.item_idx)).foreach { c =>
-            if (seen.add(c.url_hash)) out += c
+        (_: String, rows: Iterator[Candidate], state: GroupState[UrlClaim]) =>
+          if (state.exists) Iterator.empty
+          else {
+            // deterministic intra-batch winner (arrival order is not)
+            val first = rows.minBy(c => (c.source, c.item_idx))
+            state.update(UrlClaim(first.source, first.item_idx))
+            Iterator.single(first)
           }
-          state.update(SeenState(seen.toSet))
-          out.result().iterator
       }
   }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TrainingOps
+
+/** The ANN scale path (bucket-local top-k) and the LSH-dedup hot-bucket
+  * guard — the two VERDICT-r1 gaps in the similarity/near-dup family.
+  */
+class LshAnnSpec extends SparkTestBase {
+
+  test("bucket-local top-k output shape matches brute force; exact on shared candidates") {
+    val lsh = TrainingOps.lshBucketTopK(spark, sf())
+    val bf = TrainingOps.bruteForceTopK(spark, sf())
+    assert(lsh.columns.toSeq === bf.columns.toSeq)
+    // the dot products the two paths compute for the same (query, neighbor)
+    // must be identical — LSH only restricts the candidate set
+    val joined = lsh.select(col("query_id"), col("neighbor_id"),
+        col("dot").as("lsh_dot"))
+      .join(bf.select(col("query_id"), col("neighbor_id"), col("dot")),
+        Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("lsh_dot") =!= col("dot")).count() === 0)
+    // every query produced candidates (banded probing recalls broadly
+    // enough that no bucket is empty on the fixture)
+    assert(lsh.select("query_id").distinct().count() ===
+      TrainingOps.NQueryVecs.toLong)
+  }
+
+  test("recall@10 vs brute force is measured and nontrivial") {
+    val r = TrainingOps.lshRecallAtK(spark, sf())
+    assert(r >= 0.0 && r <= 1.0)
+    assert(r > 0.10, f"banded LSH recall@10 collapsed: $r%.3f")
+  }
+
+  test("hot-bucket guard drops only the degenerate bucket's pairs") {
+    // 20k signature rows in ONE (band, band_sig) bucket would self-join to
+    // ~200M pairs; the guard must exclude the bucket and keep honest pairs
+    val degenerate = spark.range(0, 20000)
+      .select(col("id").as("doc_id"), lit(0L).as("band"),
+        lit("42:42").as("band_sig"))
+    val honest = spark.range(20000, 20100)
+      .select(col("id").as("doc_id"), lit(1L).as("band"),
+        concat(lit("h"), (col("id") % 50).cast("string")).as("band_sig"))
+    val sigs = degenerate.unionByName(honest)
+    val pairs = TrainingOps.candidatePairsFromSigs(sigs, maxBucketSize = 1000)
+      .collect()
+    // 50 honest buckets of exactly 2 docs → 50 pairs, zero from the hot one
+    assert(pairs.length === 50)
+    assert(pairs.forall(r => r.getLong(0) >= 20000 && r.getLong(1) >= 20000))
+  }
+
+  test("guard is inert below the threshold: default-cap pairs unchanged") {
+    val sigs = TrainingOps.lshBandSignatures(spark, sf())
+    val guarded = TrainingOps.candidatePairsFromSigs(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val unguarded = TrainingOps.candidatePairsFromSigs(sigs, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(guarded.toSeq === unguarded.toSeq)
+  }
+}

@@ -60,6 +60,35 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("salted rank: offsets join is co-partitioned SHJ when broadcast is off") {
+    // At 10^7-host scale the offsets table outgrows any broadcast; with
+    // the broadcast threshold disabled the plan must degrade to a
+    // shuffle-hash join that REUSES the window's (host, bucket) hash
+    // partitioning on the big side — not a forced driver-side broadcast
+    // and not a sort-merge join.
+    val prevStatic = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val prevAdaptive = scala.util.Try(
+      spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+      .toOption.filter(_ != null)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val p = planString(CrawlOps.saltedHostRank(spark, sf()))
+      assert(!p.contains("BroadcastExchange"),
+        "offsets side still broadcast with thresholds disabled:\n" + p)
+      assert(p.contains("ShuffledHashJoin"), "offsets join is not SHJ:\n" + p)
+      assert(!p.contains("SortMergeJoin"), "offsets join fell back to SMJ:\n" + p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
+      prevAdaptive match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("json payload drill reads only (event_id, props)") {
     val p = planString(ScanOps.jsonPayload(spark, sf()))
     assert(p.contains("ReadSchema: struct<event_id:bigint,props:string>"),

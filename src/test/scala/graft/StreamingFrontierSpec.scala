@@ -54,4 +54,56 @@ class StreamingFrontierSpec extends SparkTestBase {
     assert(emitted1 > 0, "batch 1 emitted nothing")
     assert(emitted1 < batch1.size, "batch 1 saw no dedup against state")
   }
+
+  test("state updates scale with NEW urls per batch, under RocksDB state store") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val nSources = 6
+    val ticks = (0 to 2).map(t =>
+      Fixtures.listItemsAt(spark, nSources, 16, tick = t).collect().toSeq)
+    def canon(b: Seq[ListItem]) =
+      b.map(li => graft.functions.UrlCanonicalizer.canonicalize(li.url)).toSet
+
+    val prevProvider =
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ListItem]
+      val q = StreamingFrontier.dedupStream(
+          StreamingFrontier.candidates(input.toDS(), nSegments = 8))
+        .writeStream.format("memory").queryName("rocks_out")
+        .outputMode("append").start()
+
+      var cumulative = Set.empty[String]
+      for (b <- ticks) {
+        val newUrls = canon(b) -- cumulative
+        cumulative ++= canon(b)
+        input.addData(b)
+        q.processAllAvailable()
+        // the data batch (numInputRows > 0) carries the state metrics
+        val prog = q.recentProgress.filter(_.numInputRows > 0).last
+        val st = prog.stateOperators(0)
+        // per-URL keyed state: rows written this batch = the batch's NEW
+        // urls only (already-claimed groups return without state.update);
+        // total rows = cumulative distinct urls — i.e. delta-sized updates,
+        // not a whole-set rewrite (ADVICE r1)
+        assert(st.numRowsUpdated === newUrls.size,
+          s"state writes ${st.numRowsUpdated} != new urls ${newUrls.size}")
+        assert(st.numRowsTotal === cumulative.size,
+          s"state total ${st.numRowsTotal} != distinct urls ${cumulative.size}")
+      }
+      val all = spark.table("rocks_out").select("canonical_url").as[String].collect()
+      q.stop()
+      assert(all.length === all.distinct.length)
+      assert(all.toSet === cumulative)
+      // overlap actually exercised: ticks 1-2 were mostly dups
+      assert(all.length < ticks.map(_.size).sum)
+    } finally {
+      if (prevProvider.nonEmpty)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+      else spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
