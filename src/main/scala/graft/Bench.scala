@@ -194,15 +194,44 @@ object Bench {
     }
     results("frontier_tick") = frontierSec
 
+    // honesty metric for the approximate ANN path (VERDICT r1 #6): recall
+    // of the banded-LSH bucket-local top-10 vs exact brute force.
+    val annRecall = graft.operators.TrainingOps.lshRecallAtK(spark, sfDir)
+
+    // Scaling arms (north rule: throughput efficiency ≥ 0.8 from N to 4N
+    // cores) — driver-reproducible in ONE run: sequential sessions at
+    // local[4] then local[16] on the SAME synthetic input, full-size
+    // warmup + best-of-2 per arm (same rule as the headline). 4→16 keeps
+    // the large arm under half the host's 32 CPUs, so both arms see
+    // honest per-core memory bandwidth — the single-box stand-in for
+    // executors that each bring their own DRAM (a 32-thread arm on this
+    // host instead measures the shared-DRAM ceiling; BENCH.md §2).
+    spark.stop()
+    val scaleN = math.max(frontierN / 4, 500000L)
+    val armCores = Seq(4, 16)
+    val armSecs = armCores.map { c =>
+      val s = session(c.toString)
+      s.sparkContext.setLogLevel("WARN")
+      force(frontierJob(s, scaleN)) // warmup at measured size
+      s.catalog.clearCache()
+      val (_, a) = timed(force(frontierJob(s, scaleN)))
+      s.catalog.clearCache()
+      val (_, b) = timed(force(frontierJob(s, scaleN)))
+      s.stop()
+      math.min(a, b)
+    }
+    val scalingEff = armSecs(0) / (4.0 * armSecs(1))
+
     def jmap(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${results.values.sum}%.3f"
+    val scalingJson =
+      s"""{"cores_small":${armCores(0)},"cores_large":${armCores(1)},"n":$scaleN,"sec_small":${f"${armSecs(0)}%.3f"},"sec_large":${f"${armSecs(1)}%.3f"},"urls_per_sec_small":${(scaleN / armSecs(0)).toLong},"urls_per_sec_large":${(scaleN / armSecs(1)).toLong},"efficiency":${f"$scalingEff%.3f"}}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","cpus":$cpus,"frontier_n":$frontierN,"frontier_scheduled_rows":$frontierRows,"frontier_urls_per_sec":$urlsPerSec,"frontier_runs_sec":[${f"$run1Sec%.3f"},${f"$run2Sec%.3f"}],"frontier_stages":${jmap(stages)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","cpus":$cpus,"frontier_n":$frontierN,"frontier_scheduled_rows":$frontierRows,"frontier_urls_per_sec":$urlsPerSec,"frontier_runs_sec":[${f"$run1Sec%.3f"},${f"$run2Sec%.3f"}],"frontier_stages":${jmap(stages)},"ann_recall_at_10":${f"$annRecall%.3f"},"scaling":$scalingJson}"""
     println(line)
     // the driver greps stdout through sbt's [info] prefix — the file copy
     // is the parse-proof record (BENCH_r01.json came back "parsed": null)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_OUT.json"), line + "\n")
-    spark.stop()
   }
 }

@@ -407,10 +407,12 @@ object SparkEntry {
          |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
          |  FROM tok),
          |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+         |shh AS (SELECT doc_id, ${h60("sh")} & 1073741823 AS hb FROM sh),
          |mh AS (
          |  SELECT doc_id, CAST(s AS BIGINT) AS seed,
-         |         MIN(${h60("CAST(s AS VARCHAR) || ':' || sh")}) AS minhash
-         |  FROM sh, generate_series(0, 7) AS g(s)
+         |         MIN(((((s * 2654435761) % 1048573) + 1) * hb
+         |              + ((s * 40503) % 65521)) % 1099511627776) AS minhash
+         |  FROM shh, generate_series(0, 7) AS g(s)
          |  GROUP BY 1, 2)""".stripMargin
     // NOTE: no line in these shared CTE strings may START with '||' — they
     // are re-stripMargin'ed when interpolated into the per-query SQL, and a

@@ -46,7 +46,7 @@ object TrainingOps {
     * Write is atomic (temp dir + ATOMIC_MOVE) so a concurrent reader never
     * sees a half-written cache.
     */
-  private val CacheVersion = "v2"
+  private val CacheVersion = "v3"
 
   private def cachedParquet(spark: SparkSession, sfDir: String, name: String)(
       build: => DataFrame): DataFrame = {
@@ -201,18 +201,39 @@ object TrainingOps {
         .dropDuplicates("doc_id", "sh")
     }
 
-  /** MinHash signatures: k=8 seeded md5 min-hashes per doc (parquet-cached —
-    * the most expensive stage of the near-dup chain).
+  /** Per-seed affine-mix constants for MinHash (universal-hash family over
+    * the 30-bit truncation of the base shingle hash). Products stay under
+    * 2^50 (A < 2^20, h' < 2^30) so the arithmetic is overflow-free in BOTH
+    * engines (DuckDB BIGINT errors on overflow rather than wrapping — the
+    * parity rule forbids any wrap-dependent math).
+    */
+  val MixM: Long = 1L << 40
+  def mixA(seed: Int): Long = (seed.toLong * 2654435761L) % 1048573L + 1L
+  def mixB(seed: Int): Long = (seed.toLong * 40503L) % 65521L
+
+  /** MinHash signatures: k=8 min-hashes per doc (parquet-cached — the most
+    * expensive stage of the near-dup chain).
+    *
+    * One md5 per distinct (doc, shingle); the k per-seed hash functions are
+    * affine mixes of that single base hash, all k minima computed in ONE
+    * aggregation pass over the shingle rows (k `min` columns, unpivoted to
+    * (seed, minhash) rows by `stack`). The naive formulation — explode ×k
+    * then re-hash seed:shingle per row — costs k× the rows AND k× the md5
+    * work; at 100 TB the explode is the map-side bottleneck, the mixes are
+    * free. Identical integer arithmetic on the DuckDB side.
     */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     cachedParquet(spark, sfDir, "minhash") {
-      val seeds = explode(sequence(lit(0), lit(MinhashSeeds - 1))).as("seed")
-      shingles(spark, sfDir)
-        .select(col("doc_id"), col("sh"), seeds)
-        .withColumn("seed", col("seed").cast("long"))
-        .groupBy("doc_id", "seed")
-        .agg(min(hash60(concat(col("seed").cast("string"), lit(":"), col("sh"))))
-          .as("minhash"))
+      val withH = shingles(spark, sfDir)
+        .withColumn("hb", hash60(col("sh")).bitwiseAND(lit((1L << 30) - 1)))
+      val mins = (0 until MinhashSeeds).map { s =>
+        min((lit(mixA(s)) * col("hb") + lit(mixB(s))) % lit(MixM)).as(s"m$s")
+      }
+      val stackExpr = (0 until MinhashSeeds)
+        .map(s => s"CAST($s AS BIGINT), m$s").mkString(", ")
+      withH.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+        .select(col("doc_id"),
+          expr(s"stack($MinhashSeeds, $stackExpr) AS (seed, minhash)"))
     }
 
   /** LSH banding (4 bands × 2 rows): band signature = the band's two
