@@ -52,6 +52,9 @@ object SparkEntry {
     "q_title_split" -> ((s, d) => ScanOps.titleSplit(s, d)),
     "q_metadata_json" -> ((s, d) => ScanOps.metadataJson(s, d)),
     "q_multi_section_union" -> ((s, d) => ScanOps.multiSectionUnion(s, d)),
+    "q_mojibake_repair" -> ((s, d) => ScanOps.mojibakeRepair(s, d)),
+    "q_fallback_chain" -> ((s, d) => ScanOps.fallbackChain(s, d)),
+    "q_image_phash_dups" -> ((s, _) => TrainingOps.phashNearDups(s)),
     "q_epoch_parse" -> ((s, d) => ScanOps.epochParse(s, d)),
     "q_html_clean" -> ((s, d) => ScanOps.htmlClean(s, d)),
     "q_section_assign" -> ((s, d) => ScanOps.sectionAssign(s, d)),
@@ -282,7 +285,29 @@ object SparkEntry {
         s"""SELECT image_id, fmt, w, h,
            |       w AS decoded_w, h AS decoded_h,
            |       CAST(octet_length(bytes) AS BIGINT) AS n_bytes
-           |FROM read_parquet('$F/images/*.parquet')""".stripMargin
+           |FROM read_parquet('$F/images/*.parquet')""".stripMargin,
+      "q_image_phash_dups" ->
+        s"""WITH base AS (
+           |  SELECT image_id, phash & 1152921504606846975 AS ph
+           |  FROM read_parquet('$F/images/*.parquet')),
+           |twins AS (
+           |  SELECT image_id || '_d' AS image_id,
+           |         xor(ph, CAST(1 AS BIGINT) << CAST(((ph % 60) + 60) % 60 AS INT)) AS ph
+           |  FROM base),
+           |allimg AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+           |bands AS (
+           |  SELECT image_id, ph, b AS band, (ph >> (b * 15)) & 32767 AS band_val
+           |  FROM allimg, generate_series(0, 3) AS g(b)),
+           |cand AS (
+           |  SELECT DISTINCT a.image_id AS image_a, b.image_id AS image_b,
+           |         a.ph AS ph_a, b.ph AS ph_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.band_val = b.band_val
+           |   AND a.image_id < b.image_id)
+           |SELECT image_a, image_b,
+           |       CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming,
+           |       bit_count(xor(ph_a, ph_b)) <= 6 AS is_dup
+           |FROM cand""".stripMargin
     )
   }
 
@@ -335,6 +360,46 @@ object SparkEntry {
         |  FROM u)
         |SELECT source, event_id, sec_order, item_idx FROM r
         |WHERE item_idx <= 7""".stripMargin,
+    "q_mojibake_repair" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |         'café №' || CAST(event_id AS VARCHAR) || ' — “naïve”' AS orig
+        |  FROM events),
+        |ix AS (
+        |  SELECT event_id, orig, unnest(range(1, length(orig) + 1)) AS i
+        |  FROM e),
+        |cp AS (
+        |  SELECT event_id, i, unicode(substr(orig, CAST(i AS INT), 1)) AS c
+        |  FROM ix),
+        |enc AS (
+        |  SELECT event_id, i,
+        |         CASE WHEN c < 128 THEN chr(c)
+        |              WHEN c < 2048 THEN chr(192 + c // 64) || chr(128 + c % 64)
+        |              ELSE chr(224 + c // 4096) || chr(128 + (c // 64) % 64)
+        |                   || chr(128 + c % 64) END AS mchars
+        |  FROM cp),
+        |m AS (SELECT event_id, string_agg(mchars, '' ORDER BY i) AS moji
+        |      FROM enc GROUP BY event_id)
+        |SELECT e.event_id, m.moji, e.orig AS repaired, TRUE AS was_mojibake
+        |FROM e JOIN m USING (event_id)""".stripMargin,
+    "q_fallback_chain" ->
+      """WITH e AS (
+        |  SELECT event_id, ts,
+        |    CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |         ELSE 'n/a' END AS s1,
+        |    CASE WHEN event_id % 3 = 1 THEN strftime(ts, '%d/%m/%Y %H:%M:%S')
+        |         ELSE 'bad' END AS s2
+        |  FROM events),
+        |p AS (
+        |  SELECT event_id, ts,
+        |    try_strptime(s1, '%Y-%m-%d %H:%M:%S') AS p1,
+        |    try_strptime(s2, '%d/%m/%Y %H:%M:%S') AS p2
+        |  FROM e)
+        |SELECT event_id,
+        |  CASE WHEN p1 IS NOT NULL THEN 'primary'
+        |       WHEN p2 IS NOT NULL THEN 'alt' ELSE 'default' END AS used,
+        |  CAST(floor(epoch(COALESCE(p1, p2, ts))) AS BIGINT) AS parsed_epoch_s
+        |FROM p""".stripMargin,
     "q_json_payload" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

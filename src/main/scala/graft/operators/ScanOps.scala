@@ -170,6 +170,50 @@ object ScanOps {
           col("event_type").as("source"),
           (col("event_id") % 3).as("kind"))).as("metadata"))
 
+  /** P3 — mojibake repair (reference: utils/spider_util.py:58-62,
+    * `ftfy.fix_text`). The dominant — and the only deterministically
+    * reversible — ftfy case is UTF-8 bytes misdecoded as ISO-8859-1
+    * ("café" → "cafÃ©"); the repair is re-encode latin-1 → re-decode
+    * UTF-8, two codegen'd built-ins, no UDF. The fixture synthesizes the
+    * mojibake by running the corruption forward on a string with 2- and
+    * 3-byte UTF-8 sequences; the oracle reproduces the corruption with
+    * explicit per-codepoint UTF-8 byte math and asserts the repair
+    * recovers the original exactly.
+    */
+  def mojibakeRepair(spark: SparkSession, sfDir: String): DataFrame = {
+    val orig = concat(lit("café №"), col("event_id").cast("string"),
+      lit(" — “naïve”"))
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"),
+        decode(encode(orig, "UTF-8"), "ISO-8859-1").as("moji"))
+      .withColumn("repaired",
+        decode(encode(col("moji"), "ISO-8859-1"), "UTF-8"))
+      .withColumn("was_mojibake", col("repaired") =!= col("moji"))
+  }
+
+  /** C6 — retry/fallback chains: the reference tries selector after
+    * selector until one parses (e.g. scrapers/simple/jqka.py date formats;
+    * per-source try/except ladders). Declaratively: `try_to_timestamp` per
+    * alternative + `coalesce` picks the first success — null-safe, no
+    * exceptions, fully codegen'd; `used` records which alternative won.
+    */
+  def fallbackChain(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("s1",
+        when(col("event_id") % 3 === 0,
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).otherwise(lit("n/a")))
+      .withColumn("s2",
+        when(col("event_id") % 3 === 1,
+          date_format(col("ts"), "dd/MM/yyyy HH:mm:ss")).otherwise(lit("bad")))
+    val p1 = try_to_timestamp(col("s1"), lit("yyyy-MM-dd HH:mm:ss"))
+    val p2 = try_to_timestamp(col("s2"), lit("dd/MM/yyyy HH:mm:ss"))
+    e.select(
+      col("event_id"),
+      when(p1.isNotNull, "primary").when(p2.isNotNull, "alt")
+        .otherwise("default").as("used"),
+      unix_timestamp(coalesce(p1, p2, col("ts"))).as("parsed_epoch_s"))
+  }
+
   /** §2.7 — multi-listing union with ordinal re-index: the reference
     * concatenates two section listings and re-slices the head
     * (`(top + list_items)[:7]`, fiercepharma.py:64; scmp.py:103-110).

@@ -321,6 +321,53 @@ object TrainingOps {
           (col("size_a") + col("size_b") - col("inter")) * 6).as("is_dup"))
   }
 
+  // ===================================== image near-dup (phash Hamming) ===
+
+  val PhashBands = 4
+  val PhashBandBits = 15 // 4 × 15 = 60 bits probed
+  val HammingDupMax = 6
+
+  /** Image near-duplicate detection over the 64-bit perceptual hash the
+    * image table carries (input_hint `phash:int64`) — the image-payload
+    * analog of MinHash/LSH banding: a pair within Hamming distance d
+    * shares at least one of 4 15-bit bands whenever its differing bits
+    * fall into ≤ 3 bands (guaranteed for d ≤ 3, high-probability above),
+    * so candidates come from a bucketed self-join on (band, band_val) —
+    * never an all-pairs product — and the exact `bit_count(xor)` verify
+    * runs on candidates only. At 100 TB: band keys are uniform 15-bit
+    * values (phash bits are balanced by construction), the join shuffles
+    * (id, phash) pairs only — bytes never enter the plan.
+    *
+    * The fixture corpus is the deterministic image table plus a
+    * single-bit-flipped twin per image (flip position = pmod(phash, 60),
+    * derived from the data so the DuckDB oracle reproduces it from the
+    * dumped fixture alone).
+    */
+  def phashNearDups(spark: SparkSession, nImages: Long = 2000L): DataFrame = {
+    val base = graft.model.Fixtures.images(spark, nImages).toDF()
+      .select(col("image_id"),
+        col("phash").bitwiseAND(lit((1L << 60) - 1)).as("ph"))
+    val twins = base.select(
+      concat(col("image_id"), lit("_d")).as("image_id"),
+      col("ph").bitwiseXOR(
+        expr("shiftleft(1L, CAST(pmod(ph, 60) AS INT))")).as("ph"))
+    val bands = base.unionByName(twins)
+      .select(col("image_id"), col("ph"),
+        explode(sequence(lit(0), lit(PhashBands - 1))).as("band"))
+      .withColumn("band_val",
+        expr(s"shiftright(ph, CAST(band * $PhashBandBits AS INT)) & ${(1 << PhashBandBits) - 1}"))
+    val a = bands.select(col("band"), col("band_val"),
+      col("image_id").as("image_a"), col("ph").as("ph_a"))
+    val b = bands.select(col("band").as("band_b"), col("band_val").as("val_b"),
+      col("image_id").as("image_b"), col("ph").as("ph_b"))
+    a.join(b, col("band") === col("band_b") &&
+        col("band_val") === col("val_b") && col("image_a") < col("image_b"))
+      .select("image_a", "image_b", "ph_a", "ph_b").distinct()
+      .select(col("image_a"), col("image_b"),
+        expr("CAST(bit_count(ph_a ^ ph_b) AS BIGINT)").as("hamming"))
+      .withColumn("is_dup", col("hamming") <= HammingDupMax)
+  }
+
   // ======================================== similarity search (ANN) =====
 
   val QuantScale = 1000
