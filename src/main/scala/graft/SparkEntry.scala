@@ -31,6 +31,7 @@ object SparkEntry {
     "q_unseen_filter_bloom" -> ((s, d) => CrawlOps.unseenFilterBloom(s, d)),
     "q_salted_host_rank" -> ((s, d) => CrawlOps.saltedHostRank(s, d)),
     "q_robots_gate" -> ((s, d) => CrawlOps.robotsGate(s, d)),
+    "q_opic_priority" -> ((s, d) => CrawlOps.opicPriority(s, d)),
     // --- training-data pipeline surface (dedup / similarity / text) ---
     "q_doc_exact_dedup" -> ((s, d) => TrainingOps.exactDedup(s, d)),
     "q_doc_fingerprints" -> ((s, d) => TrainingOps.fingerprints(s, d)),
@@ -194,7 +195,27 @@ object SparkEntry {
            |    WHEN host = 'click.example.com' THEN 1000
            |    WHEN host = 'error.example.com' THEN 250
            |    ELSE 0 END AS robots_delay_ms
-           |FROM h""".stripMargin
+           |FROM h""".stripMargin,
+      "q_opic_priority" ->
+        """WITH ed AS (
+          |  SELECT DISTINCT event_id % 211 AS pnum, event_id % 631 AS cnum
+          |  FROM events),
+          |deg AS (SELECT pnum, CAST(COUNT(*) AS BIGINT) AS outdeg
+          |        FROM ed GROUP BY 1),
+          |cash AS (
+          |  SELECT e.cnum,
+          |         CAST(SUM(CAST(FLOOR(100000 / d.outdeg) AS BIGINT)) AS BIGINT) AS cash
+          |  FROM ed e JOIN deg d USING (pnum) GROUP BY 1),
+          |sc AS (
+          |  SELECT 'c' || CAST(cnum AS VARCHAR) AS child,
+          |         'h' || CAST(cnum % 13 AS VARCHAR) || '.example.com' AS host,
+          |         cash,
+          |         CAST(GREATEST(0, 30 - (cnum % 30)) * 1000 AS BIGINT) AS boost
+          |  FROM cash)
+          |SELECT child, host, cash, boost, cash + boost AS priority,
+          |       CAST(ROW_NUMBER() OVER (PARTITION BY host
+          |            ORDER BY cash + boost DESC, child ASC) AS BIGINT) AS host_rank
+          |FROM sc""".stripMargin
     ) ++ trainingOracles ++ scanOracles ++ fixtureOracles
   }
 

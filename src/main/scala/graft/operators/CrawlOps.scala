@@ -237,4 +237,30 @@ object CrawlOps {
         floor((col("rn") - 1) / budgetPerEpoch).cast("long"))
       .select("source", "link", "event_id", "rn", "fetch_epoch")
   }
+
+  /** OPIC-style priority over a synthetic link graph derived from events
+    * (211 parents × 631 children; a child's age/host are functions of its
+    * number so the oracle re-derives them): one cash round + recency
+    * boost (Scheduler.opicPriority), ranked per host. The physical
+    * fetch-order layout (sortWithinPartitions) is exercised by
+    * Scheduler.scheduleByPriority in PolitenessSpec; the window rank here
+    * is the deterministic, oracle-comparable equivalent.
+    */
+  def opicPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(
+        (col("event_id") % 211).as("pnum"),
+        (col("event_id") % 631).as("cnum"))
+      .withColumn("age", col("cnum") % 30)
+    val pri = graft.politeness.Scheduler.opicPriority(
+      edges, "pnum", "cnum", "age")
+    pri.select(
+        concat(lit("c"), col("cnum").cast("string")).as("child"),
+        concat(lit("h"), (col("cnum") % 13).cast("string"),
+          lit(".example.com")).as("host"),
+        col("cash"), col("boost"), col("priority"))
+      .withColumn("host_rank", row_number().over(
+        Window.partitionBy("host").orderBy(desc("priority"), asc("child")))
+        .cast("long"))
+  }
 }

@@ -84,6 +84,67 @@ object Scheduler {
       floor((col(rankCol) - 1) / budget).cast("long"))
   }
 
+  // ------------------------------------------------- OPIC priority ------
+
+  val OpicSeedCash = 100000L
+  val OpicRecencyWindow = 30L
+  val OpicBoostPerTick = 1000L
+
+  /** OPIC-style crawl priority (north rule: "breadth-first-with-priority
+    * scheduling (OPIC-style score + recency boost) expressed as Dataset
+    * sort-within-partitions rather than RDD loops"). One cash-distribution
+    * round of Abiteboul's On-line Page Importance Computation,
+    * declaratively:
+    *
+    *  - every crawled parent holds equal seed cash [[OpicSeedCash]];
+    *  - the cash splits evenly across the parent's DISTINCT outlinks
+    *    (contribution = floor(cash / outdegree) — integer, oracle-exact);
+    *  - a candidate's score = sum of contributions over its in-edges —
+    *    one partial-aggregatable groupBy, which is the whole "iteration"
+    *    of the textbook RDD loop, map-side combined;
+    *  - recency boost = (window − age) × boost for candidates younger
+    *    than [[OpicRecencyWindow]] ticks (the reference crawls newest
+    *    lists first — the boost generalizes that bias).
+    *
+    * priority = cash + boost. `ageCol` must be functional on the child
+    * (one age per URL); ties break deterministically by min.
+    *
+    * At 100 TB both shuffles key on URL-shaped values (parent for the
+    * degree, child for the cash sum) — uniform, no skew beyond what
+    * mega-hub pages already put in the link graph; a hub with 10^6
+    * in-links is one combiner-reduced group, not a hot partition.
+    */
+  def opicPriority(edges: DataFrame, parentCol: String, childCol: String,
+      ageCol: String): DataFrame = {
+    val ed = edges.select(col(parentCol).as("__p"), col(childCol).as("__c"),
+      col(ageCol).as("__age")).distinct()
+    val deg = ed.groupBy("__p").agg(count(lit(1)).as("__outdeg"))
+    ed.join(deg, "__p")
+      .withColumn("__contrib",
+        floor(lit(OpicSeedCash) / col("__outdeg")).cast("long"))
+      .groupBy("__c")
+      .agg(sum("__contrib").as("cash"), min("__age").as("__age"))
+      .withColumn("boost",
+        greatest(lit(0L), lit(OpicRecencyWindow) - col("__age"))
+          * OpicBoostPerTick)
+      .withColumn("priority", col("cash") + col("boost"))
+      .select(col("__c").as(childCol), col("cash"), col("boost"),
+        col("priority"))
+  }
+
+  /** Fetch order as physical layout, not a sorted Dataset: host-hash
+    * partitions with rows ordered (host, priority desc) WITHIN each
+    * partition — `sortWithinPartitions`, no global sort, no driver loop.
+    * Each task iterates its partition in-order = one polite,
+    * priority-ordered fetch stream per partition; a 1000-executor cluster
+    * runs 1000 such streams with zero coordination. Partition-local
+    * ordering is asserted in PolitenessSpec.
+    */
+  def scheduleByPriority(df: DataFrame, hostCol: String, priorityCol: String,
+      nPartitions: Int): DataFrame =
+    df.repartition(nPartitions, col(hostCol))
+      .sortWithinPartitions(col(hostCol), desc(priorityCol))
+
   /** Robots gate: longest-prefix rule per (host, path). Rules tables are
     * tiny (one row per host×prefix) → broadcast; match = prefix test,
     * longest matching prefix wins; default allow when no rule matches.

@@ -48,6 +48,49 @@ class PolitenessSpec extends SparkTestBase {
     assert(eps.toSeq === (eps.head to eps.last).toSeq)
   }
 
+  test("opic priority: cash conserved per parent, boost favors fresh URLs") {
+    // 3 parents: p0 -> {c0, c1}, p1 -> {c1}, p2 -> {c2, c2 dup edge}
+    val edges = Seq(
+      ("p0", "c0", 25L), ("p0", "c1", 0L),
+      ("p1", "c1", 0L),
+      ("p2", "c2", 40L), ("p2", "c2", 40L) // duplicate edge must not double-pay
+    ).toDF("parent", "child", "age")
+    val got = Scheduler.opicPriority(edges, "parent", "child", "age")
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (c, cash, boost, pri) => c -> ((cash, boost, pri)) }.toMap
+    val half = Scheduler.OpicSeedCash / 2
+    assert(got("c0") === ((half, 5000L, half + 5000L))) // age 25 → boost 5
+    assert(got("c1") === ((half + Scheduler.OpicSeedCash,
+      30000L, half + Scheduler.OpicSeedCash + 30000L))) // two parents, age 0
+    assert(got("c2") === ((Scheduler.OpicSeedCash, 0L,
+      Scheduler.OpicSeedCash))) // dedup'd edge gets full cash; age 40 → no boost
+  }
+
+  test("scheduleByPriority: every partition is (host, priority desc)-ordered") {
+    val df = (0 until 5000)
+      .map(i => (s"h${i % 57}.example.com", (i * 2654435761L) % 100000, s"u$i"))
+      .toDF("host", "priority", "url")
+    val laid = Scheduler.scheduleByPriority(df, "host", "priority", 8)
+    // partition-local contract: within each physical partition the rows
+    // iterate grouped by host with priority non-increasing inside a host
+    val violations = laid.select("host", "priority").as[(String, Long)].rdd
+      .mapPartitions { it =>
+        val rows = it.toVector
+        val bad = rows.sliding(2).count {
+          case Vector((h1, p1), (h2, p2)) => h1 == h2 && p2 > p1
+          case _ => false
+        }
+        // each host appears in exactly one contiguous block per partition
+        val blocks = rows.map(_._1).foldLeft(Vector.empty[String]) {
+          case (acc, h) if acc.lastOption.contains(h) => acc
+          case (acc, h) => acc :+ h
+        }
+        val rebroken = blocks.size != blocks.distinct.size
+        Iterator.single(bad + (if (rebroken) 1 else 0))
+      }.sum()
+    assert(violations === 0.0)
+  }
+
   test("robots: longest matching prefix wins; default allow") {
     val rules = Seq(
       ("a.com", "/", true, 100),
