@@ -19,11 +19,13 @@ object ScalingBench {
     val spark = Bench.session(cpus.toString)
     spark.sparkContext.setLogLevel("WARN")
     // warmup at FULL size: the first full-size run pays heap expansion,
-    // page-fault and JIT-tier costs (measured 5× the steady state)
-    Bench.frontierJob(spark, frontierN).count()
+    // page-fault and JIT-tier costs (measured 5× the steady state).
+    // Forced through the noop sink — a bare count() would let Catalyst
+    // prune the politeness windows and time a smaller job (Bench.force).
+    Bench.force(Bench.frontierJob(spark, frontierN))
     spark.catalog.clearCache() // each timed run starts cold — no reuse
     val secs = (1 to 3).map { i =>
-      val (_, s) = Bench.timed(Bench.frontierJob(spark, frontierN).count())
+      val (_, s) = Bench.timed(Bench.force(Bench.frontierJob(spark, frontierN)))
       spark.catalog.clearCache()
       println(f"[scaling] cpus=$cpus run$i ${s}%.2f s")
       s

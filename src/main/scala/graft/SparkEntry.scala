@@ -637,11 +637,17 @@ object SparkEntry {
            |  SELECT b.vec_id, gb.band_idx,
            |         (b.bucket >> (gb.band_idx * 4)) & 15 AS band_val
            |  FROM b, generate_series(0, 3) AS gb(band_idx)),
+           |probes AS (
+           |  SELECT vec_id, band_idx,
+           |         xor(band_val, CASE WHEN f = 0 THEN 0
+           |             ELSE (1 << (f - 1)) END) AS band_val
+           |  FROM bands, generate_series(0, 4) AS gf(f)
+           |  WHERE vec_id < 8),
            |cand AS (
            |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-           |  FROM bands q JOIN bands c
+           |  FROM probes q JOIN bands c
            |    ON q.band_idx = c.band_idx AND q.band_val = c.band_val
-           |  WHERE q.vec_id < 8 AND c.vec_id >= 8),
+           |  WHERE c.vec_id >= 8),
            |scored AS (
            |  SELECT cd.query_id, cd.neighbor_id,
            |         CAST(list_sum(list_transform(range(1, len(a.q) + 1),

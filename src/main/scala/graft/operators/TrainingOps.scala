@@ -451,9 +451,18 @@ object TrainingOps {
         explode(sequence(lit(0), lit(LshBands - 1))).as("band_idx"))
       .withColumn("band_val",
         expr(s"shiftright(bucket, CAST(band_idx * 4 AS INT)) & 15"))
+    // multi-probe (query side only): each band probes its exact value AND
+    // its 4 Hamming-1 neighbors in 4-bit band space — 5 probes/band, the
+    // standard recall lever that costs probe-count × candidate lookups,
+    // never a corpus rescan (the corpus side stays at 4 stored bands/vec).
     val qs = withBands.filter(col("vec_id") < NQueryVecs)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
-        col("band_idx"), col("band_val"))
+        col("band_idx"), col("band_val"),
+        explode(sequence(lit(0), lit(4))).as("flip"))
+      .withColumn("band_val",
+        expr("CAST(band_val ^ (CASE WHEN flip = 0 THEN 0 " +
+          "ELSE shiftleft(1, CAST(flip - 1 AS INT)) END) AS BIGINT)"))
+      .drop("flip")
     val cs = withBands.filter(col("vec_id") >= NQueryVecs)
       .select(col("vec_id").as("neighbor_id"), col("q").as("nv"),
         col("band_idx").as("band_idx_c"), col("band_val").as("band_val_c"))
