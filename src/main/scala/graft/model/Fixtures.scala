@@ -298,6 +298,19 @@ object Fixtures {
     spark.range(0, n).map(i => imageDoc(i))
   }
 
+  /** (image_id, phash) projection WITHOUT rendering/encoding pixels —
+    * identical values to [[images]] (both are pure functions of rowIdx).
+    * The narrow-column scan the phash dedup needs: at scale this is
+    * parquet column pruning reaching the store; in the fixture it skips
+    * the per-row PNG/JPEG encode entirely.
+    */
+  def imagePhashes(spark: SparkSession, n: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(0, n).map(i => (f"img-$i%08d", mix(Seed, 33L, i)))
+      .toDF("image_id", "phash")
+  }
+
   /** Page row for one canonical URL — pure function of the URL, so every
     * occurrence (any tick, any source listing) resolves identically.
     * ~3% get a non-200 status to exercise error isolation (C5).

@@ -344,7 +344,7 @@ object TrainingOps {
     * dumped fixture alone).
     */
   def phashNearDups(spark: SparkSession, nImages: Long = 2000L): DataFrame = {
-    val base = graft.model.Fixtures.images(spark, nImages).toDF()
+    val base = graft.model.Fixtures.imagePhashes(spark, nImages)
       .select(col("image_id"),
         col("phash").bitwiseAND(lit((1L << 60) - 1)).as("ph"))
     val twins = base.select(

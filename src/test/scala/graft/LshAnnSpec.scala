@@ -29,7 +29,10 @@ class LshAnnSpec extends SparkTestBase {
   test("recall@10 vs brute force is measured and nontrivial") {
     val r = TrainingOps.lshRecallAtK(spark, sf())
     assert(r >= 0.0 && r <= 1.0)
-    assert(r > 0.10, f"banded LSH recall@10 collapsed: $r%.3f")
+    // multi-probe (each band + its 4 Hamming-1 neighbors) measures 0.94
+    // at sf0.01; the bar has slack for corpus drift, not for regressions
+    // back to single-probe (which measured 0.44)
+    assert(r > 0.5, f"banded multi-probe LSH recall@10 collapsed: $r%.3f")
   }
 
   test("hot-bucket guard drops only the degenerate bucket's pairs") {
