@@ -45,6 +45,7 @@ object SparkEntry {
     "q_emb_topk" -> ((s, d) => TrainingOps.bruteForceTopK(s, d)),
     "q_emb_lsh_buckets" -> ((s, d) => TrainingOps.lshBuckets(s, d)),
     "q_emb_lsh_topk" -> ((s, d) => TrainingOps.lshBucketTopK(s, d)),
+    "q_emb_cosine_dups" -> ((s, d) => TrainingOps.cosineNearDups(s, d)),
     // --- scan/projection surface (S4, S6, F1, O1, P5, P8, P9, P12, J4, §2.7) ---
     "q_json_payload" -> ((s, d) => ScanOps.jsonPayload(s, d)),
     "q_json_positional" -> ((s, d) => ScanOps.jsonPositional(s, d)),
@@ -620,6 +621,47 @@ object SparkEntry {
            |SELECT vec_id,
            |       CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
            |FROM dots GROUP BY vec_id""".stripMargin,
+      "q_emb_cosine_dups" ->
+        s"""WITH planes AS (
+           |  SELECT p, i,
+           |         (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 1001) - 500 AS c
+           |  FROM generate_series(0, 15) AS gp(p), generate_series(1, 64) AS gi(i)),
+           |base AS (SELECT vec_id, $quant AS q FROM embeddings),
+           |twins AS (
+           |  SELECT vec_id + 100000 AS vec_id,
+           |         list_transform(range(1, len(q) + 1),
+           |           i -> CASE WHEN i = 1 THEN q[i] + 100 ELSE q[i] END) AS q
+           |  FROM base),
+           |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+           |dots AS (
+           |  SELECT e.vec_id, pl.p, SUM(pl.c * e.q[pl.i]) AS dot
+           |  FROM corpus e, planes pl GROUP BY 1, 2),
+           |bk AS (
+           |  SELECT vec_id,
+           |         CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM dots GROUP BY vec_id),
+           |bands AS (
+           |  SELECT bk.vec_id, gb.band, (bk.bucket >> (gb.band * 4)) & 15 AS band_val
+           |  FROM bk, generate_series(0, 3) AS gb(band)),
+           |cand AS (
+           |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.band_val = y.band_val
+           |   AND x.vec_id < y.vec_id),
+           |sc AS (
+           |  SELECT cd.vec_a, cd.vec_b,
+           |         CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+           |              i -> a.q[i] * d.q[i])) AS BIGINT) AS dot,
+           |         CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+           |              i -> a.q[i] * a.q[i])) AS BIGINT) AS na2,
+           |         CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+           |              i -> d.q[i] * d.q[i])) AS BIGINT) AS nb2
+           |  FROM cand cd
+           |  JOIN corpus a ON a.vec_id = cd.vec_a
+           |  JOIN corpus d ON d.vec_id = cd.vec_b)
+           |SELECT vec_a, vec_b, dot,
+           |       (dot > 0 AND dot * dot * 25 >= na2 * nb2 * 16) AS is_dup
+           |FROM sc""".stripMargin,
       "q_emb_lsh_topk" ->
         s"""WITH planes AS (
            |  SELECT p, i,

@@ -480,6 +480,71 @@ object TrainingOps {
       .select("query_id", "neighbor_id", "dot", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs — the dedup form of the
+    * similarity surface (task brief: "embedding-cosine near-dup"), distinct
+    * from top-k search: ALL pairs above a cosine threshold, found via LSH
+    * band buckets (never an all-pairs product) and verified with exact
+    * integer arithmetic:
+    *
+    *   cos(a,b) ≥ 4/5  ⇔  dot > 0 ∧ 25·dot² ≥ 16·|a|²·|b|²
+    *
+    * (quantized dims ≤ 1000 ⇒ dot ≤ 6.4e7, dot² ≤ 4.1e15 < 2^63 — no
+    * overflow in either engine). The corpus is the embedding table plus a
+    * near-identical twin per vector (one dim nudged by +100 quant units,
+    * vec_id + 100000) so true positives exist; twins are derived from the
+    * data, so the oracle reconstructs them. At 100 TB the band join
+    * shuffles (vec_id, 64-long array) rows on uniform 4-bit band keys;
+    * candidate mass per bucket is the recall/cost dial (planes, band
+    * width) and the verify is candidates-only — the same
+    * prefilter-then-confirm shape as the URL-seen and MinHash paths.
+    */
+  def cosineNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = embeddings(spark, sfDir)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val twins = base.select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("q"),
+        (x, i) => when(i === 0, x + 100).otherwise(x)).as("q"))
+    val corpus = base.unionByName(twins)
+    // 16 hyperplane signs → 4 bands × 4 bits (same banding as the ANN path)
+    val planes = broadcast(lshPlaneDf(spark))
+    val buckets = corpus.join(planes)
+      .withColumn("dot", intDot(col("q"), col("plane")))
+      .groupBy("vec_id")
+      .agg(sum(when(col("dot") > 0,
+          expr("shiftleft(1L, CAST(p AS INT))")).otherwise(0L))
+        .as("bucket"))
+    // candidates carry IDS ONLY through the band self-join — the 64-long
+    // arrays would multiply every banded row and every shuffled pair by
+    // ~0.5 KB; they re-join after dedup (broadcast here; at corpus sizes
+    // past broadcast, a shuffle join co-partitioned on vec_id)
+    val bands = buckets
+      .select(col("vec_id"), col("bucket"),
+        explode(sequence(lit(0), lit(LshBands - 1))).as("band"))
+      .withColumn("band_val",
+        expr("shiftright(bucket, CAST(band * 4 AS INT)) & 15"))
+      .drop("bucket")
+    val a = bands.select(col("band"), col("band_val"),
+      col("vec_id").as("vec_a"))
+    val b = bands.select(col("band").as("band_b"), col("band_val").as("val_b"),
+      col("vec_id").as("vec_b"))
+    val cand = a.join(b, col("band") === col("band_b") &&
+        col("band_val") === col("val_b") && col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    cand
+      .join(broadcast(corpus.select(col("vec_id").as("vec_a"), col("q").as("qa"))),
+        Seq("vec_a"))
+      .join(broadcast(corpus.select(col("vec_id").as("vec_b"), col("q").as("qb"))),
+        Seq("vec_b"))
+      .withColumn("dot", intDot(col("qa"), col("qb")))
+      .withColumn("na2", intDot(col("qa"), col("qa")))
+      .withColumn("nb2", intDot(col("qb"), col("qb")))
+      .select(col("vec_a"), col("vec_b"), col("dot"),
+        (col("dot") > 0 &&
+          col("dot") * col("dot") * 25 >= col("na2") * col("nb2") * 16)
+          .as("is_dup"))
+  }
+
   /** recall@k of the LSH ANN vs brute force on the same split — the
     * honesty metric for the approximate path (reported by Bench).
     */

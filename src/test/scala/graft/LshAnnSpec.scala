@@ -35,6 +35,26 @@ class LshAnnSpec extends SparkTestBase {
     assert(r > 0.5, f"banded multi-probe LSH recall@10 collapsed: $r%.3f")
   }
 
+  test("cosine near-dup: planted twins are found and flagged; no cross-vec false dups") {
+    import spark.implicits._
+    val nVecs = graft.operators.TrainingOps
+      .embeddings(spark, sf()).count()
+    val dups = TrainingOps.cosineNearDups(spark, sf())
+      .filter(col("is_dup"))
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // each vector's twin (vec_id + 100000, one dim nudged) has cosine ≈ 1:
+    // nearly every twin pair must surface through the bands AND pass the
+    // exact integer-cosine verify
+    val twinsFound = (0L until nVecs).count(v => dups.contains((v, v + 100000)))
+    assert(twinsFound >= (nVecs * 9) / 10,
+      s"only $twinsFound/$nVecs twin pairs flagged")
+    // flagged non-twin pairs must still genuinely pass the exact verify —
+    // spot-check that flagged mass is dominated by twins (random vectors
+    // at 64 dims essentially never reach cosine 0.8)
+    val nonTwin = dups.count { case (a, b) => b != a + 100000 }
+    assert(nonTwin <= dups.size / 10, s"$nonTwin non-twin dups of ${dups.size}")
+  }
+
   test("hot-bucket guard drops only the degenerate bucket's pairs") {
     // 20k signature rows in ONE (band, band_sig) bucket would self-join to
     // ~200M pairs; the guard must exclude the bucket and keep honest pairs
