@@ -58,6 +58,47 @@ object StreamingFrontier {
     * wins; later batches' occurrences hit the per-URL state row and emit
     * nothing. State reads/writes per batch ∝ the batch's distinct URLs.
     */
+  final case class HostCand(host: String, canonical_url: String,
+      source: String, item_idx: Int)
+  final case class Scheduled(host: String, canonical_url: String,
+      host_rank: Long, fetch_epoch: Long)
+  /** Per-host politeness state: fetch slots assigned so far (ever). */
+  final case class HostRate(assigned: Long)
+
+  /** Stateful per-host politeness — the streaming form of
+    * `Scheduler.plainHostRank` + `assignEpochs`: state carries how many
+    * fetch slots each host has ever been assigned; each micro-batch
+    * extends the host's rank sequence (deterministic intra-batch order by
+    * (source, item_idx)) and epochs follow floor((rank-1)/budget), so a
+    * host's fetch pacing carries across batches exactly like the batch
+    * scheduler's across ticks. Prefix-equivalence with the batch
+    * formulation is asserted in StreamingFrontierSpec.
+    *
+    * State is ONE counter per host (8 bytes) — not the assignment history;
+    * per-batch buffering is one host's slice of one batch (bounded by
+    * list caps), never proportional to history.
+    */
+  def politenessStream(cands: Dataset[Candidate], budgetPerEpoch: Long)
+      : Dataset[Scheduled] = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands.toDF()
+      .withColumn("host", url_host(col("canonical_url")))
+      .select("host", "canonical_url", "source", "item_idx").as[HostCand]
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[HostRate, Scheduled](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (host: String, rows: Iterator[HostCand], state: GroupState[HostRate]) =>
+          val sorted = rows.toVector.sortBy(c => (c.source, c.item_idx))
+          val start = state.getOption.map(_.assigned).getOrElse(0L)
+          state.update(HostRate(start + sorted.size))
+          sorted.iterator.zipWithIndex.map { case (c, i) =>
+            val rank = start + i + 1
+            Scheduled(host, c.canonical_url, rank, (rank - 1) / budgetPerEpoch)
+          }
+      }
+  }
+
   def dedupStream(cands: Dataset[Candidate]): Dataset[Candidate] = {
     val spark = cands.sparkSession
     import spark.implicits._

@@ -158,6 +158,43 @@ class FrontierStoreSpec extends SparkTestBase {
     assert(store.articles(spark, Some(2)).count() > 0)
   }
 
+  test("six-tick soak with periodic compaction: bounded reads, monotone seen, no dup emits") {
+    import spark.implicits._
+    val dir = "target/test-store-soak"
+    new FrontierStore(dir).delete()
+    val store = new FrontierStore(dir).init()
+    store.initSeen(spark,
+      Fixtures.urlSeenSeed(spark, nSources, Fixtures.DefaultPreSeen)
+        .toDF().select("canonical_url"))
+    val sources = Fixtures.sourceSpecs(nSources).toDF()
+    val robots = Fixtures.robots(nSources).toDF()
+    var prevSeen = store.seen(spark).count()
+    for (tick <- 0 until 6) {
+      val listings = Fixtures.listItemsAt(spark, nSources, itemsPerSource, tick).toDF()
+      val pages = Fixtures.pageStore(spark, nSources, maxTick = tick).toDF()
+      val t = CrawlTick.runTick(spark, listings, sources,
+        store.seen(spark), robots, pages)
+      val m = store.commit(spark, t.emitted, t.stats, fetchEpoch = tick.toLong)
+      t.cleanup()
+      // seen state grows by exactly the emitted (all-unseen, cross-source
+      // deduped) rows — nothing lost, nothing double-counted
+      val seenNow = store.seen(spark).count()
+      assert(seenNow === prevSeen + m.newArticles,
+        s"tick $tick: seen $prevSeen -> $seenNow but emitted ${m.newArticles}")
+      prevSeen = seenNow
+      if ((tick + 1) % 2 == 0) store.compact(spark)
+      // the FrontierMain loop shape: read cost stays bounded by the
+      // compaction cadence, NOT by tick count
+      assert(store.seenDeltaPaths(store.snapshotIds().last).size <= 3,
+        s"tick $tick: delta chain grew past the compaction bound")
+    }
+    // no canonical URL was ever emitted twice across the whole soak
+    val arts = store.articles(spark).select("canonical_url")
+    assert(arts.count() === arts.distinct().count())
+    // all six article deltas survive compaction (articles keep full history)
+    assert(store.articles(spark).count() > 0)
+  }
+
   test("time-travel: articles as of snapshot 1 exclude tick-1 rows") {
     val store = new FrontierStore(storeDir)
     val at1 = store.articles(spark, Some(1)).count()

@@ -55,6 +55,55 @@ class StreamingFrontierSpec extends SparkTestBase {
     assert(emitted1 < batch1.size, "batch 1 saw no dedup against state")
   }
 
+  test("streaming politeness: host ranks/epochs continue across batches ≡ batch scheduler") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+
+    val nSources = 6
+    val budget = 4L
+    val batch0 = Fixtures.listItemsAt(spark, nSources, 12, tick = 0).collect().toSeq
+    val batch1 = Fixtures.listItemsAt(spark, nSources, 12, tick = 1).collect().toSeq
+
+    val input = MemoryStream[ListItem]
+    val q = StreamingFrontier.politenessStream(
+        StreamingFrontier.candidates(input.toDS(), nSegments = 8), budget)
+      .writeStream.format("memory").queryName("sched_out")
+      .outputMode("append").start()
+    input.addData(batch0)
+    q.processAllAvailable()
+    input.addData(batch1)
+    q.processAllAvailable()
+    val streamed = spark.table("sched_out")
+      .select("canonical_url", "host_rank", "fetch_epoch")
+      .as[(String, Long, Long)].collect().toSeq
+    q.stop()
+
+    // batch formulation over the concatenation, ordered (arrival batch,
+    // source, item_idx) — the stream's deterministic order
+    val both = batch0.map(li => (0, li)) ++ batch1.map(li => (1, li))
+    val df = both.map { case (t, li) =>
+      (t, li.source, li.item_idx,
+        graft.functions.UrlCanonicalizer.canonicalize(li.url)) }
+      .toDF("tick", "source", "item_idx", "canonical_url")
+      .withColumn("host", graft.functions.UrlFunctions.url_host(col("canonical_url")))
+    val ranked = graft.politeness.Scheduler.plainHostRank(df, "host",
+      Seq(col("tick").asc, col("source").asc, col("item_idx").asc))
+    val expected = graft.politeness.Scheduler
+      .assignEpochs(ranked, "host_rank", lit(1), epochMillis = budget)
+      .select("canonical_url", "host_rank", "fetch_epoch")
+      .as[(String, Long, Long)].collect().toSeq
+
+    // streamed rows may repeat a canonical_url (no dedup in this operator);
+    // compare full multisets
+    assert(streamed.sorted === expected.sorted)
+    // state carried across batches: some batch-1 row continues a host's
+    // sequence rather than restarting at rank 1
+    val perHostCounts0 = batch0.size
+    assert(streamed.count(_._2 > 12) > 0 || streamed.exists(_._3 > 0))
+    assert(perHostCounts0 > 0)
+  }
+
   test("state updates scale with NEW urls per batch, under RocksDB state store") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
