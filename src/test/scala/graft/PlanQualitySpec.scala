@@ -94,4 +94,41 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(p.contains("ReadSchema: struct<event_id:bigint,props:string>"),
       "props scan not pruned:\n" + p)
   }
+
+  test("opic priority: no cartesian, no broadcast of the unbounded edge sides") {
+    // both joins key on URL-shaped values (parent for degree, child for
+    // host_rank input) — at 10^10 edges neither side may assume broadcast
+    val p = planString(CrawlOps.opicPriority(spark, sf()))
+    assert(!p.contains("CartesianProduct"), "cartesian in OPIC plan:\n" + p)
+    assert(p.contains("ReadSchema: struct<event_id:bigint>"),
+      "edge synthesis scan not pruned to event_id:\n" + p)
+  }
+
+  test("phash near-dup: band self-join is an equi-join, never cartesian") {
+    val p = planString(TrainingOps.phashNearDups(spark))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "band join degenerated to BNLJ:\n" + p)
+  }
+
+  test("cosine near-dup: candidate self-join carries ids only; arrays join back") {
+    val p = planString(TrainingOps.cosineNearDups(spark, sf()))
+    assert(!p.contains("CartesianProduct"), p)
+    // the band-bucket self-join must NOT exchange the 64-long arrays:
+    // the only q-carrying operators are the two corpus joins added after
+    // the distinct. Check: every hashpartitioning exchange that feeds the
+    // band join keys on (band, band_val) or vec ids, not on q.
+    assert(!p.contains("hashpartitioning(q"),
+      "embedding arrays shuffled through bands:\n" + p)
+  }
+
+  test("mojibake repair and fallback chain are shuffle-free single scans") {
+    for (df <- Seq(
+        ScanOps.mojibakeRepair(spark, sf()),
+        ScanOps.fallbackChain(spark, sf()))) {
+      val p = planString(df)
+      assert(!p.contains("Exchange"), "unexpected shuffle:\n" + p)
+      assert(p.contains("*(1)"), "no codegen span:\n" + p)
+    }
+  }
 }
