@@ -42,6 +42,7 @@ object SparkEntry {
     "q_doc_minhash" -> ((s, d) => TrainingOps.minhashSignatures(s, d)),
     "q_doc_lsh_pairs" -> ((s, d) => TrainingOps.lshCandidatePairs(s, d)),
     "q_doc_jaccard_pairs" -> ((s, d) => TrainingOps.jaccardVerifiedPairs(s, d)),
+    "q_doc_dup_clusters" -> ((s, d) => TrainingOps.dupClusters(s, d)),
     "q_emb_topk" -> ((s, d) => TrainingOps.bruteForceTopK(s, d)),
     "q_emb_lsh_buckets" -> ((s, d) => TrainingOps.lshBuckets(s, d)),
     "q_emb_lsh_topk" -> ((s, d) => TrainingOps.lshBucketTopK(s, d)),
@@ -591,6 +592,34 @@ object SparkEntry {
            |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
            |JOIN sizes za ON za.doc_id = p.doc_a
            |JOIN sizes zb ON zb.doc_id = p.doc_b""".stripMargin,
+      "q_doc_dup_clusters" ->
+        s"""WITH RECURSIVE $sigCtes,
+           |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+           |inter AS (
+           |  SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+           |  FROM pairs p
+           |  JOIN sh sa ON sa.doc_id = p.doc_a
+           |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+           |  GROUP BY 1, 2),
+           |dup AS (
+           |  SELECT p.doc_a, p.doc_b
+           |  FROM pairs p
+           |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+           |  JOIN sizes za ON za.doc_id = p.doc_a
+           |  JOIN sizes zb ON zb.doc_id = p.doc_b
+           |  WHERE COALESCE(i.inter, 0) * 10 >=
+           |        (za.sz + zb.sz - COALESCE(i.inter, 0)) * 6),
+           |e AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+           |      UNION ALL SELECT doc_b, doc_a FROM dup),
+           |nodes AS (SELECT DISTINCT src AS doc_id FROM e),
+           |lbl AS (
+           |  SELECT doc_id, doc_id AS label FROM nodes
+           |  UNION
+           |  SELECT e.dst AS doc_id, l.label
+           |  FROM lbl l JOIN e ON e.src = l.doc_id)
+           |SELECT doc_id, MIN(label) AS cluster_id,
+           |       (doc_id = MIN(label)) AS is_keeper
+           |FROM lbl GROUP BY doc_id""".stripMargin,
       "q_emb_topk" ->
         s"""WITH q AS (
            |  SELECT vec_id AS query_id, $quant AS qv

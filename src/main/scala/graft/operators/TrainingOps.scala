@@ -321,6 +321,55 @@ object TrainingOps {
           (col("size_a") + col("size_b") - col("inter")) * 6).as("is_dup"))
   }
 
+  /** Connected components over the verified near-dup pair graph —
+    * the step a dedup pipeline actually ships: pairs → clusters → ONE
+    * keeper per cluster (min doc_id). Min-label propagation to fixpoint:
+    * each pass joins edges to current labels and takes the per-node min;
+    * convergence in O(component diameter) passes (near-dup clusters are
+    * shallow — duplicates of a document are duplicates of each other).
+    * The driver loop carries only a changed-row COUNT per pass (no data
+    * collected); at 10^10 scale the same loop runs with the
+    * large-star/small-star optimization, which this formulation is the
+    * readable core of. Deterministic: the fixpoint is the component
+    * minimum regardless of iteration schedule.
+    */
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val dup = jaccardVerifiedPairs(spark, sfDir)
+      .filter(col("is_dup")).select("doc_a", "doc_b")
+    val fwd = dup.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val prop = edges.join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst")).agg(min("label").as("nlabel"))
+      val next = labels.as("l")
+        .join(prop, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          least(col("l.label"), coalesce(col("nlabel"), col("l.label")))
+            .as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changes = next
+        .join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changes == 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    // the final labels stay cached — they back the returned plan (lineage
+    // re-runs the whole propagation if dropped before consumption)
+    labels.select(
+      col("doc_id"), col("label").as("cluster_id"),
+      (col("doc_id") === col("label")).as("is_keeper"))
+  }
+
   // ===================================== image near-dup (phash Hamming) ===
 
   val PhashBands = 4
