@@ -100,9 +100,9 @@ object Bench {
   /** Runs each scaling arm in a dedicated child JVM pinned to its cores
     * (`taskset -c 0-(c-1)`) with proportional heap, reusing this JVM's
     * classpath and --add-opens flags; the child runs
-    * [[ScalingBench]] in single-arm mode (warmup + best-of-2) and prints
-    * one JSON line. Arms interleave over 2 rounds and each keeps its
-    * minimum. Returns (best seconds per arm, pinned?).
+    * [[ScalingBench]] in single-arm mode (warmup + one timed run) and
+    * prints one JSON line. Arms interleave over 3 rounds and each keeps
+    * its minimum. Returns (best seconds per arm, pinned?).
     */
   def runPinnedArms(armCores: Seq[Int], n: Long): (Seq[Double], Boolean) = {
     import scala.jdk.CollectionConverters._
@@ -126,7 +126,7 @@ object Bench {
         val pb = new ProcessBuilder(cmd.asJava)
         pb.environment().put("SPARK_GRAFT_ARM", cores.toString)
         pb.environment().put("SPARK_GRAFT_FRONTIER_N", n.toString)
-        pb.environment().put("SPARK_GRAFT_ARM_RUNS", "2") // + interleaving below
+        pb.environment().put("SPARK_GRAFT_ARM_RUNS", "1") // sampling lives in the interleaved rounds
         pb.redirectErrorStream(true)
         val proc = pb.start()
         val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
@@ -143,10 +143,11 @@ object Bench {
     }
     // Interleaved rounds: host load on this VM drifts ±50% over minutes
     // (measured: the same pinned 1-core arm ran 61 s and 88 s half an
-    // hour apart), so arms alternate small,large,small,large and each
-    // arm keeps its best across rounds — one-sided noise only ever
+    // hour apart), so arms alternate (small, large) × 3 rounds — one
+    // timed run per child per round, so the 3 samples per arm spread
+    // across the widest wall-clock window — and each arm keeps its best — one-sided noise only ever
     // inflates a run, so per-arm minima converge on true capability.
-    val rounds = 2
+    val rounds = 3
     val perRound = (1 to rounds).map(_ => armCores.map(childArm))
     val best = armCores.indices.map(i => perRound.flatMap(_(i)) match {
       case s if s.nonEmpty => Some(s.min)
