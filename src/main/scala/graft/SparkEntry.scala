@@ -56,6 +56,7 @@ object SparkEntry {
     "q_metadata_json" -> ((s, d) => ScanOps.metadataJson(s, d)),
     "q_multi_section_union" -> ((s, d) => ScanOps.multiSectionUnion(s, d)),
     "q_mojibake_repair" -> ((s, d) => ScanOps.mojibakeRepair(s, d)),
+    "q_robots_parse" -> ((s, d) => ScanOps.robotsParse(s, d)),
     "q_fallback_chain" -> ((s, d) => ScanOps.fallbackChain(s, d)),
     "q_image_phash_dups" -> ((s, _) => TrainingOps.phashNearDups(s)),
     "q_epoch_parse" -> ((s, d) => ScanOps.epochParse(s, d)),
@@ -405,6 +406,33 @@ object SparkEntry {
         |      FROM enc GROUP BY event_id)
         |SELECT e.event_id, m.moji, e.orig AS repaired, TRUE AS was_mojibake
         |FROM e JOIN m USING (event_id)""".stripMargin,
+    "q_robots_parse" ->
+      """WITH h AS (SELECT DISTINCT event_id % 7 AS hnum FROM events),
+        |t AS (
+        |  SELECT hnum,
+        |         'User-agent: *' || chr(10) || 'Crawl-delay: ' ||
+        |         CAST(hnum AS VARCHAR) || chr(10) || 'Disallow: /private' ||
+        |         CASE WHEN hnum % 2 = 0
+        |              THEN chr(10) || 'Allow: /private/open' ELSE '' END
+        |           AS robots_txt
+        |  FROM h),
+        |ln AS (
+        |  SELECT hnum, string_split(robots_txt, chr(10)) AS lines FROM t),
+        |ix AS (
+        |  SELECT hnum, lines, unnest(range(1, len(lines) + 1)) AS i FROM ln),
+        |d AS (
+        |  SELECT hnum, CAST(i - 1 AS BIGINT) AS line_no,
+        |         regexp_extract(lines[CAST(i AS INT)], '^([A-Za-z-]+):\s*(.*)$', 1) AS directive,
+        |         regexp_extract(lines[CAST(i AS INT)], '^([A-Za-z-]+):\s*(.*)$', 2) AS value
+        |  FROM ix)
+        |SELECT 'h' || CAST(hnum AS VARCHAR) || '.example.com' AS host,
+        |       line_no, directive,
+        |       CASE WHEN directive <> 'Crawl-delay' THEN value ELSE '' END AS path_prefix,
+        |       (directive = 'Allow') AS allow,
+        |       CASE WHEN directive = 'Crawl-delay'
+        |            THEN CAST(value AS BIGINT) * 1000 ELSE -1 END AS crawl_delay_ms
+        |FROM d
+        |WHERE directive IN ('Allow', 'Disallow', 'Crawl-delay')""".stripMargin,
     "q_fallback_chain" ->
       """WITH e AS (
         |  SELECT event_id, ts,

@@ -214,6 +214,44 @@ object ScanOps {
       unix_timestamp(coalesce(p1, p2, col("ts"))).as("parsed_epoch_s"))
   }
 
+  /** robots.txt parse (north rule: "enforces robots.txt rules") — the
+    * missing front half of the robots story: raw robots.txt text → the
+    * (host, path_prefix, allow, crawl_delay_ms) rules rows that
+    * `Scheduler.applyRobots` enforces by longest prefix. Pure string
+    * plan: split on newlines, posexplode, directive/value regexp —
+    * codegen'd, shuffle-free per host. The fixture synthesizes a
+    * deterministic robots body per host (the reference crawls without
+    * robots handling; this implements what its operators would need).
+    */
+  def robotsParse(spark: SparkSession, sfDir: String): DataFrame = {
+    val hosts = spark.read.parquet(s"$sfDir/events.parquet")
+      .select((col("event_id") % 7).as("hnum")).distinct()
+    val txt = concat(
+      lit("User-agent: *\nCrawl-delay: "), col("hnum").cast("string"),
+      lit("\nDisallow: /private"),
+      when(col("hnum") % 2 === 0, lit("\nAllow: /private/open"))
+        .otherwise(lit("")))
+    val dirRe = "^([A-Za-z-]+):\\s*(.*)$"
+    hosts.select(col("hnum"), txt.as("robots_txt"))
+      .select(col("hnum"), posexplode(split(col("robots_txt"), "\n")))
+      .withColumn("directive", regexp_extract(col("col"), dirRe, 1))
+      .withColumn("value", regexp_extract(col("col"), dirRe, 2))
+      .filter(col("directive").isin("Allow", "Disallow", "Crawl-delay"))
+      .select(
+        concat(lit("h"), col("hnum").cast("string"), lit(".example.com"))
+          .as("host"),
+        col("pos").cast("long").as("line_no"),
+        col("directive"),
+        // sentinel-typed (non-null) columns: '' / -1 mark "not this kind
+        // of directive" — consumers split on `directive`
+        when(col("directive") =!= "Crawl-delay", col("value")).otherwise("")
+          .as("path_prefix"),
+        (col("directive") === "Allow").as("allow"),
+        when(col("directive") === "Crawl-delay",
+          col("value").cast("long") * 1000).otherwise(-1L)
+          .as("crawl_delay_ms"))
+  }
+
   /** §2.7 — multi-listing union with ordinal re-index: the reference
     * concatenates two section listings and re-slices the head
     * (`(top + list_items)[:7]`, fiercepharma.py:64; scmp.py:103-110).

@@ -91,6 +91,33 @@ class PolitenessSpec extends SparkTestBase {
     assert(violations === 0.0)
   }
 
+  test("parsed robots.txt rules drive the gate end to end") {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val parsed = graft.operators.ScanOps.robotsParse(spark, sf())
+    // host-wide Crawl-delay joins onto the host's prefix rules
+    val delays = parsed.filter(col("directive") === "Crawl-delay")
+      .select(col("host"), col("crawl_delay_ms"))
+    val rules = parsed.filter(col("directive") =!= "Crawl-delay")
+      .select("host", "path_prefix", "allow")
+      .join(delays, Seq("host"), "left")
+      .withColumn("crawl_delay_ms",
+        coalesce(col("crawl_delay_ms"), lit(0L)).cast("int"))
+    val paths = Seq(
+      ("h0.example.com", "/private/x"),      // Disallow: /private
+      ("h0.example.com", "/private/open/y"), // h0 even → Allow: /private/open
+      ("h1.example.com", "/private/open/y"), // h1 odd → no Allow rule
+      ("h1.example.com", "/news/1")          // no match → default allow
+    ).toDF("host", "path")
+    val got = Scheduler.applyRobots(paths, rules, "host", "path")
+      .select("host", "path", "allowed")
+      .as[(String, String, Boolean)].collect()
+      .map { case (h, p, a) => (h, p) -> a }.toMap
+    assert(got(("h0.example.com", "/private/x")) === false)
+    assert(got(("h0.example.com", "/private/open/y")) === true)
+    assert(got(("h1.example.com", "/private/open/y")) === false)
+    assert(got(("h1.example.com", "/news/1")) === true)
+  }
+
   test("robots: longest matching prefix wins; default allow") {
     val rules = Seq(
       ("a.com", "/", true, 100),
