@@ -63,6 +63,11 @@ object FrontierProfile {
     t("filterUnseen (full)") {
       graft.seen.UrlSeen.filterUnseen(cand, segments, seen, "canonical_url", 32)
     }
+    t("filterUnseen (copart)") {
+      // the 10^10-scale path forced regardless of segment size
+      graft.seen.UrlSeen.filterUnseenCopartitioned(
+        cand, segments, seen, "canonical_url", 32)
+    }
     val unseen = graft.seen.UrlSeen
       .filterUnseen(cand, segments, seen, "canonical_url", 32)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
