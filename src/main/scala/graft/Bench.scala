@@ -120,7 +120,14 @@ object Bench {
         // and the measured "efficiency" goes superlinear (1.29 observed)
         // — as wrong a measurement as the shared-DRAM 0.32.
         val heapGb = math.max(4, 2 * cores)
-        val cmd = Seq(ts, "-c", s"0-${cores - 1}", javaBin) ++ jvmArgs ++
+        // pin to the TOP of the cpu range — keeps the arm clear of cpu0's
+        // kernel/IRQ work and of unpinned parent threads (which land low
+        // by default). Measured neutral on this VM (the ±50% drift is
+        // host-external: a 4-core arm read 22.2 s top-pinned and 23.8 s
+        // low-pinned in the same hour, vs 16.3 s on a quiet morning), but
+        // it removes one systematic confounder for free.
+        val nCpus = Runtime.getRuntime.availableProcessors
+        val cmd = Seq(ts, "-c", s"${nCpus - cores}-${nCpus - 1}", javaBin) ++ jvmArgs ++
           Seq(s"-Xmx${heapGb}g", "-cp", System.getProperty("java.class.path"),
             "graft.ScalingBench")
         val pb = new ProcessBuilder(cmd.asJava)
