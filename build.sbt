@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output passes straight through to this process's
+// stdout/stderr, UNPREFIXED — sbt's default LoggedOutput wraps every line
+// in "[info] ", which broke the driver's JSON-line parse of Bench output
+// two rounds running (BENCH_r0{1,2}.json "parsed": null).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -133,17 +133,32 @@ object Bench {
         val pb = new ProcessBuilder(cmd.asJava)
         pb.environment().put("SPARK_GRAFT_ARM", cores.toString)
         pb.environment().put("SPARK_GRAFT_FRONTIER_N", n.toString)
-        pb.environment().put("SPARK_GRAFT_ARM_RUNS", "1") // sampling lives in the interleaved rounds
+        // best-of-2 INSIDE the child (warm JVM, ~cheap second run): damps
+        // the ±50% host drift so the committed sample stands on its own
+        // (r2 "What's wrong" #2), on top of the interleaved-round minima.
+        pb.environment().put("SPARK_GRAFT_ARM_RUNS", "2")
         pb.redirectErrorStream(true)
+        // output to a file, not a pipe: a hung child must be killable by
+        // waitFor(timeout) without this thread blocking in readAllBytes
+        // (ADVICE r2) — and the file is still readable after the kill.
+        val outFile = java.io.File.createTempFile("graft-arm", ".out")
+        pb.redirectOutput(outFile)
         val proc = pb.start()
-        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-        val ok = proc.waitFor() == 0
+        val finished = proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+        if (!finished) {
+          proc.destroyForcibly()
+          proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+        }
+        val out = new String(java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
+        outFile.delete()
+        val ok = finished && proc.exitValue() == 0
         val sec = """"metric":"scaling_arm".*?"sec":([0-9.]+)""".r
           .findFirstMatchIn(out).map(_.group(1).toDouble)
         if (!ok || sec.isEmpty)
-          System.err.println(s"[bench] pinned arm cpus=$cores failed:\n" +
+          System.err.println(s"[bench] pinned arm cpus=$cores " +
+            s"${if (finished) "failed" else "TIMED OUT (killed)"}:\n" +
             out.linesIterator.toSeq.takeRight(15).mkString("\n"))
-        sec
+        if (ok) sec else None
       } catch { case e: Exception =>
         System.err.println(s"[bench] pinned arm spawn failed: $e"); None
       }
@@ -314,9 +329,11 @@ object Bench {
       s"""{"cores_small":${armCores(0)},"cores_large":${armCores(1)},"n":$scaleN,"pinned":$pinned,"sec_small":${f"${armSecs(0)}%.3f"},"sec_large":${f"${armSecs(1)}%.3f"},"urls_per_sec_small":${(scaleN / armSecs(0)).toLong},"urls_per_sec_large":${(scaleN / armSecs(1)).toLong},"efficiency":${f"$scalingEff%.3f"}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","cpus":$cpus,"frontier_n":$frontierN,"frontier_scheduled_rows":$frontierRows,"frontier_urls_per_sec":$urlsPerSec,"frontier_runs_sec":[${f"$run1Sec%.3f"},${f"$run2Sec%.3f"}],"frontier_stages":${jmap(stages)},"ann_recall_at_10":${f"$annRecall%.3f"},"scaling":$scalingJson}"""
+    // build.sbt sets outputStrategy := StdoutOutput, so this line reaches
+    // the driver's stdout tail UNPREFIXED (sbt's "[info] " wrapper broke
+    // the driver's parse in rounds 1-2); the file copy stays as the
+    // parse-proof record either way.
     println(line)
-    // the driver greps stdout through sbt's [info] prefix — the file copy
-    // is the parse-proof record (BENCH_r01.json came back "parsed": null)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_OUT.json"), line + "\n")
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.model.Fixtures
 import graft.pipeline.CrawlTick
+import graft.seen.SeenProbe
 import graft.store.FrontierStore
 
 /** spark-submit entry point for the frontier loop — the engine's analog of
@@ -13,7 +14,9 @@ import graft.store.FrontierStore
   * {{{
   * spark-submit --class graft.FrontierMain \
   *   target/scala-2.13/newscrawlerspark_2.13-0.1.0.jar \
-  *   <storeDir> [nSources] [nTicks] [--salted] [--compact-every=K]
+  *   <storeDir> [nSources] [nTicks] [--salted] [--compact-every=K] \
+  *   [--listings=<parquet>] [--pages=<parquet>] [--sources=<parquet>] \
+  *   [--robots=<parquet>] [--exact-probe]
   * }}}
   *
   * Each invocation RESUMES from the store's latest snapshot (north rule:
@@ -23,10 +26,29 @@ import graft.store.FrontierStore
   * rebuilt from URLs), and every tick commits atomically before the next
   * starts. Kill it anywhere; the next run continues from the last manifest.
   *
+  * The seen probe is the PRODUCTION path by default: the tick routes
+  * through `SeenProbe.BloomConfirm(store.segments, store.seen)` — the
+  * size-dispatched two-phase plan (broadcast probe for small segment sets,
+  * co-partitioned zip-probe at the 10^10 design point), fed by the store's
+  * persisted per-delta blooms. `--exact-probe` forces the plain join
+  * (debug / tiny stores).
+  *
+  * Inputs default to the deterministic fixtures; `--listings=`/`--pages=`
+  * (and optionally `--sources=`/`--robots=`) point the SAME pipeline at
+  * external parquet with the ListItem / PageRow / SourceSpec / RobotsRule
+  * schemas — the lifecycle demo runs over user data, not only fixtures.
+  * External listings are read per tick with a `tick` partition-pruning
+  * filter when a `tick` column exists.
+  *
   * One JSON metrics line per tick on stdout (snapshot id, rows, dedup
   * counters, wall seconds) — the structured-metrics contract.
   */
 object FrontierMain {
+
+  private def flag(args: Array[String], name: String): Option[String] =
+    args.collectFirst {
+      case a if a.startsWith(s"--$name=") => a.stripPrefix(s"--$name=")
+    }
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))
@@ -34,16 +56,20 @@ object FrontierMain {
     val nSources = pos.lift(1).map(_.toInt).getOrElse(20)
     val nTicks = pos.lift(2).map(_.toInt).getOrElse(2)
     val salted = args.contains("--salted")
-    val compactEvery = args.collectFirst {
-      case a if a.startsWith("--compact-every=") =>
-        a.stripPrefix("--compact-every=").toInt
-    }.getOrElse(0)
+    val exactProbe = args.contains("--exact-probe")
+    val compactEvery = flag(args, "compact-every").map(_.toInt).getOrElse(0)
+    val listingsPath = flag(args, "listings")
+    val pagesPath = flag(args, "pages")
+    val sourcesPath = flag(args, "sources")
+    val robotsPath = flag(args, "robots")
 
-    // spark-submit injects master/conf; default to local[*] when launched
-    // bare (e.g. from sbt) so the same main serves both paths
-    val spark = SparkSession.builder()
+    // spark-submit injects the master; set it explicitly for bare launches
+    // (sbt runMain) — getOrCreate() without any master throws (ADVICE r2)
+    val builder = SparkSession.builder()
       .appName("graft-frontier")
       .config("spark.sql.session.timeZone", "UTC")
+    val spark = (if (sys.props.get("spark.master").isEmpty)
+        builder.master("local[*]") else builder)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -58,20 +84,35 @@ object FrontierMain {
       case Some(m) => (m.fetchEpoch + 1).toInt.max(0)
     }
 
-    val sources = Fixtures.sourceSpecs(nSources).toDF()
-    val robots = Fixtures.robots(nSources).toDF()
+    val sources = sourcesPath.map(spark.read.parquet(_))
+      .getOrElse(Fixtures.sourceSpecs(nSources).toDF())
+    val robots = robotsPath.map(spark.read.parquet(_))
+      .getOrElse(Fixtures.robots(nSources).toDF())
 
     (startTick until startTick + nTicks).foreach { tick =>
       val t0 = System.nanoTime()
-      val listings = Fixtures.listItemsAt(spark, nSources, 30, tick).toDF()
-      val pages = Fixtures.pageStore(spark, nSources, maxTick = tick).toDF()
-      val t = CrawlTick.runTick(spark, listings, sources,
-        store.seen(spark), robots, pages, salted)
-      val m = store.commit(spark, t.emitted, t.stats, fetchEpoch = tick.toLong)
+      val listings = listingsPath.map { p =>
+        val df = spark.read.parquet(p)
+        // external multi-tick listing dumps carry a `tick` column; prune it
+        if (df.columns.contains("tick"))
+          df.filter(org.apache.spark.sql.functions.col("tick") === tick)
+            .drop("tick")
+        else df
+      }.getOrElse(Fixtures.listItemsAt(spark, nSources, 30, tick).toDF())
+      val pages = pagesPath.map(spark.read.parquet(_))
+        .getOrElse(Fixtures.pageStore(spark, nSources, maxTick = tick).toDF())
+      val probe: SeenProbe =
+        if (exactProbe) SeenProbe.Exact(store.seen(spark))
+        else SeenProbe.BloomConfirm(
+          store.segments(spark), store.seen(spark), store.nSegments)
+      val t = CrawlTick.runTick(spark, listings, sources, probe,
+        robots, pages, salted)
+      val m = store.commit(spark, t.emitted, t.stats, fetchEpoch = tick.toLong,
+        errors = Some(t.errors))
       t.cleanup() // release the tick's cached intermediates (ADVICE r1)
       val sec = (System.nanoTime() - t0) / 1e9
       println(
-        s"""{"tick":$tick,"snapshot":${m.snapshotId},"new_articles":${m.newArticles},"skipped":${m.skipped},"errors":${m.errors},"segments":${m.segmentCounts.size},"sec":${f"$sec%.2f"}}""")
+        s"""{"tick":$tick,"snapshot":${m.snapshotId},"new_articles":${m.newArticles},"skipped":${m.skipped},"errors":${m.errors},"segments":${m.segmentCounts.size},"probe":"${if (exactProbe) "exact" else "bloom"}","sec":${f"$sec%.2f"}}""")
       if (compactEvery > 0 && (tick + 1) % compactEvery == 0) {
         val c = store.compact(spark)
         println(s"""{"compaction":${c.snapshotId},"folded_deltas":true}""")

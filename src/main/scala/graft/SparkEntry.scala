@@ -68,13 +68,22 @@ object SparkEntry {
     //     q_canonicalize_urls + UrlCanonicalizerSpec) to FixtureDumpDir, so
     //     DuckDB replays the full select/caps/first-wins/politeness logic
     //     from raw inputs (VERDICT r1 #3). ---
+    // the tick runs the PRODUCTION seen-probe (BloomConfirm: segment
+    // prefilter + exact confirm, size-dispatched) — the oracle needs no
+    // change because every probe variant is exact (r2 ask #1: the at-scale
+    // path is what the flagship composition actually executes)
     "q_crawl_tick" -> ((s, _) => {
       import graft.model.Fixtures
       val nSources = 30
+      val seen = Fixtures.urlSeenSeed(s, nSources, 6).toDF()
+        .select("canonical_url")
+      val segments = graft.seen.UrlSeen.buildSegments(
+        seen, "canonical_url", nSegments = 16,
+        expectedItemsPerSegment = 4096L)
       graft.pipeline.CrawlTick.run(s,
         Fixtures.listItemsAt(s, nSources, 30, tick = 0).toDF(),
         { import s.implicits._; Fixtures.sourceSpecs(nSources).toDF() },
-        Fixtures.urlSeenSeed(s, nSources, 6).toDF().select("canonical_url"),
+        graft.seen.SeenProbe.BloomConfirm(segments, seen, 16),
         { import s.implicits._; Fixtures.robots(nSources).toDF() },
         Fixtures.pageStore(s, nSources, maxTick = 0).toDF(),
         salted = true)._1
@@ -303,7 +312,10 @@ object SparkEntry {
            |       CAST(FLOOR((host_rank - 1) / GREATEST(
            |         CAST(FLOOR(300000.0 / GREATEST(eff_delay, 1)) AS BIGINT), 1))
            |         AS BIGINT) AS fetch_epoch,
-           |       emit_idx, kind, language, source_idx, item_idx
+           |       emit_idx, kind, language,
+           |       '{"source":"' || source || '","kind":' ||
+           |         CAST(kind AS VARCHAR) || '}' AS metadata,
+           |       source_idx, item_idx
            |FROM hr""".stripMargin,
       "q_image_meta" ->
         s"""SELECT image_id, fmt, w, h,
@@ -522,8 +534,8 @@ object SparkEntry {
          |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
          |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
          |  FROM tok),
-         |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
-         |shh AS (SELECT doc_id, ${h60("sh")} & 1073741823 AS hb FROM sh),
+         |sh AS (SELECT DISTINCT doc_id, ${h60("sh")} AS shh FROM sh0),
+         |shh AS (SELECT doc_id, shh & 1073741823 AS hb FROM sh),
          |mh AS (
          |  SELECT doc_id, CAST(s AS BIGINT) AS seed,
          |         MIN(((((s * 2654435761) % 1048573) + 1) * hb
@@ -609,7 +621,7 @@ object SparkEntry {
            |  SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
            |  FROM pairs p
            |  JOIN sh sa ON sa.doc_id = p.doc_a
-           |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+           |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shh = sa.shh
            |  GROUP BY 1, 2)
            |SELECT p.doc_a, p.doc_b,
            |       COALESCE(i.inter, 0) AS inter,
@@ -627,7 +639,7 @@ object SparkEntry {
            |  SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
            |  FROM pairs p
            |  JOIN sh sa ON sa.doc_id = p.doc_a
-           |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+           |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shh = sa.shh
            |  GROUP BY 1, 2),
            |dup AS (
            |  SELECT p.doc_a, p.doc_b

@@ -110,7 +110,18 @@ final case class CrawlResult(
     fetch_epoch: Long, // deterministic politeness epoch (replaces wall clock)
     emit_idx: Long, // global crawl-order ordinal (T4)
     kind: Int,
-    language: String
+    language: String,
+    metadata: String // JSON string (reference P12, create_bigquery_table.sql:24)
+)
+
+/** A captured fetch failure (reference keeps tracebacks, main.py:342-347;
+  * we keep the row + reason — SURVEY §2.9 C5's errors Dataset).
+  */
+final case class FetchError(
+    canonical_url: String,
+    source: String,
+    item_idx: Int,
+    reason: String
 )
 
 /** Per-source run stats (reference: scrapers/base_scraper.py:31). */

@@ -46,7 +46,7 @@ object TrainingOps {
     * Write is atomic (temp dir + ATOMIC_MOVE) so a concurrent reader never
     * sees a half-written cache.
     */
-  private val CacheVersion = "v3"
+  private val CacheVersion = "v4" // v4: shingle cache carries h60, not strings
 
   private def cachedParquet(spark: SparkSession, sfDir: String, name: String)(
       build: => DataFrame): DataFrame = {
@@ -181,8 +181,16 @@ object TrainingOps {
     d.unionByName(mutated)
   }
 
-  /** Distinct word-3-gram shingles per corpus doc (parquet-cached: feeds
-    * four consumers across three driver-independent queries).
+  /** Distinct word-3-gram shingles per corpus doc, carried as 60-bit md5
+    * hashes `shh` — NOT strings (r2 ask #7: the dedup shuffle and the
+    * downstream Jaccard-intersection join move 16-byte (doc_id, long)
+    * rows instead of ~30-char strings; the md5 is still computed exactly
+    * once per exploded shingle instance). Distinctness and intersection on
+    * h60 equal the string forms up to 60-bit collisions within one
+    * document (~n²/2^61 — nil), and the DuckDB oracle hashes BEFORE its
+    * DISTINCT too, so both engines compute the identical quantity.
+    * Parquet-cached: feeds four consumers across three driver-independent
+    * queries.
     */
   def shingles(spark: SparkSession, sfDir: String): DataFrame =
     cachedParquet(spark, sfDir, "shingles") {
@@ -198,7 +206,8 @@ object TrainingOps {
                 element_at(col("t"), i + 2))))
             .otherwise(array()))
         .select(col("doc_id"), explode(col("sh")).as("sh"))
-        .dropDuplicates("doc_id", "sh")
+        .select(col("doc_id"), hash60(col("sh")).as("shh"))
+        .dropDuplicates("doc_id", "shh")
     }
 
   /** Per-seed affine-mix constants for MinHash (universal-hash family over
@@ -225,7 +234,7 @@ object TrainingOps {
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     cachedParquet(spark, sfDir, "minhash") {
       val withH = shingles(spark, sfDir)
-        .withColumn("hb", hash60(col("sh")).bitwiseAND(lit((1L << 30) - 1)))
+        .withColumn("hb", col("shh").bitwiseAND(lit((1L << 30) - 1)))
       val mins = (0 until MinhashSeeds).map { s =>
         min((lit(mixA(s)) * col("hb") + lit(mixB(s))) % lit(MixM)).as(s"m$s")
       }
@@ -303,8 +312,8 @@ object TrainingOps {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pairs = lshCandidatePairs(spark, sfDir)
     val inter = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("shh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shh")), Seq("doc_b", "shh"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -336,38 +345,83 @@ object TrainingOps {
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val dup = jaccardVerifiedPairs(spark, sfDir)
       .filter(col("is_dup")).select("doc_a", "doc_b")
+    dupClustersFromPairs(dup)._1
+  }
+
+  /** Connected components over an undirected pair graph → (labels, passes).
+    *
+    * Min-label propagation WITH POINTER DOUBLING (r2 asks: "change
+    * detection inside the propagation pass" + ADVICE "doubling-style
+    * propagation so convergence is O(log diameter)"):
+    *
+    *  - each pass does ONE edge⨝labels propagation (per-node min over
+    *    neighbors) and ONE labels⨝labels shortcut (label ← label's label —
+    *    valid because labels are always node ids of the same component,
+    *    and monotonically non-increasing). The combination converges in
+    *    O(log diameter) passes where plain propagation needs O(diameter) —
+    *    proof-tested on a 64-node path graph (DupClustersSpec);
+    *  - change detection is IN-PASS: the old label rides along the
+    *    propagation frame, so the per-pass `count()` action (the loop's
+    *    only driver value) reads the already-persisted pass output instead
+    *    of paying a labels⨝next join — r2's "What's wrong" #3 halved;
+    *  - non-convergence is LOUD (ADVICE r2): a component with diameter
+    *    > 2^maxPasses would silently mislabel — throw instead.
+    *
+    * Deterministic: the fixpoint is the component minimum regardless of
+    * schedule. At 10^10 scale every per-pass operator is a uniform-key
+    * shuffle (doc ids); the driver never holds data, only a change count.
+    */
+  def dupClustersFromPairs(dup: DataFrame, maxPasses: Int = 25)
+      : (DataFrame, Int) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val fwd = dup.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
+    // eager localCheckpoint per pass TRUNCATES LINEAGE: each pass references
+    // its predecessor twice (propagation + shortcut self-join), so a plain
+    // persist chain grows the logical plan ~4× per pass — the analyzer/AQE
+    // plan-string work alone OOMs past ~7 passes. Checkpointing pins each
+    // pass's result as a materialized leaf; plan size stays O(1) in passes.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var converged = false
-    var iter = 0
-    while (!converged && iter < 25) {
+    var pass = 0
+    while (!converged && pass < maxPasses) {
+      // propagation: per-node min over neighbor labels (old label kept)
       val prop = edges.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min("label").as("nlabel"))
-      val next = labels.as("l")
+      val stepped = labels.as("l")
         .join(prop, col("doc_id") === col("dst"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("l.label").as("old"),
           least(col("l.label"), coalesce(col("nlabel"), col("l.label")))
+            .as("mid"))
+        .persist(lvl)
+      // shortcut (pointer doubling): label ← label's label
+      val next = stepped.as("s")
+        .join(stepped.select(col("doc_id").as("__ld"), col("mid").as("__lmid")),
+          col("s.mid") === col("__ld"), "left")
+        .select(col("s.doc_id").as("doc_id"), col("s.old").as("old"),
+          least(col("s.mid"), coalesce(col("__lmid"), col("s.mid")))
             .as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changes = next
-        .join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist(blocking = false)
+        .localCheckpoint() // eager — materializes the pass
+      val changes = next.filter(col("label") =!= col("old")).count()
+      stepped.unpersist(blocking = false)
       labels = next
       converged = changes == 0
-      iter += 1
+      pass += 1
     }
     edges.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxPasses passes — component " +
+          "diameter exceeds 2^passes; raise maxPasses")
     // the final labels stay cached — they back the returned plan (lineage
     // re-runs the whole propagation if dropped before consumption)
-    labels.select(
+    (labels.select(
       col("doc_id"), col("label").as("cluster_id"),
-      (col("doc_id") === col("label")).as("is_keeper"))
+      (col("doc_id") === col("label")).as("is_keeper")), pass)
   }
 
   // ===================================== image near-dup (phash Hamming) ===
@@ -547,7 +601,26 @@ object TrainingOps {
     * width) and the verify is candidates-only — the same
     * prefilter-then-confirm shape as the URL-seen and MinHash paths.
     */
-  def cosineNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Rough serialized row size of a (vec_id, 64×BIGINT array) corpus row —
+    * used by [[cosineNearDups]]'s broadcast/shuffle dispatch.
+    */
+  val CosineCorpusRowBytes = 600L
+  val DefaultCosineMaxBroadcastBytes: Long = 256L << 20 // 256 MiB
+
+  def cosineNearDups(spark: SparkSession, sfDir: String): DataFrame =
+    cosineNearDups(spark, sfDir, DefaultCosineMaxBroadcastBytes)
+
+  /** @param maxBroadcastBytes corpus-size gate for the verify re-join:
+    *   below it the corpus broadcasts (two BHJs, zero shuffle of the
+    *   candidate pairs); above it the re-join runs as shuffle-hash joins
+    *   co-partitioned on vec_id — uniform keys, no driver-side build, the
+    *   100 TB-safe path (r2 ask #3: the forced broadcast was a driver OOM
+    *   by construction at scale). Same size-dispatch shape as
+    *   UrlSeen.filterUnseen. Results identical on both paths (plan-gated
+    *   in PlanQualitySpec with the threshold forced to 0).
+    */
+  def cosineNearDups(spark: SparkSession, sfDir: String,
+      maxBroadcastBytes: Long): DataFrame = {
     val base = embeddings(spark, sfDir)
       .select(col("vec_id"), quantized(col("embedding")).as("q"))
     val twins = base.select(
@@ -555,6 +628,11 @@ object TrainingOps {
       transform(col("q"),
         (x, i) => when(i === 0, x + 100).otherwise(x)).as("q"))
     val corpus = base.unionByName(twins)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one cheap count sizes the dispatch (the corpus is consumed by the
+    // bucket build + both verify sides anyway — the persist pays for itself)
+    val corpusBytes = corpus.count() * CosineCorpusRowBytes
+    val broadcastCorpus = corpusBytes <= maxBroadcastBytes
     // 16 hyperplane signs → 4 bands × 4 bits (same banding as the ANN path)
     val planes = broadcast(lshPlaneDf(spark))
     val buckets = corpus.join(planes)
@@ -580,11 +658,14 @@ object TrainingOps {
     val cand = a.join(b, col("band") === col("band_b") &&
         col("band_val") === col("val_b") && col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
+    val sideA = corpus.select(col("vec_id").as("vec_a"), col("q").as("qa"))
+    val sideB = corpus.select(col("vec_id").as("vec_b"), col("q").as("qb"))
+    val (ja, jb) =
+      if (broadcastCorpus) (broadcast(sideA), broadcast(sideB))
+      else (sideA.hint("shuffle_hash"), sideB.hint("shuffle_hash"))
     cand
-      .join(broadcast(corpus.select(col("vec_id").as("vec_a"), col("q").as("qa"))),
-        Seq("vec_a"))
-      .join(broadcast(corpus.select(col("vec_id").as("vec_b"), col("q").as("qb"))),
-        Seq("vec_b"))
+      .join(ja, Seq("vec_a"))
+      .join(jb, Seq("vec_b"))
       .withColumn("dot", intDot(col("qa"), col("qb")))
       .withColumn("na2", intDot(col("qa"), col("qa")))
       .withColumn("nb2", intDot(col("qb"), col("qb")))

@@ -59,9 +59,13 @@ import graft.politeness.Scheduler
   *    cardinality is the fan-out unit; the heavy per-host politeness window
   *    uses the salted two-stage rank (Scheduler.saltedHostRank) so one
   *    mega-host never lands in one task;
-  *  - the snapshot-seen probe is the two-phase Bloom + exact-confirm join
-  *    (graft.seen.UrlSeen) once the seen table outgrows a broadcast;
-  *    here it is a plain left join on canonical_url — both are exact;
+  *  - the snapshot-seen probe is strategy-dispatched ([[graft.seen.SeenProbe]]):
+  *    SeenProbe.Exact is a plain left join (small scale / oracle parity);
+  *    SeenProbe.BloomConfirm routes through UrlSeen.flagSeen — Bloom-segment
+  *    prefilter (broadcast ≤ 1 GiB of segments, co-partitioned zip-probe
+  *    above, no driver collect) + exact confirm — the path FrontierMain
+  *    feeds from the store's persisted per-delta blooms. All variants
+  *    produce the identical truth table;
   *  - the fetch/page join carries narrow columns only (canonical_url,
   *    image_id, caption); image bytes are joined at the sink, never
   *    shuffled through the pipeline (SURVEY.md §7.4.6);
@@ -76,10 +80,14 @@ object CrawlTick {
     *
     * @param listings  (source, page_idx, item_idx, url, title, ...)
     * @param sources   SourceSpec rows (tiny → broadcast)
-    * @param seenSnapshot one column `canonical_url` — tick-start URL-seen
+    * @param probe     the snapshot-seen probe strategy: SeenProbe.Exact for
+    *                  small scale / oracle parity, SeenProbe.BloomConfirm
+    *                  for the 10^10 path (size-dispatched broadcast vs
+    *                  co-partitioned probe + exact confirm). All variants
+    *                  produce the identical truth table.
     * @param robots    (host, path_prefix, allow, crawl_delay_ms) (tiny → broadcast)
     */
-  def select(listings: DataFrame, sources: DataFrame, seenSnapshot: DataFrame,
+  def select(listings: DataFrame, sources: DataFrame, probe: graft.seen.SeenProbe,
       robots: DataFrame): DataFrame = {
     val spec = broadcast(sources.select("source", "source_idx", "dedup_policy",
       "list_cap", "save_cap", "crawl_delay_ms", "language", "kind"))
@@ -95,14 +103,9 @@ object CrawlTick {
     // gate (c): robots longest-prefix — broadcast join, codegen'd match
     val withRobots = Scheduler.applyRobots(considered, robots, "host", "path")
 
-    // snapshot-seen probe (exact; swap in UrlSeen.filterUnseen's two-phase
-    // plan at scale — same truth table, bounded build side)
-    val probed = withRobots.join(
-      seenSnapshot.select(col("canonical_url").as("__snap_url"))
-        .withColumn("__snap", lit(true)),
-      col("canonical_url") === col("__snap_url"), "left")
-      .withColumn("snapshot_seen", coalesce(col("__snap"), lit(false)))
-      .drop("__snap_url", "__snap")
+    // snapshot-seen probe — strategy-dispatched, exact on every path
+    val probed = graft.seen.UrlSeen.flagSeen(
+      withRobots, probe, "canonical_url", "snapshot_seen")
 
     val eligible = col("ok_title") && col("allowed")
 
@@ -137,6 +140,11 @@ object CrawlTick {
           .otherwise(lit(null).cast("string")))
   }
 
+  /** Legacy shape: exact-join probe over the snapshot DataFrame. */
+  def select(listings: DataFrame, sources: DataFrame, seenSnapshot: DataFrame,
+      robots: DataFrame): DataFrame =
+    select(listings, sources, graft.seen.SeenProbe.Exact(seenSnapshot), robots)
+
   /** selected rows × page store → fetched rows + per-source error counts.
     * pages carries only narrow columns (no bytes) — see scale notes.
     */
@@ -161,21 +169,43 @@ object CrawlTick {
     (t.emitted, t.stats)
   }
 
+  /** [[run]] with an explicit probe strategy (scale path). */
+  def run(spark: SparkSession, listings: DataFrame, sources: DataFrame,
+      probe: graft.seen.SeenProbe, robots: DataFrame, pages: DataFrame,
+      salted: Boolean): (DataFrame, DataFrame) = {
+    val t = runTick(spark, listings, sources, probe, robots, pages, salted)
+    (t.emitted, t.stats)
+  }
+
   /** One tick's outputs plus an explicit cache-release hook. The tick
     * `.cache()`s two multiply-consumed intermediates; a long-running driver
     * looping ticks MUST call `cleanup()` after materializing (committing)
     * the outputs, or cached blocks accumulate across ticks (ADVICE r1).
     * [[run]] keeps the old shape for single-shot callers whose caches die
     * with the session.
+    *
+    * `errors` CAPTURES the failed rows, not just their count (r2 gap #5 —
+    * the reference keeps the tracebacks, main.py:342-347): one row per
+    * claimed-but-failed fetch, (canonical_url, source, item_idx, reason).
+    * FrontierStore.commit persists it under the snapshot's lineage.
     */
   final case class TickResult(emitted: DataFrame, stats: DataFrame,
-      cleanup: () => Unit)
+      errors: DataFrame, cleanup: () => Unit)
 
   def runTick(spark: SparkSession, listings: DataFrame, sources: DataFrame,
       seenSnapshot: DataFrame, robots: DataFrame, pages: DataFrame,
-      salted: Boolean = false): TickResult = {
+      salted: Boolean = false): TickResult =
+    runTick(spark, listings, sources,
+      graft.seen.SeenProbe.Exact(seenSnapshot), robots, pages, salted)
 
-    val flagged = select(listings, sources, seenSnapshot, robots).cache()
+  /** [[runTick]] with an explicit probe strategy — the production
+    * composition (FrontierMain routes store.segments() through here).
+    */
+  def runTick(spark: SparkSession, listings: DataFrame, sources: DataFrame,
+      probe: graft.seen.SeenProbe, robots: DataFrame, pages: DataFrame,
+      salted: Boolean): TickResult = {
+
+    val flagged = select(listings, sources, probe, robots).cache()
 
     val fetched = fetchJoin(flagged.filter(col("selected")), pages)
 
@@ -217,7 +247,12 @@ object CrawlTick {
         md5(col("canonical_url")).as("id"),
         col("canonical_url"), col("source"), col("title"), col("caption"),
         col("image_id"), col("host"), col("fetch_epoch"), col("emit_idx"),
-        col("kind"), col("language"), col("source_idx"), col("item_idx"))
+        col("kind"), col("language"),
+        // P12: the reference table's metadata JSON column
+        // (create_bigquery_table.sql:24, serialized utils/bigquery_client
+        // .py:320-322) — deterministic provenance payload
+        to_json(struct(col("source"), col("kind"))).as("metadata"),
+        col("source_idx"), col("item_idx"))
 
     // per-source stats (A1): new/skipped/errors
     val skips = flagged
@@ -240,7 +275,15 @@ object CrawlTick {
           coalesce(col("xsrc_losses"), lit(0L))).as("skipped"),
         coalesce(col("errors"), lit(0L)).as("errors"))
 
-    TickResult(emitted, stats,
+    // C5: error rows captured, not just counted — every claimed candidate
+    // whose fetch failed (status ≠ 200 or no page row), with the reason
+    val errorRows = deduped.filter(!col("fetch_ok"))
+      .select(
+        col("canonical_url"), col("source"), col("item_idx"),
+        when(col("status").isNull, lit("missing_page"))
+          .otherwise(concat(lit("http_"), col("status"))).as("reason"))
+
+    TickResult(emitted, stats, errorRows,
       () => { flagged.unpersist(); deduped.unpersist(); () })
   }
 }

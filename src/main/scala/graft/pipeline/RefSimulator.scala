@@ -24,7 +24,8 @@ object RefSimulator {
 
   final case class SimEmit(
       canonicalUrl: String, source: String, title: String, caption: String,
-      imageId: String, host: String, fetchEpoch: Long, emitIdx: Long)
+      imageId: String, host: String, fetchEpoch: Long, emitIdx: Long,
+      metadata: String)
 
   final case class SimStats(source: String, newArticles: Long, skipped: Long,
       errors: Long)
@@ -144,7 +145,9 @@ object RefSimulator {
         imageId = e.page.image_id,
         host = e.sel.host,
         fetchEpoch = (rank - 1) / budget,
-        emitIdx = (e.sel.spec.source_idx.toLong << 32) | e.sel.item.item_idx.toLong)
+        emitIdx = (e.sel.spec.source_idx.toLong << 32) | e.sel.item.item_idx.toLong,
+        // same serialization as Spark's to_json(struct(source, kind))
+        metadata = s"""{"source":"${e.sel.spec.source}","kind":${e.sel.spec.kind}}""")
     }.toVector
 
     SimResult(

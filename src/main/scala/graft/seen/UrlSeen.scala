@@ -280,6 +280,93 @@ object UrlSeen {
 
   def pmodLong(h: Long, n: Int): Long = ((h % n) + n) % n
 
+  // ------------------------------------------------------------- flag form
+
+  /** FLAG (not filter) form of the two-phase probe — what the crawl tick
+    * needs: every candidate row kept, plus an exact boolean `flagCol` =
+    * "url ∈ seen". (The tick cannot filter: stop-at-first-seen and the
+    * skipped-counter semantics consume the seen rows too.)
+    *
+    * Same physical dispatch as [[filterUnseen]]: Bloom-negative rows
+    * short-circuit to false without ever touching the confirm join;
+    * Bloom-positive rows are confirmed with a dup-safe left-semi/anti pair
+    * against the true seen table (shuffle-hash, uniform url keys). Exact at
+    * any FPP.
+    */
+  def flagSeen(candidates: DataFrame, probe: SeenProbe, urlCol: String,
+      flagCol: String): DataFrame = probe match {
+    case SeenProbe.Exact(seen) =>
+      val seenSel = seen.select(col(urlCol).as("__seen_url"))
+        .withColumn("__s", lit(true))
+      candidates.join(seenSel, candidates(urlCol) === col("__seen_url"), "left")
+        .withColumn(flagCol, coalesce(col("__s"), lit(false)))
+        .drop("__seen_url", "__s")
+    case SeenProbe.BloomConfirm(segments, seen, nSegments, maxBroadcastBytes) =>
+      val segsCached = segments.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val totalBytes = segsCached
+        .agg(coalesce(sum(length(col("bloom"))), lit(0L))).collect()(0).getLong(0)
+      val flagged =
+        if (totalBytes <= maxBroadcastBytes) {
+          val out = flagMaybeBroadcast(candidates, segsCached, urlCol, nSegments)
+          segsCached.unpersist(blocking = false)
+          out
+        } else flagMaybeCopartitioned(candidates, segsCached, urlCol, nSegments)
+      val neg = flagged.filter(!col("__maybe"))
+        .withColumn(flagCol, lit(false)).drop("__maybe")
+      val pos = flagged.filter(col("__maybe")).drop("__maybe")
+      val seenSel = seen.select(col(urlCol).as("__seen_url")).hint("shuffle_hash")
+      val posSeen = pos.join(seenSel, pos(urlCol) === col("__seen_url"),
+        "left_semi").withColumn(flagCol, lit(true))
+      val posNew = pos.join(seenSel, pos(urlCol) === col("__seen_url"),
+        "left_anti").withColumn(flagCol, lit(false))
+      neg.unionByName(posSeen).unionByName(posNew)
+  }
+
+  /** candidates + boolean `__maybe` via the broadcast codegen probe. */
+  private def flagMaybeBroadcast(candidates: DataFrame, segments: DataFrame,
+      urlCol: String, nSegments: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    val segsArr = new Array[Array[Byte]](nSegments)
+    segments.collect().foreach { r =>
+      segsArr(r.getLong(0).toInt) = r.getAs[Array[Byte]]("bloom")
+    }
+    val bc = spark.sparkContext.broadcast(segsArr)
+    val probe = Bridge.column(BloomSegmentsProbe(
+      Bridge.expression(urlHash(col(urlCol))), bc))
+    candidates.withColumn("__maybe", probe)
+  }
+
+  /** candidates + `__maybe` via the co-partitioned zip probe (10^10 path —
+    * no driver collect, segment bytes stream once per task).
+    */
+  private def flagMaybeCopartitioned(candidates: DataFrame, segments: DataFrame,
+      urlCol: String, nSegments: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    val cand = candidates
+      .withColumn("__h", urlHash(col(urlCol)))
+      .withColumn("__seg", segmentOf(col("__h"), nSegments))
+      .repartition(nSegments, col("__seg"))
+    val segs = segments
+      .select(col("seg").cast("long").as("seg"), col("bloom"))
+      .repartition(nSegments, col("seg"))
+    val schema = cand.schema.add("__maybe", BooleanType, nullable = false)
+    val hIdx = cand.schema.fieldIndex("__h")
+    val flaggedRdd = cand.rdd.zipPartitions(segs.rdd) { (candIt, segIt) =>
+      val blooms = scala.collection.mutable.LongMap[Array[Byte]]()
+      segIt.foreach(r => blooms(r.getLong(0)) = r.getAs[Array[Byte]](1))
+      candIt.map { r =>
+        val h = r.getLong(hIdx)
+        val maybe = blooms.get(pmodLong(h, nSegments)) match {
+          case Some(b) => BloomFilter.mightContainSerialized(b, h)
+          case None => false
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ maybe)
+      }
+    }
+    spark.createDataFrame(flaggedRdd, schema).drop("__h", "__seg")
+  }
+
   /** Exact confirm: left-anti vs the true seen table. Pinned to
     * shuffle-hash — keys are uniform url hashes (no skew), SHJ avoids both
     * the sort of SMJ and AQE's occasional driver-side broadcast conversion
@@ -296,4 +383,31 @@ object UrlSeen {
       urlCol: String): DataFrame =
     candidates.join(seen.select(col(urlCol).as("__seen_url")),
       candidates(urlCol) === col("__seen_url"), "left_anti")
+}
+
+/** How a pipeline stage probes the URL-seen state. Closes the r2 gap
+  * ("the flagship tick never uses the scale seen-probe"): CrawlTick takes a
+  * SeenProbe, so the production composition routes through the same
+  * size-dispatched two-phase plan the 10^10 design point needs, while small
+  * fixtures/oracle runs keep the plain join. Results are EXACT on every
+  * variant — the Bloom only bounds the confirm join's input.
+  */
+sealed trait SeenProbe {
+  /** The exact seen table (one column: the canonical URL). */
+  def seen: DataFrame
+}
+
+object SeenProbe {
+  /** Plain left join vs the full seen table — small scale / oracle parity. */
+  final case class Exact(seen: DataFrame) extends SeenProbe
+
+  /** Bloom-segment prefilter + exact confirm; dispatches broadcast-probe vs
+    * co-partitioned zip-probe on total segment bytes (UrlSeen.flagSeen).
+    * `segments` is FrontierStore.segments() at scale — persisted per-delta
+    * blooms OR-merged, never rebuilt from URLs.
+    */
+  final case class BloomConfirm(segments: DataFrame, seen: DataFrame,
+      nSegments: Int,
+      maxBroadcastBytes: Long = UrlSeen.DefaultMaxBroadcastSegmentBytes)
+    extends SeenProbe
 }

@@ -49,7 +49,7 @@ import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField
   * Time-travel: any read takes an optional snapshot id; the manifest chain
   * (parent pointers) gives the file set as of that snapshot.
   */
-final class FrontierStore(rootDir: String, nSegments: Int = 16,
+final class FrontierStore(rootDir: String, val nSegments: Int = 16,
     bloomItemsPerSegment: Long = 100000L, bloomFpp: Double = 1e-6) {
 
   private val root: Path = Paths.get(rootDir)
@@ -81,6 +81,7 @@ final class FrontierStore(rootDir: String, nSegments: Int = 16,
        |  "articles_path": ${optStr(m.articlesPath)},
        |  "seen_delta_path": ${optStr(m.seenDeltaPath)},
        |  "bloom_path": ${optStr(m.bloomPath)},
+       |  "errors_path": ${optStr(m.errorsPath)},
        |  "segment_counts": $segs,
        |  "metrics": {"new_articles": ${m.newArticles}, "skipped": ${m.skipped}, "errors": ${m.errors}}
        |}""".stripMargin
@@ -107,6 +108,7 @@ final class FrontierStore(rootDir: String, nSegments: Int = 16,
       articlesPath = str("articles_path"),
       seenDeltaPath = str("seen_delta_path"),
       bloomPath = str("bloom_path"),
+      errorsPath = str("errors_path"),
       segmentCounts = segs,
       newArticles = num("new_articles"),
       skipped = num("skipped"),
@@ -208,10 +210,28 @@ final class FrontierStore(rootDir: String, nSegments: Int = 16,
     * @param stats    per-source (new_articles, skipped, errors)
     */
   def commit(spark: SparkSession, emitted: DataFrame, stats: DataFrame,
-      fetchEpoch: Long): Manifest = {
+      fetchEpoch: Long, errors: Option[DataFrame] = None): Manifest = {
     init()
     val id = snapshotIds().lastOption.map(_ + 1).getOrElse(0)
     val parent = id - 1
+
+    // error-row lineage (C5): failed fetches persist with the snapshot —
+    // written before the manifest, invisible until the manifest lands
+    val errorsRel = errors.flatMap { e =>
+      val persisted = e.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = persisted.count()
+      val rel =
+        if (n == 0L) None
+        else {
+          val r = s"data/errors/snap-$id"
+          persisted.write.mode(SaveMode.Overwrite)
+            .parquet(root.resolve(r).toString)
+          Some(r)
+        }
+      persisted.unpersist(blocking = false)
+      rel
+    }
 
     // one materialization point feeds the row-count gate, the article
     // write and the seen delta
@@ -246,7 +266,7 @@ final class FrontierStore(rootDir: String, nSegments: Int = 16,
     persisted.unpersist(blocking = false)
 
     writeManifest(Manifest(id, parent, KindDelta, fetchEpoch, articlesRel,
-      seenRel, bloomRel, segCounts, tl(0), tl(1), tl(2)))
+      seenRel, bloomRel, errorsRel, segCounts, tl(0), tl(1), tl(2)))
   }
 
   /** Seed the store with a pre-existing seen set as snapshot 0 (the analog
@@ -257,7 +277,7 @@ final class FrontierStore(rootDir: String, nSegments: Int = 16,
     require(snapshotIds().isEmpty, "initSeen on a non-empty store")
     val (seenRel, bloomRel, segCounts) = writeSeenDelta(spark, seen, 0)
     writeManifest(Manifest(0, -1, KindDelta, -1L, None, Some(seenRel),
-      Some(bloomRel), segCounts, 0L, 0L, 0L))
+      Some(bloomRel), None, segCounts, 0L, 0L, 0L))
   }
 
   /** Fold the current seen-delta chain into one baseline snapshot.
@@ -273,7 +293,7 @@ final class FrontierStore(rootDir: String, nSegments: Int = 16,
     val (seenRel, bloomRel, segCounts) = writeSeenDelta(spark, full, id)
     val parentEpoch = manifest(latestId).fetchEpoch
     writeManifest(Manifest(id, latestId, KindCompaction, parentEpoch, None,
-      Some(seenRel), Some(bloomRel), segCounts, 0L, 0L, 0L))
+      Some(seenRel), Some(bloomRel), None, segCounts, 0L, 0L, 0L))
   }
 
   // ----------------------------------------------------------------- reads
@@ -332,6 +352,26 @@ final class FrontierStore(rootDir: String, nSegments: Int = 16,
       .toDF("seg", "bloom")
   }
 
+  /** Captured fetch-error rows as of snapshot `asOf` (default: latest) —
+    * full-chain lineage read (canonical_url, source, item_idx, reason).
+    * Empty DataFrame when no tick captured failures.
+    */
+  def errors(spark: SparkSession, asOf: Option[Int] = None): DataFrame = {
+    val id = asOf.orElse(snapshotIds().lastOption)
+      .getOrElse(throw new IllegalStateException("empty store"))
+    val paths = chain(id).flatMap(_.errorsPath)
+      .map(p => root.resolve(p).toString)
+    val errSchema = StructType(Seq(
+      StructField("canonical_url", StringType),
+      StructField("source", StringType),
+      StructField("item_idx", org.apache.spark.sql.types.IntegerType),
+      StructField("reason", StringType)))
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], errSchema)
+    else paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+  }
+
   /** Articles as of snapshot `asOf` (default: latest) — time-travel read.
     * Walks the FULL chain (compaction does not fold article history).
     */
@@ -362,6 +402,7 @@ object FrontierStore {
       articlesPath: Option[String],
       seenDeltaPath: Option[String], // None ⇔ idle tick (zero emissions)
       bloomPath: Option[String],
+      errorsPath: Option[String], // None ⇔ no captured fetch failures
       // lineage: frontier segment id -> rows added to seen in this snapshot
       segmentCounts: Map[Int, Long],
       // the tick's A1/A2 metrics

@@ -99,6 +99,47 @@ object StreamingFrontier {
       }
   }
 
+  /** End-to-end streaming sink (r2 ask #6): the deduped candidate stream
+    * commits into a [[graft.store.FrontierStore]] snapshot per micro-batch
+    * via foreachBatch — the streaming form of the reference's
+    * every-invocation-persists contract (main.py:349-361 →
+    * insert_rows_json).
+    *
+    * Exactly-once across restarts: Structured Streaming replays the last
+    * un-checkpointed batch after a kill, so the sink is made IDEMPOTENT by
+    * an epoch guard — a batch whose id is ≤ the store's last committed
+    * fetch epoch is skipped (the snapshot already landed; the manifest is
+    * the commit point). Batch id = fetch epoch, so the snapshot chain is
+    * the batch chain.
+    *
+    * The per-source batch counts become the manifest's A1 metrics;
+    * schedule columns (host_rank/fetch_epoch via [[politenessStream]])
+    * compose upstream of this sink when pacing is needed.
+    */
+  def sinkToStore(deduped: Dataset[Candidate], storeDir: String,
+      checkpointDir: String, nSegments: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    deduped.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Candidate], batchId: Long) =>
+        val store = new graft.store.FrontierStore(storeDir, nSegments).init()
+        val alreadyCommitted = store.latest().exists(_.fetchEpoch >= batchId)
+        if (!alreadyCommitted) {
+          val emitted = batch.toDF()
+            .withColumn("language", lit("und")) // stream carries no lang-id
+          val stats = batch.toDF().groupBy("source")
+            .agg(count(lit(1)).as("new_articles"))
+            .withColumn("skipped", lit(0L))
+            .withColumn("errors", lit(0L))
+          store.commit(batch.sparkSession, emitted, stats,
+            fetchEpoch = batchId)
+          ()
+        }
+      }
+      .start()
+  }
+
   def dedupStream(cands: Dataset[Candidate]): Dataset[Candidate] = {
     val spark = cands.sparkSession
     import spark.implicits._

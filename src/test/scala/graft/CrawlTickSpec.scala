@@ -25,14 +25,29 @@ class CrawlTickSpec extends SparkTestBase {
     (listingsDs, sources, robots, pagesDs, seenDs)
   }
 
-  private def runBoth(salted: Boolean) = {
+  /** probeMode: "exact" | "bloom" (broadcast probe) | "bloom-copart"
+    * (maxBroadcastBytes = 0 forces the zipPartitions path) — all three
+    * must match the simulator identically.
+    */
+  private def runBoth(salted: Boolean, probeMode: String = "exact") = {
     import spark.implicits._
     val (listingsDs, sources, robots, pagesDs, seenDs) = fx
+    val seenDf = seenDs.toDF().select("canonical_url")
+    val probe: graft.seen.SeenProbe = probeMode match {
+      case "exact" => graft.seen.SeenProbe.Exact(seenDf)
+      case m =>
+        val segs = graft.seen.UrlSeen.buildSegments(
+          seenDf, "canonical_url", 8, expectedItemsPerSegment = 4096L)
+        graft.seen.SeenProbe.BloomConfirm(segs, seenDf, 8,
+          maxBroadcastBytes =
+            if (m == "bloom-copart") 0L
+            else graft.seen.UrlSeen.DefaultMaxBroadcastSegmentBytes)
+    }
     val (emitted, stats) = CrawlTick.run(
       spark,
       listingsDs.toDF(),
       sources.toDF(),
-      seenDs.toDF().select("canonical_url"),
+      probe,
       robots.toDF(),
       pagesDs.toDF(),
       salted = salted)
@@ -46,20 +61,22 @@ class CrawlTickSpec extends SparkTestBase {
     (emitted, stats, sim)
   }
 
-  private def assertExactMatch(salted: Boolean): Unit = {
-    val (emitted, stats, sim) = runBoth(salted)
+  private def assertExactMatch(salted: Boolean,
+      probeMode: String = "exact"): Unit = {
+    val (emitted, stats, sim) = runBoth(salted, probeMode)
 
     val got = emitted
       .select("canonical_url", "source", "title", "caption", "image_id",
-        "host", "fetch_epoch", "emit_idx")
+        "host", "fetch_epoch", "emit_idx", "metadata")
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
-        r.getString(4), r.getString(5), r.getLong(6), r.getLong(7)))
+        r.getString(4), r.getString(5), r.getLong(6), r.getLong(7),
+        r.getString(8)))
       .sortBy(_._8)
       .toVector
     val expected = sim.emits.map(e =>
       (e.canonicalUrl, e.source, e.title, e.caption, e.imageId, e.host,
-        e.fetchEpoch, e.emitIdx))
+        e.fetchEpoch, e.emitIdx, e.metadata))
 
     assert(got.nonEmpty, "tick emitted nothing — fixture degenerate")
     assert(got.size === expected.size,
@@ -90,6 +107,30 @@ class CrawlTickSpec extends SparkTestBase {
 
   test("crawl tick matches reference simulator exactly (salted host rank)") {
     assertExactMatch(salted = true)
+  }
+
+  test("exact match holds on the Bloom-probe path (broadcast dispatch)") {
+    assertExactMatch(salted = true, probeMode = "bloom")
+  }
+
+  test("exact match holds on the co-partitioned Bloom-probe path " +
+      "(maxBroadcastBytes=0 — the 10^10 dispatch)") {
+    assertExactMatch(salted = true, probeMode = "bloom-copart")
+  }
+
+  test("error rows are captured with reasons and reconcile with stats") {
+    import spark.implicits._
+    val (listingsDs, sources, robots, pagesDs, seenDs) = fx
+    val t = CrawlTick.runTick(spark, listingsDs.toDF(), sources.toDF(),
+      seenDs.toDF().select("canonical_url"), robots.toDF(), pagesDs.toDF())
+    val errRows = t.errors.collect()
+    val statTotal = t.stats.agg(sum("errors")).collect()(0).getLong(0)
+    assert(errRows.length.toLong === statTotal,
+      "captured error rows != counted errors")
+    assert(errRows.nonEmpty, "fixture plants fetch failures — none captured")
+    assert(errRows.forall(r => r.getAs[String]("reason").startsWith("http_") ||
+      r.getAs[String]("reason") == "missing_page"))
+    t.cleanup()
   }
 
   test("fixture exercises every gate") {

@@ -95,6 +95,31 @@ class FrontierStoreSpec extends SparkTestBase {
     assert(m1.segmentCounts.keys.forall(s => s >= 0 && s < 16))
   }
 
+  test("error rows persist with snapshot lineage (planted fetch failures)") {
+    import spark.implicits._
+    val dir = "target/test-store-errors"
+    new FrontierStore(dir).delete()
+    val store = new FrontierStore(dir).init()
+    store.initSeen(spark,
+      Fixtures.urlSeenSeed(spark, nSources, Fixtures.DefaultPreSeen)
+        .toDF().select("canonical_url"))
+    val (l0, sources, robots, pages) = fixtures(0)
+    val t = CrawlTick.runTick(spark, l0.toDF(), sources.toDF(),
+      store.seen(spark), robots.toDF(), pages.toDF())
+    val m = store.commit(spark, t.emitted, t.stats, fetchEpoch = 0L,
+      errors = Some(t.errors))
+    t.cleanup()
+    assert(m.errors > 0, "fixture plants fetch failures — none counted")
+    assert(m.errorsPath.nonEmpty, "errors counted but rows not persisted")
+    val stored = store.errors(spark).collect()
+    assert(stored.length.toLong === m.errors,
+      "persisted error rows != manifest error count")
+    assert(stored.forall(r => r.getAs[String]("reason").nonEmpty &&
+      r.getAs[String]("canonical_url").nonEmpty))
+    // reopening the store still serves the error lineage (resume path)
+    assert(new FrontierStore(dir).errors(spark).count() === m.errors)
+  }
+
   test("per-delta blooms OR-merge bitwise-equal to a full-seen rebuild") {
     val store = new FrontierStore(storeDir)
     val merged = store.segments(spark)

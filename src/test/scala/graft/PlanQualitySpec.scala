@@ -122,6 +122,51 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       "embedding arrays shuffled through bands:\n" + p)
   }
 
+  test("cosine near-dup: size-gated dispatch — forced-shuffle path has no " +
+      "corpus broadcast, uses SHJ, and returns identical rows") {
+    // r2 ask #3: above the broadcast gate the verify re-join must be a
+    // vec_id-keyed shuffle-hash join (uniform keys), never a driver-side
+    // corpus broadcast (OOM by construction at 100 TB)
+    val forced = TrainingOps.cosineNearDups(spark, sf(), maxBroadcastBytes = 0L)
+    val p = planString(forced)
+    assert(p.contains("ShuffledHashJoin"), "verify re-join is not SHJ:\n" + p)
+    assert(!p.contains("BroadcastHashJoin [vec_a") &&
+      !p.contains("BroadcastHashJoin [vec_b"),
+      "corpus still broadcast with the gate at 0:\n" + p)
+    // both dispatches compute the identical result
+    val a = forced.collect().map(_.toSeq).toSet
+    val b = TrainingOps.cosineNearDups(spark, sf()).collect().map(_.toSeq).toSet
+    assert(a === b, "dispatch paths disagree")
+  }
+
+  test("tick seen-probe dispatch: co-partitioned path has no driver-collected " +
+      "segment broadcast; broadcast path has no RDD zip") {
+    import spark.implicits._
+    val n = 10
+    val listings = graft.model.Fixtures.listItemsAt(spark, n, 10, tick = 0).toDF()
+    val sources = graft.model.Fixtures.sourceSpecs(n).toDF()
+    val robots = graft.model.Fixtures.robots(n).toDF()
+    val seen = graft.model.Fixtures.urlSeenSeed(spark, n, 4).toDF()
+      .select("canonical_url")
+    val segs = graft.seen.UrlSeen.buildSegments(
+      seen, "canonical_url", 4, expectedItemsPerSegment = 4096L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val copart = graft.pipeline.CrawlTick.select(listings, sources,
+      graft.seen.SeenProbe.BloomConfirm(segs, seen, 4, maxBroadcastBytes = 0L),
+      robots)
+    val pCo = planString(copart)
+    // the zip probe surfaces as an ExistingRDD scan; segment bytes never
+    // pass through the driver (no addReferenceObj'd broadcast probe)
+    assert(pCo.contains("ExistingRDD"),
+      "co-partitioned probe path not engaged at threshold 0:\n" + pCo)
+    val bcast = graft.pipeline.CrawlTick.select(listings, sources,
+      graft.seen.SeenProbe.BloomConfirm(segs, seen, 4), robots)
+    val pBc = planString(bcast)
+    assert(!pBc.contains("ExistingRDD"),
+      "broadcast dispatch unexpectedly took the RDD zip path:\n" + pBc)
+    segs.unpersist()
+  }
+
   test("mojibake repair and fallback chain are shuffle-free single scans") {
     for (df <- Seq(
         ScanOps.mojibakeRepair(spark, sf()),

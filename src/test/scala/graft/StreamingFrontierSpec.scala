@@ -104,6 +104,62 @@ class StreamingFrontierSpec extends SparkTestBase {
     assert(perHostCounts0 > 0)
   }
 
+  test("stream-to-store: micro-batches commit snapshots ≡ batch dedup chain, " +
+      "resume-after-kill via checkpoint is exactly-once") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val nSources = 8
+    val storeDir = "target/test-stream-store"
+    val ckptDir = "target/test-stream-ckpt"
+    new graft.store.FrontierStore(storeDir).delete()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
+
+    val ticks = (0 to 2).map(t =>
+      Fixtures.listItemsAt(spark, nSources, 16, tick = t).collect().toSeq)
+    def canon(b: Seq[ListItem]) =
+      b.map(li => graft.functions.UrlCanonicalizer.canonicalize(li.url))
+
+    val input = MemoryStream[ListItem]
+    def startQuery() = StreamingFrontier.sinkToStore(
+      StreamingFrontier.dedupStream(
+        StreamingFrontier.candidates(input.toDS(), nSegments = 8)),
+      storeDir, ckptDir, nSegments = 8)
+
+    // --- two committed micro-batches ---
+    val q1 = startQuery()
+    input.addData(ticks(0)); q1.processAllAvailable()
+    input.addData(ticks(1)); q1.processAllAvailable()
+    q1.stop() // the "kill": state + offsets survive in the checkpoint
+
+    val store = new graft.store.FrontierStore(storeDir)
+    val snapsAfter2 = store.snapshotIds()
+    assert(snapsAfter2.size === 2, s"expected 2 snapshots, got $snapsAfter2")
+
+    // emit set + seen state ≡ the batch formulation (first occurrence
+    // across the tick chain), per snapshot AND cumulatively
+    val expected01 = (canon(ticks(0)) ++ canon(ticks(1))).distinct.toSet
+    assert(store.seen(spark).collect().map(_.getString(0)).toSet === expected01)
+    val m1 = store.manifest(snapsAfter2.last)
+    assert(m1.newArticles ===
+      (canon(ticks(1)).distinct.toSet -- canon(ticks(0)).toSet).size.toLong,
+      "tick-1 snapshot does not equal the batch anti-join delta")
+
+    // --- resume from checkpoint: third batch continues the chain ---
+    val q2 = startQuery()
+    input.addData(ticks(2)); q2.processAllAvailable()
+    q2.stop()
+
+    val snapsAfter3 = store.snapshotIds()
+    assert(snapsAfter3.size === 3,
+      s"resume recommitted or skipped a batch: $snapsAfter3")
+    val expectedAll = (ticks.flatMap(canon)).distinct.toSet
+    assert(store.seen(spark).collect().map(_.getString(0)).toSet === expectedAll)
+    // articles never contain a canonical URL twice (exactly-once sink)
+    val arts = store.articles(spark).select("canonical_url")
+    assert(arts.count() === arts.distinct().count())
+  }
+
   test("state updates scale with NEW urls per batch, under RocksDB state store") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
