@@ -288,8 +288,11 @@ object Bench {
     results("frontier_tick") = frontierSec
 
     // honesty metric for the approximate ANN path (VERDICT r1 #6): recall
-    // of the banded-LSH bucket-local top-10 vs exact brute force.
-    val annRecall = graft.operators.TrainingOps.lshRecallAtK(spark, sfDir)
+    // of the banded-LSH bucket-local top-10 vs exact brute force, measured
+    // across the multi-probe dial (1/3/5 probes per band) so the
+    // recall-vs-candidates tradeoff is a recorded curve, not a single point.
+    val annCurve = graft.operators.TrainingOps.lshRecallCurve(spark, sfDir)
+    val annRecall = annCurve.last._2 // headline stays the default (5 probes)
 
     // Scaling arms (north rule: throughput efficiency ≥ 0.8 from N to 4N
     // cores) — driver-reproducible in ONE run, but each arm in its OWN
@@ -327,8 +330,11 @@ object Bench {
     val total = f"${results.values.sum}%.3f"
     val scalingJson =
       s"""{"cores_small":${armCores(0)},"cores_large":${armCores(1)},"n":$scaleN,"pinned":$pinned,"sec_small":${f"${armSecs(0)}%.3f"},"sec_large":${f"${armSecs(1)}%.3f"},"urls_per_sec_small":${(scaleN / armSecs(0)).toLong},"urls_per_sec_large":${(scaleN / armSecs(1)).toLong},"efficiency":${f"$scalingEff%.3f"}}"""
+    val annCurveJson = annCurve.map { case (p, r, c) =>
+      s"""{"probes":$p,"recall":${f"$r%.3f"},"candidates":$c}"""
+    }.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","cpus":$cpus,"frontier_n":$frontierN,"frontier_scheduled_rows":$frontierRows,"frontier_urls_per_sec":$urlsPerSec,"frontier_runs_sec":[${f"$run1Sec%.3f"},${f"$run2Sec%.3f"}],"frontier_stages":${jmap(stages)},"ann_recall_at_10":${f"$annRecall%.3f"},"scaling":$scalingJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","cpus":$cpus,"frontier_n":$frontierN,"frontier_scheduled_rows":$frontierRows,"frontier_urls_per_sec":$urlsPerSec,"frontier_runs_sec":[${f"$run1Sec%.3f"},${f"$run2Sec%.3f"}],"frontier_stages":${jmap(stages)},"ann_recall_at_10":${f"$annRecall%.3f"},"ann_recall_curve":$annCurveJson,"scaling":$scalingJson}"""
     // build.sbt sets outputStrategy := StdoutOutput, so this line reaches
     // the driver's stdout tail UNPREFIXED (sbt's "[info] " wrapper broke
     // the driver's parse in rounds 1-2); the file copy stays as the

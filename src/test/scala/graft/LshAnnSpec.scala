@@ -26,6 +26,26 @@ class LshAnnSpec extends SparkTestBase {
       TrainingOps.NQueryVecs.toLong)
   }
 
+  test("two-stage partial top-k ≡ single global window, ties included") {
+    import org.apache.spark.sql.expressions.Window
+    // 4 queries × 3000 candidates with heavy dot ties (dot = id % 7) so the
+    // (dot desc, neighbor_id asc) tiebreak is load-bearing in both paths
+    val scored = spark.range(0, 12000).select(
+      (col("id") % 4).as("query_id"),
+      (col("id") / 4).as("neighbor_id"),
+      ((col("id") / 4) % 7).as("dot"))
+    val twoStage = TrainingOps.topKPerQuery(scored, 25)
+    val global = scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(desc("dot"), asc("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= 25)
+      .select("query_id", "neighbor_id", "dot", "rank")
+    assert(twoStage.exceptAll(global).count() === 0)
+    assert(global.exceptAll(twoStage).count() === 0)
+    assert(twoStage.count() === 100)
+  }
+
   test("recall@10 vs brute force is measured and nontrivial") {
     val r = TrainingOps.lshRecallAtK(spark, sf())
     assert(r >= 0.0 && r <= 1.0)
@@ -33,6 +53,20 @@ class LshAnnSpec extends SparkTestBase {
     // at sf0.01; the bar has slack for corpus drift, not for regressions
     // back to single-probe (which measured 0.44)
     assert(r > 0.5, f"banded multi-probe LSH recall@10 collapsed: $r%.3f")
+  }
+
+  test("multi-probe dial: candidates and recall are monotone in probe count") {
+    val curve = TrainingOps.lshRecallCurve(spark, sf(), Seq(1, 3, 5))
+    val (probes, recalls, cands) = (curve.map(_._1), curve.map(_._2), curve.map(_._3))
+    assert(probes === Seq(1, 3, 5))
+    // each probe level's candidate set is a superset of the previous —
+    // counts and recall must be non-decreasing
+    assert(cands === cands.sorted, s"candidate counts not monotone: $cands")
+    assert(recalls === recalls.sorted, s"recall not monotone: $recalls")
+    // the dial does something: full multi-probe must examine strictly more
+    // candidates than exact-probe, and the default level is the headline
+    assert(cands.last > cands.head)
+    assert(recalls.last > 0.5)
   }
 
   test("cosine near-dup: planted twins are found and flagged; no cross-vec false dups") {

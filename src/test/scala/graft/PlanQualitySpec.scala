@@ -49,6 +49,21 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       "embeddings scan not pruned to (vec_id, embedding):\n" + p)
   }
 
+  test("ANN top-k rank is two-stage: subgroup partial window before the per-query window") {
+    for (df <- Seq(
+        TrainingOps.bruteForceTopK(spark, sf()),
+        TrainingOps.lshBucketTopK(spark, sf()))) {
+      val p = planString(df)
+      // the partial stage partitions by (query_id, __subq); a regression back
+      // to one global window would drop the __subq key from every Window node
+      assert(p.contains("__subq"),
+        "partial top-k subgroup window missing — single global window:\n" + p)
+      val windows = "\\bWindow\\b".r.findAllIn(
+        castToImpl(df).queryExecution.executedPlan.toString).size
+      assert(windows >= 2, s"expected 2 window stages, saw $windows:\n" + p)
+    }
+  }
+
   test("robots gate: rules join is broadcast, not shuffled") {
     val p = planString(CrawlOps.robotsGate(spark, sf()))
     assert(p.contains("BroadcastExchange"), p)
