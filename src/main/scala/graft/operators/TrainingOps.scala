@@ -715,6 +715,96 @@ object TrainingOps {
   /** recall@k of the LSH ANN vs brute force on the same split — the
     * honesty metric for the approximate path (reported by Bench).
     */
+  // ------------------------------------------------- IVF-Flat variant ---
+
+  /** IVF parameters. The centroid stride is the nlist dial: centroids are
+    * the corpus vectors whose vec_id is a stride multiple — a deterministic
+    * sample, which keeps the whole index SQL-expressible for the DuckDB
+    * oracle (learned k-means centroids would not be). At sf fixtures
+    * stride 31 gives nlist ≈ n/31; at real scale the caller sets the
+    * stride so nlist ≈ √n (e.g. 65k lists for 4B vectors ⇒ a ~35 MB
+    * centroid table — comfortably broadcastable), which is the standard
+    * IVF sizing. The PLAN is invariant to the dial: broadcast centroids,
+    * corpus assigned via one map-side-combined argmin, probe joins on
+    * centroid_id with the corpus side never reshuffled.
+    */
+  val IvfCentroidStride = 31L
+  val IvfNProbe = 4
+
+  /** Integer squared-L2 distance (exact cross-engine arithmetic: quantized
+    * dims ≤ ~1000 ⇒ diff² ≤ 4·10⁶, ×64 dims ≤ 2.6·10⁸ — no overflow).
+    */
+  def intL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** The IVF coarse index: every corpus vector assigned to its nearest
+    * centroid by (L2² asc, centroid_id asc). The argmin is a
+    * `min(struct(dist, centroid_id, q))` aggregate, NOT a rank window —
+    * partial aggregation reduces the n×nlist scored pairs to n rows
+    * map-side before the one shuffle on vec_id (the IVF build cost).
+    * Ties are impossible at the struct level (centroid_id is unique), so
+    * the embedded q never participates in comparison.
+    */
+  def ivfAssignments(spark: SparkSession, sfDir: String,
+      centroidStride: Long = IvfCentroidStride): DataFrame = {
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val corpus = e.filter(col("vec_id") >= NQueryVecs)
+    val centroids = broadcast(
+      corpus.filter(col("vec_id") % centroidStride === 0)
+        .select(col("vec_id").as("centroid_id"), col("q").as("cv")))
+    corpus.join(centroids)
+      .withColumn("dist", intL2(col("q"), col("cv")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("centroid_id"), col("q"))).as("m"))
+      .select(col("vec_id"), col("m.centroid_id").as("centroid_id"),
+        col("m.q").as("q"))
+  }
+
+  /** IVF-Flat top-k: queries probe their nprobe nearest centroid lists and
+    * re-rank candidates by exact int dot — the second ANN scale path next
+    * to [[lshBucketTopK]] (banded LSH recalls by hash locality, IVF by
+    * geometric partition; the probe join shuffles only on centroid_id and
+    * the final rank is the same two-stage [[topKPerQuery]]). Output schema
+    * matches [[bruteForceTopK]] so recall@k is a direct join.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String,
+      centroidStride: Long = IvfCentroidStride,
+      nprobe: Int = IvfNProbe): DataFrame = {
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val centroids = broadcast(
+      e.filter(col("vec_id") >= NQueryVecs)
+        .filter(col("vec_id") % centroidStride === 0)
+        .select(col("vec_id").as("centroid_id"), col("q").as("cv")))
+    val queries = e.filter(col("vec_id") < NQueryVecs)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    // nprobe nearest lists per query: queries × nlist is tiny (the window
+    // partitions on query_id over nlist rows, never corpus rows)
+    val probes = queries.join(centroids)
+      .withColumn("dist", intL2(col("qv"), col("cv")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(asc("dist"), asc("centroid_id"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    val scored = broadcast(probes)
+      .join(ivfAssignments(spark, sfDir, centroidStride), Seq("centroid_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qv"), col("q").as("nv"))
+      .withColumn("dot", intDot(col("qv"), col("nv")))
+    topKPerQuery(scored, TopK)
+  }
+
+  def ivfRecallAtK(spark: SparkSession, sfDir: String): Double = {
+    val bf = bruteForceTopK(spark, sfDir).select("query_id", "neighbor_id")
+    val ivf = ivfTopK(spark, sfDir).select("query_id", "neighbor_id")
+    val hit = bf.join(ivf, Seq("query_id", "neighbor_id")).count()
+    val total = bf.count()
+    if (total == 0) 1.0 else hit.toDouble / total
+  }
+
   def lshRecallAtK(spark: SparkSession, sfDir: String,
       probesPerBand: Int = 5): Double = {
     val bf = bruteForceTopK(spark, sfDir).select("query_id", "neighbor_id")

@@ -220,6 +220,54 @@ class FrontierStoreSpec extends SparkTestBase {
     assert(store.articles(spark).count() > 0)
   }
 
+  test("ten-tick soak on the Bloom probe path: per-tick emit set ≡ exact path, " +
+      "compaction keeps reads bounded") {
+    import spark.implicits._
+    val dirB = "target/test-store-soak-bloom"
+    val dirE = "target/test-store-soak-exact"
+    Seq(dirB, dirE).foreach(new FrontierStore(_).delete())
+    val storeB = new FrontierStore(dirB).init()
+    val storeE = new FrontierStore(dirE).init()
+    val seed = Fixtures.urlSeenSeed(spark, nSources, Fixtures.DefaultPreSeen)
+      .toDF().select("canonical_url")
+    storeB.initSeen(spark, seed)
+    storeE.initSeen(spark, seed)
+    val sources = Fixtures.sourceSpecs(nSources).toDF()
+    val robots = Fixtures.robots(nSources).toDF()
+    for (tick <- 0 until 10) {
+      val listings = Fixtures.listItemsAt(spark, nSources, itemsPerSource, tick).toDF()
+      val pages = Fixtures.pageStore(spark, nSources, maxTick = tick).toDF()
+      // the FrontierMain production shape: persisted per-delta blooms
+      // (OR-merged across however many deltas the compaction cadence left)
+      // prefilter, exact snapshot confirms
+      val tB = CrawlTick.runTick(spark, listings, sources,
+        graft.seen.SeenProbe.BloomConfirm(
+          storeB.segments(spark), storeB.seen(spark), storeB.nSegments),
+        robots, pages, salted = false)
+      val tE = CrawlTick.runTick(spark, listings, sources,
+        storeE.seen(spark), robots, pages)
+      val emitB = tB.emitted.select("canonical_url", "emit_idx")
+      val emitE = tE.emitted.select("canonical_url", "emit_idx")
+      assert(emitB.exceptAll(emitE).count() === 0 &&
+          emitE.exceptAll(emitB).count() === 0,
+        s"tick $tick: Bloom-probe emit set diverged from exact path")
+      storeB.commit(spark, tB.emitted, tB.stats, fetchEpoch = tick.toLong)
+      storeE.commit(spark, tE.emitted, tE.stats, fetchEpoch = tick.toLong)
+      tB.cleanup(); tE.cleanup()
+      if ((tick + 1) % 3 == 0) storeB.compact(spark)
+      // seen-read cost on the probe path is bounded by the compaction
+      // cadence (≤ 3 deltas between compactions + the compacted base),
+      // never by tick count — the FrontierMain loop invariant at 10 ticks
+      assert(storeB.seenDeltaPaths(storeB.snapshotIds().last).size <= 4,
+        s"tick $tick: bloom delta chain grew past the compaction bound")
+    }
+    // end state identical across paths: same seen set, same article set
+    assert(storeB.seen(spark).exceptAll(storeE.seen(spark)).count() === 0)
+    assert(storeE.seen(spark).exceptAll(storeB.seen(spark)).count() === 0)
+    val aB = storeB.articles(spark).select("canonical_url")
+    assert(aB.count() === aB.distinct().count())
+  }
+
   test("time-travel: articles as of snapshot 1 exclude tick-1 rows") {
     val store = new FrontierStore(storeDir)
     val at1 = store.articles(spark, Some(1)).count()

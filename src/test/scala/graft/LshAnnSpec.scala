@@ -55,6 +55,30 @@ class LshAnnSpec extends SparkTestBase {
     assert(r > 0.5, f"banded multi-probe LSH recall@10 collapsed: $r%.3f")
   }
 
+  test("IVF-Flat: one list per corpus vector, exact dots, nontrivial recall") {
+    val assigned = TrainingOps.ivfAssignments(spark, sf())
+    val corpusN = TrainingOps.embeddings(spark, sf())
+      .filter(col("vec_id") >= TrainingOps.NQueryVecs).count()
+    // the coarse index is a partition: every corpus vector in exactly one list
+    assert(assigned.count() === corpusN)
+    assert(assigned.select("vec_id").distinct().count() === corpusN)
+    val ivf = TrainingOps.ivfTopK(spark, sf())
+    val bf = TrainingOps.bruteForceTopK(spark, sf())
+    assert(ivf.columns.toSeq === bf.columns.toSeq)
+    // IVF only restricts the candidate set — shared pairs score identically
+    val joined = ivf.select(col("query_id"), col("neighbor_id"),
+        col("dot").as("ivf_dot"))
+      .join(bf.select(col("query_id"), col("neighbor_id"), col("dot")),
+        Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("ivf_dot") =!= col("dot")).count() === 0)
+    assert(ivf.select("query_id").distinct().count() ===
+      TrainingOps.NQueryVecs.toLong)
+    val r = TrainingOps.ivfRecallAtK(spark, sf())
+    // nprobe=4 of ~16 lists: geometric locality must beat the ~25% random-
+    // coverage floor for the probe to be doing anything
+    assert(r > 0.25, f"IVF recall@10 at or below random coverage: $r%.3f")
+  }
+
   test("multi-probe dial: candidates and recall are monotone in probe count") {
     val curve = TrainingOps.lshRecallCurve(spark, sf(), Seq(1, 3, 5))
     val (probes, recalls, cands) = (curve.map(_._1), curve.map(_._2), curve.map(_._3))

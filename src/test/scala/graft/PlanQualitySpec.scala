@@ -52,7 +52,8 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
   test("ANN top-k rank is two-stage: subgroup partial window before the per-query window") {
     for (df <- Seq(
         TrainingOps.bruteForceTopK(spark, sf()),
-        TrainingOps.lshBucketTopK(spark, sf()))) {
+        TrainingOps.lshBucketTopK(spark, sf()),
+        TrainingOps.ivfTopK(spark, sf()))) {
       val p = planString(df)
       // the partial stage partitions by (query_id, __subq); a regression back
       // to one global window would drop the __subq key from every Window node
@@ -62,6 +63,22 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
         castToImpl(df).queryExecution.executedPlan.toString).size
       assert(windows >= 2, s"expected 2 window stages, saw $windows:\n" + p)
     }
+  }
+
+  test("IVF: centroids broadcast everywhere; assignment is an aggregate, not a rank window") {
+    val p = planString(TrainingOps.ivfAssignments(spark, sf()))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroid table not broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), "corpus×centroids went cartesian:\n" + p)
+    // argmin must be min(struct(...)) with map-side partial aggregation —
+    // a window would shuffle all n×nlist scored pairs
+    assert(!p.contains("Window"), "assignment regressed to a rank window:\n" + p)
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      "no partial aggregate in assignment:\n" + p)
+    val pTop = planString(TrainingOps.ivfTopK(spark, sf()))
+    assert(!pTop.contains("CartesianProduct"), pTop)
+    assert(!pTop.contains("SortMergeJoin"),
+      "probe join fell back to SMJ (probes side should broadcast):\n" + pTop)
   }
 
   test("robots gate: rules join is broadcast, not shuffled") {
