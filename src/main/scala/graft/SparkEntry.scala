@@ -697,11 +697,13 @@ object SparkEntry {
            |probes AS (
            |  SELECT query_id, qv, centroid_id FROM (
            |    SELECT q.query_id, q.qv, ct.centroid_id,
+           |           COUNT(*) OVER (PARTITION BY q.query_id) AS nlist,
            |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
            |             list_sum(list_transform(range(1, len(q.qv) + 1),
            |               i -> (q.qv[i] - ct.cv[i]) * (q.qv[i] - ct.cv[i]))) ASC,
            |             ct.centroid_id ASC) AS rn
-           |    FROM q, cents ct) WHERE rn <= 4),
+           |    FROM q, cents ct)
+           |  WHERE rn <= GREATEST(4, CAST(FLOOR(nlist / 8.0) AS BIGINT))),
            |s AS (
            |  SELECT p.query_id, a.vec_id AS neighbor_id,
            |         CAST(list_sum(list_transform(range(1, len(p.qv) + 1),

@@ -781,13 +781,22 @@ object TrainingOps {
     val queries = e.filter(col("vec_id") < NQueryVecs)
       .select(col("vec_id").as("query_id"), col("q").as("qv"))
     // nprobe nearest lists per query: queries × nlist is tiny (the window
-    // partitions on query_id over nlist rows, never corpus rows)
+    // partitions on query_id over nlist rows, never corpus rows). The
+    // EFFECTIVE nprobe is max(nprobe, nlist/8): with stride-sampled
+    // centroids nlist grows with the corpus, and a fixed probe count
+    // would shrink coverage — and recall — as data scales (measured:
+    // 0.60 at nlist=16 vs 0.22 at nlist=160 with nprobe pinned to 4).
+    // nlist is read in-plan as a window count over the centroid rows —
+    // no driver-side count() action.
     val probes = queries.join(centroids)
       .withColumn("dist", intL2(col("qv"), col("cv")))
+      .withColumn("nlist",
+        count(lit(1)).over(Window.partitionBy("query_id")))
       .withColumn("crank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(asc("dist"), asc("centroid_id"))))
-      .filter(col("crank") <= nprobe)
+      .filter(col("crank") <=
+        greatest(lit(nprobe.toLong), floor(col("nlist") / lit(8.0)).cast("long")))
       .select(col("query_id"), col("qv"), col("centroid_id"))
     val scored = broadcast(probes)
       .join(ivfAssignments(spark, sfDir, centroidStride), Seq("centroid_id"))

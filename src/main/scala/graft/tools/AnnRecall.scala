@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.TrainingOps
+
+/** Standalone ANN recall measurement: the banded-LSH multi-probe curve and
+  * the IVF-Flat recall at a given sf dir — the same numbers Bench reports,
+  * runnable without the full bench (used to tune the recall dials).
+  *
+  * Usage: runMain graft.tools.AnnRecall [sfDir]
+  */
+object AnnRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val curve = TrainingOps.lshRecallCurve(spark, sfDir)
+    curve.foreach { case (p, r, c) =>
+      println(f"lsh probes=$p recall@10=$r%.3f candidates=$c")
+    }
+    val ivf = TrainingOps.ivfRecallAtK(spark, sfDir)
+    println(f"ivf recall@10=$ivf%.3f")
+    spark.stop()
+  }
+}
