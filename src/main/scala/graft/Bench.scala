@@ -133,10 +133,12 @@ object Bench {
         val pb = new ProcessBuilder(cmd.asJava)
         pb.environment().put("SPARK_GRAFT_ARM", cores.toString)
         pb.environment().put("SPARK_GRAFT_FRONTIER_N", n.toString)
-        // best-of-2 INSIDE the child (warm JVM, ~cheap second run): damps
-        // the ±50% host drift so the committed sample stands on its own
-        // (r2 "What's wrong" #2), on top of the interleaved-round minima.
-        pb.environment().put("SPARK_GRAFT_ARM_RUNS", "2")
+        // best-of-3 INSIDE the child (warm JVM, cheap reruns): damps the
+        // ±50% host drift so the committed sample stands on its own
+        // (r2 "What's wrong" #2), on top of the interleaved-round minima —
+        // 9 samples per arm total, and host noise is one-sided (it only
+        // inflates), so every extra sample weakly improves the minimum.
+        pb.environment().put("SPARK_GRAFT_ARM_RUNS", "3")
         pb.redirectErrorStream(true)
         // output to a file, not a pipe: a hung child must be killable by
         // waitFor(timeout) without this thread blocking in readAllBytes
@@ -169,7 +171,7 @@ object Bench {
     // timed run per child per round, so the 3 samples per arm spread
     // across the widest wall-clock window — and each arm keeps its best — one-sided noise only ever
     // inflates a run, so per-arm minima converge on true capability.
-    val rounds = 3
+    val rounds = 4
     val perRound = (1 to rounds).map(_ => armCores.map(childArm))
     val best = armCores.indices.map(i => perRound.flatMap(_(i)) match {
       case s if s.nonEmpty => Some(s.min)
