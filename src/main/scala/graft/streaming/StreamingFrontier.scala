@@ -140,6 +140,35 @@ object StreamingFrontier {
       .start()
   }
 
+  /** A scheduled-fetch event on the monitoring surface. */
+  final case class HostEvent(host: String, source: String,
+      event_time: java.sql.Timestamp)
+
+  /** Event-time windowed per-host crawl-rate stats under a watermark — the
+    * reference's per-run monitoring counters (A1/A4) in streaming form,
+    * with the one Structured-Streaming shape the rest of the pipeline
+    * doesn't use: a watermarked window aggregation.
+    *
+    * Scale contract: the watermark lets Spark DROP state for closed
+    * windows, so aggregation state is ∝ (active hosts × open windows),
+    * never ∝ stream history — at 10^10 events the state store holds only
+    * the watermark-wide frontier of windows. Late events beyond the
+    * watermark are dropped by construction (asserted in the spec);
+    * `approx_count_distinct` is used for the per-window source count
+    * because exact distinct is unbounded-state in streaming.
+    */
+  def hostWindowStats(events: Dataset[HostEvent],
+      windowDur: String = "10 seconds",
+      watermarkDelay: String = "30 seconds"): org.apache.spark.sql.DataFrame =
+    events.toDF()
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowDur).as("w"), col("host"))
+      .agg(count(lit(1)).as("urls_scheduled"),
+        approx_count_distinct("source").as("sources_est"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("host"), col("urls_scheduled"), col("sources_est"))
+
   def dedupStream(cands: Dataset[Candidate]): Dataset[Candidate] = {
     val spark = cands.sparkSession
     import spark.implicits._

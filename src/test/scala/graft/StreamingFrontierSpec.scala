@@ -55,6 +55,54 @@ class StreamingFrontierSpec extends SparkTestBase {
     assert(emitted1 < batch1.size, "batch 1 saw no dedup against state")
   }
 
+  test("watermarked host-window stats: finalized windows ≡ batch agg; " +
+      "late rows beyond the watermark are dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.StreamingFrontier.HostEvent
+
+    def ev(host: String, source: String, sec: Long) =
+      HostEvent(host, source, new java.sql.Timestamp(sec * 1000L))
+
+    // window 10 s, watermark 30 s
+    val b0 = Seq(ev("a", "s1", 1), ev("a", "s2", 3), ev("b", "s1", 5),
+      ev("a", "s1", 12), ev("b", "s2", 15))
+    // advances max event time to 70 s → the NEXT batch runs under
+    // watermark 70-30 = 40 s (the watermark lags one batch by design)
+    val b1 = Seq(ev("a", "s1", 70))
+    // processed under watermark 40 s: the t=5 row is LATE (5 < 40) and
+    // MUST be dropped; t=120 advances the watermark to 90 s, closing the
+    // 70 s window in the trailing no-data batch
+    val b2 = Seq(ev("a", "s3", 5), ev("c", "s1", 120))
+
+    val input = MemoryStream[HostEvent]
+    val q = StreamingFrontier.hostWindowStats(input.toDS())
+      .writeStream.format("memory").queryName("host_stats")
+      .outputMode("append").start()
+    input.addData(b0); q.processAllAvailable()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("host_stats")
+      .select(unix_timestamp(col("window_start")).as("ws"), col("host"),
+        col("urls_scheduled"))
+      .as[(Long, String, Long)].collect().toSet
+
+    // batch ground truth over the NON-LATE rows (append mode emits only
+    // watermark-finalized windows: everything with end ≤ 90 s)
+    val onTime = b0 ++ Seq(ev("a", "s1", 70))
+    val expected = onTime
+      .groupBy(e => (e.event_time.getTime / 10000 * 10, e.host))
+      .map { case ((ws, h), rows) => (ws, h, rows.size.toLong) }.toSet
+    assert(got === expected,
+      s"windows diverged:\n got=$got\n exp=$expected")
+    // the late (t=5, source s3) row did NOT inflate window [0,10)×a:
+    // count there is exactly the 2 on-time rows
+    assert(got.contains((0L, "a", 2L)))
+  }
+
   test("streaming politeness: host ranks/epochs continue across batches ≡ batch scheduler") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
