@@ -520,8 +520,13 @@ object TrainingOps {
     * the two-stage partial top-k ([[topKPerQuery]]) so no single task
     * ever holds a query's full candidate set.
     */
-  def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = embeddings(spark, sfDir).withColumn("q", quantized(col("embedding")))
+  def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame =
+    bruteForceTopKFrom(
+      embeddings(spark, sfDir)
+        .select(col("vec_id"), quantized(col("embedding")).as("q")))
+
+  /** [[bruteForceTopK]] over any prepared (vec_id, q) frame. */
+  def bruteForceTopKFrom(e: DataFrame): DataFrame = {
     val queries = broadcast(e.filter(col("vec_id") < NQueryVecs)
       .select(col("vec_id").as("query_id"), col("q").as("qv")))
     val corpus = e.filter(col("vec_id") >= NQueryVecs)
@@ -747,9 +752,14 @@ object TrainingOps {
     * the embedded q never participates in comparison.
     */
   def ivfAssignments(spark: SparkSession, sfDir: String,
-      centroidStride: Long = IvfCentroidStride): DataFrame = {
-    val e = embeddings(spark, sfDir)
-      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+      centroidStride: Long = IvfCentroidStride): DataFrame =
+    ivfAssignmentsFrom(
+      embeddings(spark, sfDir)
+        .select(col("vec_id"), quantized(col("embedding")).as("q")),
+      centroidStride)
+
+  /** [[ivfAssignments]] over any prepared (vec_id, q) frame. */
+  def ivfAssignmentsFrom(e: DataFrame, centroidStride: Long): DataFrame = {
     val corpus = e.filter(col("vec_id") >= NQueryVecs)
     val centroids = broadcast(
       corpus.filter(col("vec_id") % centroidStride === 0)
@@ -771,9 +781,15 @@ object TrainingOps {
     */
   def ivfTopK(spark: SparkSession, sfDir: String,
       centroidStride: Long = IvfCentroidStride,
+      nprobe: Int = IvfNProbe): DataFrame =
+    ivfTopKFrom(
+      embeddings(spark, sfDir)
+        .select(col("vec_id"), quantized(col("embedding")).as("q")),
+      centroidStride, nprobe)
+
+  /** [[ivfTopK]] over any prepared (vec_id, q) frame. */
+  def ivfTopKFrom(e: DataFrame, centroidStride: Long = IvfCentroidStride,
       nprobe: Int = IvfNProbe): DataFrame = {
-    val e = embeddings(spark, sfDir)
-      .select(col("vec_id"), quantized(col("embedding")).as("q"))
     val centroids = broadcast(
       e.filter(col("vec_id") >= NQueryVecs)
         .filter(col("vec_id") % centroidStride === 0)
@@ -799,7 +815,7 @@ object TrainingOps {
         greatest(lit(nprobe.toLong), floor(col("nlist") / lit(8.0)).cast("long")))
       .select(col("query_id"), col("qv"), col("centroid_id"))
     val scored = broadcast(probes)
-      .join(ivfAssignments(spark, sfDir, centroidStride), Seq("centroid_id"))
+      .join(ivfAssignmentsFrom(e, centroidStride), Seq("centroid_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("qv"), col("q").as("nv"))
       .withColumn("dot", intDot(col("qv"), col("nv")))
@@ -809,6 +825,42 @@ object TrainingOps {
   def ivfRecallAtK(spark: SparkSession, sfDir: String): Double = {
     val bf = bruteForceTopK(spark, sfDir).select("query_id", "neighbor_id")
     val ivf = ivfTopK(spark, sfDir).select("query_id", "neighbor_id")
+    val hit = bf.join(ivf, Seq("query_id", "neighbor_id")).count()
+    val total = bf.count()
+    if (total == 0) 1.0 else hit.toDouble / total
+  }
+
+  /** A deterministically CLUSTERED quantized corpus with the same row set
+    * as the embeddings table: vector v belongs to cluster v mod 32; its
+    * coordinates are the cluster centroid (md5-derived, ±1000 quant units)
+    * plus small per-vector noise (±50). True nearest neighbors are the
+    * vector's own cluster members — the data shape IVF's coarse quantizer
+    * is built for, and exactly what the uniform-random fixture lacks.
+    */
+  val ClusterCount = 32
+  def clusteredCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    def h(c: Column, tag: String, span: Int) =
+      (conv(substring(md5(concat(c.cast("string"), lit(tag))), 1, 8),
+        16, 10).cast("long") % span) - (span / 2)
+    embeddings(spark, sfDir).select(col("vec_id"))
+      .withColumn("cl", col("vec_id") % ClusterCount)
+      .withColumn("q",
+        transform(sequence(lit(1), lit(64)),
+          i => h(concat(col("cl"), lit("_"), i), "_c", 2001) +
+            h(concat(col("vec_id"), lit("_"), i), "_n", 101)))
+      .select("vec_id", "q")
+  }
+
+  /** IVF recall on the clustered corpus at the SAME coverage as
+    * [[ivfRecallAtK]] — the measured demonstration that the uniform-random
+    * recall number is a property of the fixture, not the operator: sampled
+    * centroids follow the data distribution, same-cluster vectors share a
+    * nearest centroid, and the probe finds them.
+    */
+  def ivfRecallClustered(spark: SparkSession, sfDir: String): Double = {
+    val e = clusteredCorpus(spark, sfDir)
+    val bf = bruteForceTopKFrom(e).select("query_id", "neighbor_id")
+    val ivf = ivfTopKFrom(e).select("query_id", "neighbor_id")
     val hit = bf.join(ivf, Seq("query_id", "neighbor_id")).count()
     val total = bf.count()
     if (total == 0) 1.0 else hit.toDouble / total

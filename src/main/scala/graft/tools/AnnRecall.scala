@@ -24,7 +24,9 @@ object AnnRecall {
       println(f"lsh probes=$p recall@10=$r%.3f candidates=$c")
     }
     val ivf = TrainingOps.ivfRecallAtK(spark, sfDir)
-    println(f"ivf recall@10=$ivf%.3f")
+    println(f"ivf recall@10=$ivf%.3f (uniform-random corpus)")
+    val ivfC = TrainingOps.ivfRecallClustered(spark, sfDir)
+    println(f"ivf recall@10=$ivfC%.3f (planted-cluster corpus, same coverage)")
     spark.stop()
   }
 }

@@ -79,6 +79,17 @@ class LshAnnSpec extends SparkTestBase {
     assert(r > 0.25, f"IVF recall@10 at or below random coverage: $r%.3f")
   }
 
+  test("IVF premise: clustered data at the same coverage recalls ~everything") {
+    val uniform = TrainingOps.ivfRecallAtK(spark, sf())
+    val clustered = TrainingOps.ivfRecallClustered(spark, sf())
+    // the uniform-random fixture bounds recall near probe coverage; the
+    // SAME operator at the SAME coverage on planted clusters must recover
+    // essentially all true neighbors (measured 1.000 at sf0.01 and sf0.1)
+    assert(clustered >= 0.9,
+      f"clustered recall collapsed: $clustered%.3f (uniform: $uniform%.3f)")
+    assert(clustered > uniform)
+  }
+
   test("multi-probe dial: candidates and recall are monotone in probe count") {
     val curve = TrainingOps.lshRecallCurve(spark, sf(), Seq(1, 3, 5))
     val (probes, recalls, cands) = (curve.map(_._1), curve.map(_._2), curve.map(_._3))
