@@ -97,14 +97,94 @@ object Bench {
     graft.politeness.Scheduler.assignEpochs(ranked, "host_rank", lit(1000))
   }
 
-  /** Runs each scaling arm in a dedicated child JVM pinned to its cores
-    * (`taskset -c 0-(c-1)`) with proportional heap, reusing this JVM's
-    * classpath and --add-opens flags; the child runs
-    * [[ScalingBench]] in single-arm mode (warmup + one timed run) and
-    * prints one JSON line. Arms interleave over 3 rounds and each keeps
-    * its minimum. Returns (best seconds per arm, pinned?).
+  // ------------------------------------------------- scaling telemetry ---
+
+  /** Noise bounds that adjudicate a scaling sample's validity (r3 verdict
+    * #1: the record must carry its own noise evidence — BENCH_r03.json's
+    * superlinear 1.029 had nothing in the artifact marking it invalid).
+    * A sample is QUIET when, across the child's full lifetime:
+    *  - steal time on the arm's pinned CPUs ≤ 5% (hypervisor preemption —
+    *    the external-VM noise that inflated whole afternoons of samples);
+    *  - busy fraction on the NON-arm CPUs ≤ 25% (foreign load inside the
+    *    VM; the parent JVM just waits on the child, so a quiet box reads
+    *    a few percent here).
     */
-  def runPinnedArms(armCores: Seq[Int], n: Long): (Seq[Double], Boolean) = {
+  val MaxStealFrac = 0.05
+  val MaxOffarmBusyFrac = 0.25
+
+  /** One child-JVM scaling run: its best-of-N seconds plus the /proc/stat
+    * noise evidence sampled around the child's lifetime. `sec` None = the
+    * child failed or timed out; noise fields None = /proc/stat unreadable.
+    */
+  final case class ArmSample(cores: Int, round: Int, sec: Option[Double],
+      stealFrac: Option[Double], offBusyFrac: Option[Double]) {
+    def quiet: Boolean = stealFrac.forall(_ <= MaxStealFrac) &&
+      offBusyFrac.forall(_ <= MaxOffarmBusyFrac)
+    def json: String = {
+      def d(o: Option[Double]) = o.map(v => f"$v%.4f").getOrElse("null")
+      s"""{"cores":$cores,"round":$round,"sec":${d(sec.map(s => (s * 1000).round / 1000.0))},""" +
+        s""""steal_frac":${d(stealFrac)},"offarm_busy_frac":${d(offBusyFrac)},""" +
+        s""""quiet":$quiet}"""
+    }
+  }
+
+  /** Per-cpu jiffies from /proc/stat: cpu index → [user, nice, system,
+    * idle, iowait, irq, softirq, steal, ...].
+    */
+  def readCpuJiffies(): Option[Map[Int, Array[Long]]] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val lines = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get("/proc/stat")).asScala
+      val per = lines.filter(l => l.startsWith("cpu") &&
+          l.length > 3 && l.charAt(3).isDigit)
+        .map { l =>
+          val parts = l.trim.split("\\s+")
+          parts(0).stripPrefix("cpu").toInt -> parts.drop(1).map(_.toLong)
+        }.toMap
+      if (per.isEmpty) None else Some(per)
+    } catch { case _: Exception => None }
+
+  /** (stealFrac over `armCpus`, busyFrac over the complement) between two
+    * /proc/stat snapshots. busy = total − idle − iowait; steal = field 7.
+    */
+  def cpuNoise(before: Map[Int, Array[Long]], after: Map[Int, Array[Long]],
+      armCpus: Set[Int]): (Option[Double], Option[Double]) = {
+    def agg(cpus: Iterable[Int]): Option[(Long, Long, Long)] = {
+      val ds = cpus.toSeq.flatMap { c =>
+        (before.get(c), after.get(c)) match {
+          case (Some(b), Some(a)) if a.length >= 8 && b.length >= 8 =>
+            val delta = a.zip(b).map { case (x, y) => x - y }
+            val total = delta.take(8).sum
+            val idle = delta(3) + delta(4)
+            val steal = delta(7)
+            Some((total, idle, steal))
+          case _ => None
+        }
+      }
+      if (ds.isEmpty) None
+      else Some((ds.map(_._1).sum, ds.map(_._2).sum, ds.map(_._3).sum))
+    }
+    val armStats = agg(before.keySet.intersect(armCpus))
+    val offStats = agg(before.keySet.diff(armCpus))
+    val steal = armStats.collect { case (t, _, s) if t > 0 => s.toDouble / t }
+    val offBusy = offStats.collect { case (t, i, _) if t > 0 =>
+      (t - i).toDouble / t }
+    (steal, offBusy)
+  }
+
+  /** Runs each scaling arm in a dedicated child JVM pinned to its cores
+    * (`taskset -c (top range)`) with proportional heap, reusing this JVM's
+    * classpath and --add-opens flags; the child runs
+    * [[ScalingBench]] in single-arm mode (full-size warmup + best-of-3
+    * timed runs) and prints one JSON line. Arms interleave over 4 rounds
+    * and each keeps its minimum — 4 child samples per arm, 12 timed runs
+    * per arm total. EVERY child sample is returned with its noise evidence
+    * (r3 verdict #1), so the committed record adjudicates itself.
+    * Returns (best seconds per arm, pinned?, all samples).
+    */
+  def runPinnedArms(armCores: Seq[Int], n: Long)
+      : (Seq[Double], Boolean, Seq[ArmSample]) = {
     import scala.jdk.CollectionConverters._
     val taskset = Seq("/usr/bin/taskset", "/bin/taskset")
       .find(p => new java.io.File(p).canExecute)
@@ -136,8 +216,9 @@ object Bench {
         // best-of-3 INSIDE the child (warm JVM, cheap reruns): damps the
         // ±50% host drift so the committed sample stands on its own
         // (r2 "What's wrong" #2), on top of the interleaved-round minima —
-        // 9 samples per arm total, and host noise is one-sided (it only
-        // inflates), so every extra sample weakly improves the minimum.
+        // 3 in-child runs × 4 rounds = 12 timed runs per arm, and host
+        // noise is one-sided (it only inflates), so every extra sample
+        // weakly improves the minimum.
         pb.environment().put("SPARK_GRAFT_ARM_RUNS", "3")
         pb.redirectErrorStream(true)
         // output to a file, not a pipe: a hung child must be killable by
@@ -167,18 +248,35 @@ object Bench {
     }
     // Interleaved rounds: host load on this VM drifts ±50% over minutes
     // (measured: the same pinned 1-core arm ran 61 s and 88 s half an
-    // hour apart), so arms alternate (small, large) × 3 rounds — one
-    // timed run per child per round, so the 3 samples per arm spread
-    // across the widest wall-clock window — and each arm keeps its best — one-sided noise only ever
-    // inflates a run, so per-arm minima converge on true capability.
+    // hour apart), so arms alternate (small, large) × 4 rounds — one
+    // best-of-3 child per arm per round, spreading the 4 child samples
+    // per arm across the widest wall-clock window — and each arm keeps
+    // its best: one-sided noise only ever inflates a run, so per-arm
+    // minima converge on true capability. Each child is bracketed by
+    // /proc/stat snapshots; the noise evidence rides into the bench JSON
+    // so a sample taken under a burst is VISIBLY noisy in the record.
+    val nCpusTotal = Runtime.getRuntime.availableProcessors
     val rounds = 4
-    val perRound = (1 to rounds).map(_ => armCores.map(childArm))
-    val best = armCores.indices.map(i => perRound.flatMap(_(i)) match {
-      case s if s.nonEmpty => Some(s.min)
-      case _ => None
-    })
-    if (best.forall(_.isDefined)) (best.map(_.get), true)
-    else (armCores.map(c => ScalingBench.arm(c, n)), false)
+    val samples = (1 to rounds).flatMap { round =>
+      armCores.map { cores =>
+        val armSet = ((nCpusTotal - cores) until nCpusTotal).toSet
+        val before = readCpuJiffies()
+        val sec = childArm(cores)
+        val after = readCpuJiffies()
+        val (steal, offBusy) = (before, after) match {
+          case (Some(b), Some(a)) => cpuNoise(b, a, armSet)
+          case _ => (None, None)
+        }
+        ArmSample(cores, round, sec, steal, offBusy)
+      }
+    }
+    val best = armCores.map(c =>
+      samples.filter(_.cores == c).flatMap(_.sec) match {
+        case s if s.nonEmpty => Some(s.min)
+        case _ => None
+      })
+    if (best.forall(_.isDefined)) (best.map(_.get), true, samples)
+    else (armCores.map(c => ScalingBench.arm(c, n)), false, samples)
   }
 
   def timed[A](f: => A): (A, Double) = {
@@ -328,14 +426,46 @@ object Bench {
     spark.stop()
     val scaleN = frontierN
     val armCores = Seq(1, 4)
-    val (armSecs, pinned) = runPinnedArms(armCores, scaleN)
+    val (armSecs, pinned, armSamples) = runPinnedArms(armCores, scaleN)
     val scalingEff = armSecs(0) / (4.0 * armSecs(1))
+
+    // Self-adjudication (r3 verdict #1): the scaling object marks its own
+    // validity instead of leaving a superlinear artifact to be adjudicated
+    // by prose a round later. Invalid when:
+    //  - efficiency > 1.0 — superlinear is physically impossible here and,
+    //    by the measured taxonomy (BENCH.md §2), means the 1-core arm never
+    //    caught a quiet window;
+    //  - the CHOSEN (minimum) sample of either arm ran under host noise
+    //    above the stated bounds — small-arm noise inflates efficiency,
+    //    large-arm noise deflates it; either way the ratio is polluted;
+    //  - the arms fell back to unpinned in-process mode (no noise evidence).
+    val chosenPerArm = armCores.map(c =>
+      armSamples.filter(s => s.cores == c && s.sec.isDefined)
+        .sortBy(_.sec.get).headOption)
+    val reasons = scala.collection.mutable.ListBuffer[String]()
+    if (scalingEff > 1.0)
+      reasons += "superlinear (>1.0): small arm starved of a quiet window"
+    chosenPerArm.zip(armCores).foreach {
+      case (Some(s), c) if !s.quiet =>
+        def f2(o: Option[Double]) = o.map(v => f"$v%.3f").getOrElse("n/a")
+        reasons += s"best $c-core sample under host noise (steal=" +
+          s"${f2(s.stealFrac)}, offarm_busy=${f2(s.offBusyFrac)})"
+      case (None, c) if pinned =>
+        reasons += s"no successful $c-core child sample"
+      case _ => ()
+    }
+    if (!pinned)
+      reasons += "unpinned in-process fallback arms (no per-child noise evidence)"
+    val scalingValid = reasons.isEmpty
+    val invalidReasonJson =
+      if (scalingValid) "null" else "\"" + reasons.mkString("; ") + "\""
+    val samplesJson = armSamples.map(_.json).mkString("[", ",", "]")
 
     def jmap(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${results.values.sum}%.3f"
     val scalingJson =
-      s"""{"cores_small":${armCores(0)},"cores_large":${armCores(1)},"n":$scaleN,"pinned":$pinned,"sec_small":${f"${armSecs(0)}%.3f"},"sec_large":${f"${armSecs(1)}%.3f"},"urls_per_sec_small":${(scaleN / armSecs(0)).toLong},"urls_per_sec_large":${(scaleN / armSecs(1)).toLong},"efficiency":${f"$scalingEff%.3f"}}"""
+      s"""{"cores_small":${armCores(0)},"cores_large":${armCores(1)},"n":$scaleN,"pinned":$pinned,"sec_small":${f"${armSecs(0)}%.3f"},"sec_large":${f"${armSecs(1)}%.3f"},"urls_per_sec_small":${(scaleN / armSecs(0)).toLong},"urls_per_sec_large":${(scaleN / armSecs(1)).toLong},"efficiency":${f"$scalingEff%.3f"},"valid":$scalingValid,"invalid_reason":$invalidReasonJson,"noise_bounds":{"max_steal_frac":$MaxStealFrac,"max_offarm_busy_frac":$MaxOffarmBusyFrac},"samples":$samplesJson}"""
     val annCurveJson = annCurve.map { case (p, r, c) =>
       s"""{"probes":$p,"recall":${f"$r%.3f"},"candidates":$c}"""
     }.mkString("[", ",", "]")

@@ -122,9 +122,11 @@ object SparkEntry {
            |SELECT DISTINCT source, link FROM ranked
            |WHERE rn <= $limitCase""".stripMargin,
       "q_latest_per_source" ->
-        s"""WITH f AS ($frontierCte)
-           |SELECT link, crawled_at, event_id FROM f
+        s"""WITH f AS ($frontierCte),
+           |m AS (SELECT MAX(crawled_at) AS max_ts FROM f WHERE source = 'click')
+           |SELECT link, crawled_at, event_id FROM f, m
            |WHERE source = 'click'
+           |  AND crawled_at >= max_ts - INTERVAL 7 DAY
            |ORDER BY crawled_at DESC, event_id ASC LIMIT 30""".stripMargin,
       "q_anti_join_seen" ->
         s"""WITH f AS ($frontierCte)

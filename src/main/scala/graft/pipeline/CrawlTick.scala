@@ -88,7 +88,17 @@ object CrawlTick {
     * @param robots    (host, path_prefix, allow, crawl_delay_ms) (tiny → broadcast)
     */
   def select(listings: DataFrame, sources: DataFrame, probe: graft.seen.SeenProbe,
-      robots: DataFrame): DataFrame = {
+      robots: DataFrame): DataFrame =
+    selectManaged(listings, sources, probe, robots)._1
+
+  /** [[select]] plus the probe's cache-release hook (ADVICE r3): BloomConfirm
+    * probes persist intermediates that a tick loop must release after the
+    * outputs materialize — [[runTick]] folds the hook into
+    * [[TickResult.cleanup]]. One-shot callers may use the plain [[select]].
+    */
+  def selectManaged(listings: DataFrame, sources: DataFrame,
+      probe: graft.seen.SeenProbe, robots: DataFrame)
+      : (DataFrame, () => Unit) = {
     val spec = broadcast(sources.select("source", "source_idx", "dedup_policy",
       "list_cap", "save_cap", "crawl_delay_ms", "language", "kind"))
 
@@ -104,7 +114,7 @@ object CrawlTick {
     val withRobots = Scheduler.applyRobots(considered, robots, "host", "path")
 
     // snapshot-seen probe — strategy-dispatched, exact on every path
-    val probed = graft.seen.UrlSeen.flagSeen(
+    val (probed, probeCleanup) = graft.seen.UrlSeen.flagSeenManaged(
       withRobots, probe, "canonical_url", "snapshot_seen")
 
     val eligible = col("ok_title") && col("allowed")
@@ -129,7 +139,7 @@ object CrawlTick {
       .withColumn("processed",
         col("stop_idx").isNull || col("item_idx") <= col("stop_idx"))
 
-    ranged
+    val out = ranged
       .withColumn("selected",
         col("processed") && eligible && !col("is_seen"))
       .withColumn("skip_reason",
@@ -138,6 +148,7 @@ object CrawlTick {
           .when(!col("allowed"), lit("robots"))
           .when(col("is_seen"), lit("seen"))
           .otherwise(lit(null).cast("string")))
+    (out, probeCleanup)
   }
 
   /** Legacy shape: exact-join probe over the snapshot DataFrame. */
@@ -205,7 +216,8 @@ object CrawlTick {
       probe: graft.seen.SeenProbe, robots: DataFrame, pages: DataFrame,
       salted: Boolean): TickResult = {
 
-    val flagged = select(listings, sources, probe, robots).cache()
+    val (sel, probeCleanup) = selectManaged(listings, sources, probe, robots)
+    val flagged = sel.cache()
 
     val fetched = fetchJoin(flagged.filter(col("selected")), pages)
 
@@ -284,6 +296,6 @@ object CrawlTick {
           .otherwise(concat(lit("http_"), col("status"))).as("reason"))
 
     TickResult(emitted, stats, errorRows,
-      () => { flagged.unpersist(); deduped.unpersist(); () })
+      () => { flagged.unpersist(); deduped.unpersist(); probeCleanup(); () })
   }
 }

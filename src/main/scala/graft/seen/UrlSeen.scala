@@ -153,6 +153,32 @@ object UrlSeen {
       copy(child = c)
   }
 
+  /** [[probeSegments]] for cuckoo-filter segment bytes. */
+  def probeCuckooSegments(segs: Array[Array[Byte]], h: Long): Boolean = {
+    val n = segs.length
+    val seg = (((h % n) + n) % n).toInt
+    val b = segs(seg)
+    b != null && CuckooFilter.mightContainSerialized(b, h)
+  }
+
+  /** [[BloomSegmentsProbe]] for cuckoo segments — same codegen shape. */
+  case class CuckooSegmentsProbe(child: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(h: Any): Any =
+      probeCuckooSegments(bc.value, h.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("cuckooSegsBc", bc)
+      val segsVar = ctx.addMutableState("byte[][]", "cuckooSegs",
+        v => s"$v = (byte[][]) ((org.apache.spark.broadcast.Broadcast) $bcRef).value();")
+      defineCodeGen(ctx, ev, h =>
+        s"graft.seen.UrlSeen.probeCuckooSegments($segsVar, $h)")
+    }
+    override protected def withNewChildInternal(c: Expression): CuckooSegmentsProbe =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------------- two-phase
 
   /** Max total serialized segment bytes the broadcast probe will accept.
@@ -213,6 +239,12 @@ object UrlSeen {
     * registered with the context cleaner — it is released when the returned
     * plan's last reference is GC'd (callers running many ticks in one
     * driver should still prefer bounded tick lifetimes).
+    *
+    * NULL urls (ADVICE r3): xxhash64(NULL) is NULL, so the raw probe
+    * returns NULL — which both `filter(__maybe)` and `filter(!__maybe)`
+    * would silently drop. The probe is coalesced to false: a NULL url is
+    * "definitely unseen" on every variant, matching the exact anti-join
+    * (NULL never equals a seen url, so the anti-join keeps the row).
     */
   def filterUnseenBroadcast(candidates: DataFrame, segments: DataFrame,
       seen: DataFrame, urlCol: String, nSegments: Int): DataFrame = {
@@ -222,8 +254,8 @@ object UrlSeen {
       segsArr(r.getLong(0).toInt) = r.getAs[Array[Byte]]("bloom")
     }
     val bc = spark.sparkContext.broadcast(segsArr)
-    val probe = Bridge.column(BloomSegmentsProbe(
-      Bridge.expression(urlHash(col(urlCol))), bc))
+    val probe = coalesce(Bridge.column(BloomSegmentsProbe(
+      Bridge.expression(urlHash(col(urlCol))), bc)), lit(false))
     val flagged = candidates.withColumn("__maybe", probe)
     // phase 1: bloom-negative → definitely unseen (no false negatives)
     val definitelyNew = flagged.filter(!col("__maybe")).drop("__maybe")
@@ -262,10 +294,14 @@ object UrlSeen {
       val blooms = scala.collection.mutable.LongMap[Array[Byte]]()
       segIt.foreach(r => blooms(r.getLong(0)) = r.getAs[Array[Byte]](1))
       candIt.map { r =>
-        val h = r.getLong(hIdx)
-        val maybe = blooms.get(pmodLong(h, nSegments)) match {
-          case Some(b) => BloomFilter.mightContainSerialized(b, h)
-          case None => false // empty segment ⇒ definitely unseen
+        // NULL url ⇒ NULL hash ⇒ definitely unseen (ADVICE r3: matches the
+        // exact anti-join truth table; getLong on the null would NPE)
+        val maybe = !r.isNullAt(hIdx) && {
+          val h = r.getLong(hIdx)
+          blooms.get(pmodLong(h, nSegments)) match {
+            case Some(b) => BloomFilter.mightContainSerialized(b, h)
+            case None => false // empty segment ⇒ definitely unseen
+          }
         }
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ maybe)
       }
@@ -294,24 +330,49 @@ object UrlSeen {
     * any FPP.
     */
   def flagSeen(candidates: DataFrame, probe: SeenProbe, urlCol: String,
-      flagCol: String): DataFrame = probe match {
+      flagCol: String): DataFrame =
+    flagSeenManaged(candidates, probe, urlCol, flagCol)._1
+
+  /** [[flagSeen]] plus an explicit cache-release hook (ADVICE r3): the
+    * BloomConfirm branch persists two intermediates —
+    *
+    *  - the flagged (candidates + __maybe) frame, because it fans out into
+    *    THREE consumers (the negative branch plus the semi/anti confirm
+    *    pair), which would otherwise re-run the full candidate upstream
+    *    (listings join, canonicalize, robots) three times at first
+    *    materialization;
+    *  - the segments frame on the co-partitioned dispatch, where the probe
+    *    job itself still reads it after the size probe.
+    *
+    * Long-running callers (FrontierMain's tick loop) MUST invoke the hook
+    * after materializing the result, or cached blocks accumulate across
+    * ticks; CrawlTick threads it into TickResult.cleanup. Exact probes
+    * return a no-op hook.
+    */
+  def flagSeenManaged(candidates: DataFrame, probe: SeenProbe, urlCol: String,
+      flagCol: String): (DataFrame, () => Unit) = probe match {
     case SeenProbe.Exact(seen) =>
       val seenSel = seen.select(col(urlCol).as("__seen_url"))
         .withColumn("__s", lit(true))
-      candidates.join(seenSel, candidates(urlCol) === col("__seen_url"), "left")
+      val out = candidates
+        .join(seenSel, candidates(urlCol) === col("__seen_url"), "left")
         .withColumn(flagCol, coalesce(col("__s"), lit(false)))
         .drop("__seen_url", "__s")
+      (out, () => ())
     case SeenProbe.BloomConfirm(segments, seen, nSegments, maxBroadcastBytes) =>
-      val segsCached = segments.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val segsCached = segments.persist(lvl)
       val totalBytes = segsCached
         .agg(coalesce(sum(length(col("bloom"))), lit(0L))).collect()(0).getLong(0)
-      val flagged =
+      val (flagged0, segsReleased) =
         if (totalBytes <= maxBroadcastBytes) {
           val out = flagMaybeBroadcast(candidates, segsCached, urlCol, nSegments)
           segsCached.unpersist(blocking = false)
-          out
-        } else flagMaybeCopartitioned(candidates, segsCached, urlCol, nSegments)
+          (out, true)
+        } else
+          (flagMaybeCopartitioned(candidates, segsCached, urlCol, nSegments),
+            false)
+      val flagged = flagged0.persist(lvl)
       val neg = flagged.filter(!col("__maybe"))
         .withColumn(flagCol, lit(false)).drop("__maybe")
       val pos = flagged.filter(col("__maybe")).drop("__maybe")
@@ -320,10 +381,18 @@ object UrlSeen {
         "left_semi").withColumn(flagCol, lit(true))
       val posNew = pos.join(seenSel, pos(urlCol) === col("__seen_url"),
         "left_anti").withColumn(flagCol, lit(false))
-      neg.unionByName(posSeen).unionByName(posNew)
+      val out = neg.unionByName(posSeen).unionByName(posNew)
+      val cleanup = () => {
+        flagged.unpersist(blocking = false)
+        if (!segsReleased) segsCached.unpersist(blocking = false)
+        ()
+      }
+      (out, cleanup)
   }
 
-  /** candidates + boolean `__maybe` via the broadcast codegen probe. */
+  /** candidates + boolean `__maybe` via the broadcast codegen probe.
+    * NULL urls probe to false (see [[filterUnseenBroadcast]]).
+    */
   private def flagMaybeBroadcast(candidates: DataFrame, segments: DataFrame,
       urlCol: String, nSegments: Int): DataFrame = {
     val spark = candidates.sparkSession
@@ -332,8 +401,8 @@ object UrlSeen {
       segsArr(r.getLong(0).toInt) = r.getAs[Array[Byte]]("bloom")
     }
     val bc = spark.sparkContext.broadcast(segsArr)
-    val probe = Bridge.column(BloomSegmentsProbe(
-      Bridge.expression(urlHash(col(urlCol))), bc))
+    val probe = coalesce(Bridge.column(BloomSegmentsProbe(
+      Bridge.expression(urlHash(col(urlCol))), bc)), lit(false))
     candidates.withColumn("__maybe", probe)
   }
 
@@ -356,10 +425,13 @@ object UrlSeen {
       val blooms = scala.collection.mutable.LongMap[Array[Byte]]()
       segIt.foreach(r => blooms(r.getLong(0)) = r.getAs[Array[Byte]](1))
       candIt.map { r =>
-        val h = r.getLong(hIdx)
-        val maybe = blooms.get(pmodLong(h, nSegments)) match {
-          case Some(b) => BloomFilter.mightContainSerialized(b, h)
-          case None => false
+        // NULL url ⇒ NULL hash ⇒ definitely unseen (ADVICE r3)
+        val maybe = !r.isNullAt(hIdx) && {
+          val h = r.getLong(hIdx)
+          blooms.get(pmodLong(h, nSegments)) match {
+            case Some(b) => BloomFilter.mightContainSerialized(b, h)
+            case None => false
+          }
         }
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ maybe)
       }

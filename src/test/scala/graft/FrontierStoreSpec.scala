@@ -183,6 +183,57 @@ class FrontierStoreSpec extends SparkTestBase {
     assert(store.articles(spark, Some(2)).count() > 0)
   }
 
+  test("compact() right-sizes blooms from lineage counts: bytes track data, " +
+      "post-compaction deltas stay merge-compatible (r3 ask #6)") {
+    import spark.implicits._
+    val dir = "target/test-store-resize"
+    new FrontierStore(dir).delete()
+    // constructor dial DELIBERATELY undersized: 64 expected items/segment,
+    // then ~4000 URLs over 4 segments (~1000/segment) — the 10^10 failure
+    // shape in miniature (r3 verdict "What's wrong" #3)
+    val store = new FrontierStore(dir, nSegments = 4,
+      bloomItemsPerSegment = 64L, bloomFpp = 1e-4).init()
+    def urls(lo: Int, hi: Int) = spark.range(lo, hi)
+      .select(concat(lit("https://resize.example.com/a/"),
+        col("id").cast("string")).as("canonical_url"))
+    store.initSeen(spark, urls(0, 2000))
+    store.commit(spark, urls(2000, 4000)
+        .withColumn("source", lit("s0")).withColumn("language", lit("und")),
+      Seq(("s0", 2000L, 0L, 0L)).toDF("source", "new_articles", "skipped", "errors"),
+      fetchEpoch = 0L)
+    def segBytes(): Long = store.segments(spark)
+      .agg(sum(length(col("bloom")))).collect()(0).getLong(0)
+    val preBytes = segBytes()
+    val mc = store.compact(spark)
+    // dial derived from lineage: max per-segment count × 2, not the
+    // constructor constant — recorded in the manifest
+    assert(mc.bloomItems > 64L,
+      s"compaction kept the undersized constructor dial (${mc.bloomItems})")
+    val maxSeg = {
+      val folded = scala.collection.mutable.Map.empty[Int, Long]
+      store.seenChain(mc.snapshotId).foreach(_.segmentCounts.foreach {
+        case (s, c) => folded(s) = folded.getOrElse(s, 0L) + c })
+      folded.values.max
+    }
+    assert(mc.bloomItems >= maxSeg,
+      s"dial ${mc.bloomItems} below observed max segment count $maxSeg")
+    // bigger dial ⇒ bigger filters: compacted segment bytes track counts
+    val postBytes = segBytes()
+    assert(postBytes > preBytes,
+      s"compacted blooms did not grow: $preBytes -> $postBytes")
+    // a post-compaction delta must build at the BASELINE dial so the
+    // OR-merge read keeps working (identical (numBits, numHashes))
+    store.commit(spark, urls(4000, 4500)
+        .withColumn("source", lit("s0")).withColumn("language", lit("und")),
+      Seq(("s0", 500L, 0L, 0L)).toDF("source", "new_articles", "skipped", "errors"),
+      fetchEpoch = 1L)
+    assert(store.manifest(store.snapshotIds().last).bloomItems === mc.bloomItems)
+    val merged = store.segments(spark).count() // throws on dial mismatch
+    assert(merged === 4L)
+    // content identical through the whole resize cycle
+    assert(store.seen(spark).distinct().count() === 4500L)
+  }
+
   test("six-tick soak with periodic compaction: bounded reads, monotone seen, no dup emits") {
     import spark.implicits._
     val dir = "target/test-store-soak"

@@ -81,6 +81,37 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       "probe join fell back to SMJ (probes side should broadcast):\n" + pTop)
   }
 
+  test("IVF probe join is size-dispatched: broadcast by default, " +
+      "centroid_id SHJ with the gate at 0 — identical results (r3 ask #2)") {
+    // at real query load (10^6 queries × nprobe) the probe side outgrows
+    // any broadcast; the gate must degrade to a shuffle-hash join
+    // co-partitioned on centroid_id, never SMJ, never a forced broadcast
+    val forced = TrainingOps.ivfTopK(spark, sf(), maxProbeBroadcastBytes = 0L)
+    val pF = planString(forced)
+    assert(pF.contains("ShuffledHashJoin"),
+      "probe join is not SHJ with the gate at 0:\n" + pF)
+    assert(!pF.contains("SortMergeJoin"), "probe join fell back to SMJ:\n" + pF)
+    val default = TrainingOps.ivfTopK(spark, sf())
+    val pD = planString(default)
+    assert(!pD.contains("ShuffledHashJoin"),
+      "default dispatch unexpectedly shuffled the probe join:\n" + pD)
+    val a = forced.collect().map(_.toSeq).toSet
+    val b = default.collect().map(_.toSeq).toSet
+    assert(a === b, "IVF dispatch paths disagree")
+  }
+
+  test("latest-per-source: 7-day lookback reaches the scan as a pushed " +
+      "filter (r3 ask #8 — the reference's partition-pruning clause)") {
+    val p = planString(CrawlOps.latestForSource(spark, sf()))
+    // cutoff is a literal (driver-scalar anchor), so both the source and
+    // the time predicate must push into the parquet scan
+    assert(p.contains("PushedFilters:") &&
+        p.contains("GreaterThanOrEqual(ts"),
+      "lookback predicate not pushed to the scan:\n" + p)
+    assert(p.contains("EqualTo(event_type,click)"),
+      "source predicate not pushed to the scan:\n" + p)
+  }
+
   test("robots gate: rules join is broadcast, not shuffled") {
     val p = planString(CrawlOps.robotsGate(spark, sf()))
     assert(p.contains("BroadcastExchange"), p)

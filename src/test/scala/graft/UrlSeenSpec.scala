@@ -107,6 +107,36 @@ class UrlSeenSpec extends SparkTestBase {
     assert(got.count() === 3960)
   }
 
+  test("flagSeen truth table identical on every variant, incl. NULL urls " +
+      "(ADVICE r3: NULL must flag false everywhere, never drop or NPE)") {
+    val all = spark.range(0, 2000)
+      .select(
+        // every 100th url NULL — the case xxhash64 turns into a NULL probe
+        when(col("id") % 100 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("https://h"), (col("id") % 11).cast("string"),
+            lit(".example.com/a/"), col("id").cast("string"))).as("url"),
+        col("id"))
+    val seen = all.filter(col("id") % 3 === 0 && col("url").isNotNull)
+      .select("url")
+    val segments = UrlSeen.buildSegments(seen, "url", 4, 1000, 1e-4)
+      .persist()
+    def table(probe: graft.seen.SeenProbe): Map[Long, Boolean] =
+      UrlSeen.flagSeen(all, probe, "url", "seen_flag")
+        .select("id", "seen_flag").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val exact = table(graft.seen.SeenProbe.Exact(seen))
+    val bloomBc = table(graft.seen.SeenProbe.BloomConfirm(segments, seen, 4))
+    val bloomCo = table(graft.seen.SeenProbe.BloomConfirm(segments, seen, 4,
+      maxBroadcastBytes = 0L))
+    segments.unpersist()
+    assert(exact.size === 2000, "Exact variant dropped rows")
+    assert(bloomBc === exact, "broadcast Bloom probe truth table diverges")
+    assert(bloomCo === exact, "co-partitioned Bloom probe truth table diverges")
+    // NULL urls present, kept, and flagged unseen on the reference variant
+    val nullIds = (0L until 2000L by 100L).toSet
+    assert(nullIds.forall(id => exact(id) == false))
+  }
+
   test("filterUnseen with empty seen set passes everything through") {
     val candidates = spark.range(0, 100)
       .select(concat(lit("https://x.com/"), col("id").cast("string")).as("url"))
