@@ -29,6 +29,7 @@ object SparkEntry {
     "q_canonicalize_urls" -> ((s, d) => CrawlOps.canonicalizeUrls(s, d)),
     "q_politeness_epochs" -> ((s, d) => CrawlOps.politenessEpochs(s, d)),
     "q_unseen_filter_bloom" -> ((s, d) => CrawlOps.unseenFilterBloom(s, d)),
+    "q_unseen_filter_cuckoo" -> ((s, d) => CrawlOps.unseenFilterCuckoo(s, d)),
     "q_salted_host_rank" -> ((s, d) => CrawlOps.saltedHostRank(s, d)),
     "q_robots_gate" -> ((s, d) => CrawlOps.robotsGate(s, d)),
     "q_opic_priority" -> ((s, d) => CrawlOps.opicPriority(s, d)),
@@ -183,6 +184,11 @@ object SparkEntry {
         s"""WITH f AS ($frontierCte)
            |SELECT source, link, event_id FROM f
            |WHERE link NOT IN (SELECT link FROM f WHERE event_id % 3 = 0)""".stripMargin,
+      "q_unseen_filter_cuckoo" ->
+        s"""WITH f AS ($frontierCte)
+           |SELECT source, link, event_id FROM f
+           |WHERE link NOT IN (
+           |  SELECT link FROM f WHERE event_id % 3 = 0 AND event_id % 9 <> 0)""".stripMargin,
       "q_salted_host_rank" ->
         s"""WITH f AS ($frontierCte),
            |h AS (SELECT source || '.example.com' AS host, link, event_id FROM f)

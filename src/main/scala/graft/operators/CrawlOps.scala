@@ -211,6 +211,31 @@ object CrawlOps {
       .select("source", "link", "event_id")
   }
 
+  /** D3 with RETRACTION — the cuckoo-prefiltered unseen filter (r3 ask #7).
+    * Seen = every third link; a recrawl directive then retracts every ninth
+    * (a subset of seen). The cuckoo segments are built from the full seen
+    * set and the retracted fingerprints are DELETED — the maintenance op
+    * Bloom segments cannot express without a rebuild. Exact result
+    * (prefilter + confirm), verified against the plain NOT-IN oracle over
+    * the retracted-adjusted seen set.
+    */
+  def unseenFilterCuckoo(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = frontier(spark, sfDir)
+    val seen0 = f.filter(col("event_id") % 3 === 0).select("link")
+    val retract = f.filter(col("event_id") % 9 === 0).select("link")
+    val seen = seen0.join(retract.withColumnRenamed("link", "__r"),
+      col("link") === col("__r"), "left_anti").select("link")
+    val nSeg = 8
+    val perSegment = math.max(4096L, (seen0.count() / nSeg) * 5L / 4L)
+    val segs = graft.seen.UrlSeen.deleteFromCuckooSegments(
+      graft.seen.UrlSeen.buildCuckooSegments(seen0, "link", nSeg, perSegment),
+      retract, "link", nSeg)
+    graft.seen.UrlSeen.flagSeen(f,
+        graft.seen.SeenProbe.CuckooConfirm(segs, seen, nSeg), "link", "__seen")
+      .filter(!col("__seen"))
+      .select("source", "link", "event_id")
+  }
+
   /** O12 — order-aligned salted per-host rank (skewed mega-host path),
     * equal by construction to ROW_NUMBER over (host) — the DuckDB oracle
     * uses the single-window form.

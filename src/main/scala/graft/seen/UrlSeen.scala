@@ -84,6 +84,73 @@ object UrlSeen {
       .toDF("seg", "bloom")
   }
 
+  /** [[buildSegments]] with cuckoo-filter segments (same (seg, bloom)
+    * shape — `bloom` is just "the serialized filter bytes" column). Unlike
+    * Bloom segments these support [[deleteFromCuckooSegments]]; unlike
+    * Bloom segments they do NOT OR-merge (slot layout depends on insertion
+    * history), so incremental maintenance is per-segment
+    * insert/delete-and-rewrite, not delta-union — the right structure when
+    * the seen set RETRACTS (recrawl directives, purge-this-host), the
+    * wrong one when it only grows (FrontierStore keeps Bloom for its
+    * merge-free delta chain; a cuckoo store would rewrite its segment
+    * files in place, which the snapshot layout supports as a
+    * one-segment-parquet-per-snapshot rewrite).
+    */
+  def buildCuckooSegments(seen: DataFrame, urlCol: String, nSegments: Int,
+      expectedItemsPerSegment: Long): DataFrame = {
+    val spark = seen.sparkSession
+    import spark.implicits._
+    val h = urlHash(col(urlCol))
+    seen
+      .select(segmentOf(h, nSegments).as("seg"), h.as("url_hash"))
+      .as[(Long, Long)]
+      .repartition(nSegments, col("seg"))
+      .mapPartitions { it =>
+        val filters = scala.collection.mutable.LongMap[CuckooFilter]()
+        it.foreach { case (seg, hash) =>
+          filters.getOrElseUpdate(seg,
+            CuckooFilter.create(expectedItemsPerSegment)).put(hash)
+        }
+        filters.iterator.map { case (seg, f) => (seg, f.serialize()) }
+      }
+      .toDF("seg", "bloom")
+  }
+
+  /** Retract URLs from cuckoo segments — the operation Bloom cannot
+    * express (clearing shared bits corrupts other keys; cuckoo removes one
+    * fingerprint slot). Returns the updated (seg, bloom) frame.
+    *
+    * Scale shape: the deletion batch (tiny vs the frontier — recrawl
+    * directives, purges) is grouped per segment and joined onto the
+    * nSegments filter rows; each task rewrites only its own segments'
+    * bytes. Only delete URLs that are actually in the seen set (standard
+    * cuckoo contract — enforced upstream by retracting from the exact
+    * seen table in the same operation).
+    */
+  def deleteFromCuckooSegments(segments: DataFrame, deletions: DataFrame,
+      urlCol: String, nSegments: Int): DataFrame = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    val h = urlHash(col(urlCol))
+    val dels = deletions
+      .select(segmentOf(h, nSegments).as("seg"), h.as("url_hash"))
+      .groupBy("seg").agg(collect_list("url_hash").as("__dels"))
+    segments
+      .select(col("seg").cast("long").as("seg"), col("bloom"))
+      .join(dels, Seq("seg"), "left")
+      .as[(Long, Array[Byte], Option[Seq[Long]])]
+      .map { case (seg, bytes, hs) =>
+        hs match {
+          case Some(del) if del.nonEmpty =>
+            val f = CuckooFilter.deserialize(bytes)
+            del.foreach(f.delete)
+            (seg, f.serialize())
+          case _ => (seg, bytes)
+        }
+      }
+      .toDF("seg", "bloom")
+  }
+
   /** Declarative alternative: typed Aggregator planned as an
     * ObjectHashAggregate — correct at any scale but shuffles java-serialized
     * partial filters; kept for the aggregation-surface demonstration and
@@ -360,57 +427,75 @@ object UrlSeen {
         .drop("__seen_url", "__s")
       (out, () => ())
     case SeenProbe.BloomConfirm(segments, seen, nSegments, maxBroadcastBytes) =>
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val segsCached = segments.persist(lvl)
-      val totalBytes = segsCached
-        .agg(coalesce(sum(length(col("bloom"))), lit(0L))).collect()(0).getLong(0)
-      val (flagged0, segsReleased) =
-        if (totalBytes <= maxBroadcastBytes) {
-          val out = flagMaybeBroadcast(candidates, segsCached, urlCol, nSegments)
-          segsCached.unpersist(blocking = false)
-          (out, true)
-        } else
-          (flagMaybeCopartitioned(candidates, segsCached, urlCol, nSegments),
-            false)
-      val flagged = flagged0.persist(lvl)
-      val neg = flagged.filter(!col("__maybe"))
-        .withColumn(flagCol, lit(false)).drop("__maybe")
-      val pos = flagged.filter(col("__maybe")).drop("__maybe")
-      val seenSel = seen.select(col(urlCol).as("__seen_url")).hint("shuffle_hash")
-      val posSeen = pos.join(seenSel, pos(urlCol) === col("__seen_url"),
-        "left_semi").withColumn(flagCol, lit(true))
-      val posNew = pos.join(seenSel, pos(urlCol) === col("__seen_url"),
-        "left_anti").withColumn(flagCol, lit(false))
-      val out = neg.unionByName(posSeen).unionByName(posNew)
-      val cleanup = () => {
-        flagged.unpersist(blocking = false)
-        if (!segsReleased) segsCached.unpersist(blocking = false)
-        ()
-      }
-      (out, cleanup)
+      twoPhaseFlag(candidates, segments, seen, urlCol, flagCol, nSegments,
+        maxBroadcastBytes, cuckoo = false)
+    case SeenProbe.CuckooConfirm(segments, seen, nSegments, maxBroadcastBytes) =>
+      twoPhaseFlag(candidates, segments, seen, urlCol, flagCol, nSegments,
+        maxBroadcastBytes, cuckoo = true)
+  }
+
+  /** The shared two-phase (approximate prefilter + exact confirm) flag
+    * plan behind BloomConfirm and CuckooConfirm — identical dispatch,
+    * identical truth table; only the per-row serialized-filter probe
+    * differs.
+    */
+  private def twoPhaseFlag(candidates: DataFrame, segments: DataFrame,
+      seen: DataFrame, urlCol: String, flagCol: String, nSegments: Int,
+      maxBroadcastBytes: Long, cuckoo: Boolean): (DataFrame, () => Unit) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val segsCached = segments.persist(lvl)
+    val totalBytes = segsCached
+      .agg(coalesce(sum(length(col("bloom"))), lit(0L))).collect()(0).getLong(0)
+    val (flagged0, segsReleased) =
+      if (totalBytes <= maxBroadcastBytes) {
+        val out = flagMaybeBroadcast(candidates, segsCached, urlCol,
+          nSegments, cuckoo)
+        segsCached.unpersist(blocking = false)
+        (out, true)
+      } else
+        (flagMaybeCopartitioned(candidates, segsCached, urlCol, nSegments,
+          cuckoo), false)
+    val flagged = flagged0.persist(lvl)
+    val neg = flagged.filter(!col("__maybe"))
+      .withColumn(flagCol, lit(false)).drop("__maybe")
+    val pos = flagged.filter(col("__maybe")).drop("__maybe")
+    val seenSel = seen.select(col(urlCol).as("__seen_url")).hint("shuffle_hash")
+    val posSeen = pos.join(seenSel, pos(urlCol) === col("__seen_url"),
+      "left_semi").withColumn(flagCol, lit(true))
+    val posNew = pos.join(seenSel, pos(urlCol) === col("__seen_url"),
+      "left_anti").withColumn(flagCol, lit(false))
+    val out = neg.unionByName(posSeen).unionByName(posNew)
+    val cleanup = () => {
+      flagged.unpersist(blocking = false)
+      if (!segsReleased) segsCached.unpersist(blocking = false)
+      ()
+    }
+    (out, cleanup)
   }
 
   /** candidates + boolean `__maybe` via the broadcast codegen probe.
     * NULL urls probe to false (see [[filterUnseenBroadcast]]).
     */
   private def flagMaybeBroadcast(candidates: DataFrame, segments: DataFrame,
-      urlCol: String, nSegments: Int): DataFrame = {
+      urlCol: String, nSegments: Int, cuckoo: Boolean = false): DataFrame = {
     val spark = candidates.sparkSession
     val segsArr = new Array[Array[Byte]](nSegments)
     segments.collect().foreach { r =>
       segsArr(r.getLong(0).toInt) = r.getAs[Array[Byte]]("bloom")
     }
     val bc = spark.sparkContext.broadcast(segsArr)
-    val probe = coalesce(Bridge.column(BloomSegmentsProbe(
-      Bridge.expression(urlHash(col(urlCol))), bc)), lit(false))
-    candidates.withColumn("__maybe", probe)
+    val hashExpr = Bridge.expression(urlHash(col(urlCol)))
+    val rawProbe =
+      if (cuckoo) Bridge.column(CuckooSegmentsProbe(hashExpr, bc))
+      else Bridge.column(BloomSegmentsProbe(hashExpr, bc))
+    candidates.withColumn("__maybe", coalesce(rawProbe, lit(false)))
   }
 
   /** candidates + `__maybe` via the co-partitioned zip probe (10^10 path —
     * no driver collect, segment bytes stream once per task).
     */
   private def flagMaybeCopartitioned(candidates: DataFrame, segments: DataFrame,
-      urlCol: String, nSegments: Int): DataFrame = {
+      urlCol: String, nSegments: Int, cuckoo: Boolean = false): DataFrame = {
     val spark = candidates.sparkSession
     val cand = candidates
       .withColumn("__h", urlHash(col(urlCol)))
@@ -429,7 +514,9 @@ object UrlSeen {
         val maybe = !r.isNullAt(hIdx) && {
           val h = r.getLong(hIdx)
           blooms.get(pmodLong(h, nSegments)) match {
-            case Some(b) => BloomFilter.mightContainSerialized(b, h)
+            case Some(b) =>
+              if (cuckoo) CuckooFilter.mightContainSerialized(b, h)
+              else BloomFilter.mightContainSerialized(b, h)
             case None => false
           }
         }
@@ -479,6 +566,20 @@ object SeenProbe {
     * blooms OR-merged, never rebuilt from URLs.
     */
   final case class BloomConfirm(segments: DataFrame, seen: DataFrame,
+      nSegments: Int,
+      maxBroadcastBytes: Long = UrlSeen.DefaultMaxBroadcastSegmentBytes)
+    extends SeenProbe
+
+  /** Cuckoo-segment prefilter + exact confirm — same dispatch and truth
+    * table as [[BloomConfirm]] (UrlSeenSpec asserts all three identical),
+    * but the filter state supports RETRACTION
+    * (UrlSeen.deleteFromCuckooSegments): a recrawl directive removes the
+    * URL from the seen table AND its fingerprint from the segment, so the
+    * prefilter stays tight instead of accumulating stale positives that
+    * each cost a confirm-join row forever. `segments` is
+    * UrlSeen.buildCuckooSegments output.
+    */
+  final case class CuckooConfirm(segments: DataFrame, seen: DataFrame,
       nSegments: Int,
       maxBroadcastBytes: Long = UrlSeen.DefaultMaxBroadcastSegmentBytes)
     extends SeenProbe

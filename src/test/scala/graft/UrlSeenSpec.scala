@@ -128,13 +128,92 @@ class UrlSeenSpec extends SparkTestBase {
     val bloomBc = table(graft.seen.SeenProbe.BloomConfirm(segments, seen, 4))
     val bloomCo = table(graft.seen.SeenProbe.BloomConfirm(segments, seen, 4,
       maxBroadcastBytes = 0L))
+    val cuckooSegs = UrlSeen.buildCuckooSegments(seen, "url", 4, 1000)
+      .persist()
+    val cuckooBc = table(graft.seen.SeenProbe.CuckooConfirm(cuckooSegs, seen, 4))
+    val cuckooCo = table(graft.seen.SeenProbe.CuckooConfirm(cuckooSegs, seen, 4,
+      maxBroadcastBytes = 0L))
     segments.unpersist()
+    cuckooSegs.unpersist()
     assert(exact.size === 2000, "Exact variant dropped rows")
     assert(bloomBc === exact, "broadcast Bloom probe truth table diverges")
     assert(bloomCo === exact, "co-partitioned Bloom probe truth table diverges")
+    assert(cuckooBc === exact, "broadcast cuckoo probe truth table diverges")
+    assert(cuckooCo === exact, "co-partitioned cuckoo probe truth table diverges")
     // NULL urls present, kept, and flagged unseen on the reference variant
     val nullIds = (0L until 2000L by 100L).toSet
     assert(nullIds.forall(id => exact(id) == false))
+  }
+
+  test("cuckoo filter: membership, serialized-probe equality, FPP bound, " +
+      "loud overflow (r3 ask #7)") {
+    val keys = (0L until 9000L).map(i =>
+      graft.model.Fixtures.mix(101L, i)).toArray
+    val f = graft.seen.CuckooFilter.create(10000L)
+    keys.foreach(f.put)
+    assert(keys.forall(f.mightContain), "inserted key not found")
+    val ser = f.serialize()
+    assert(keys.forall(k =>
+      graft.seen.CuckooFilter.mightContainSerialized(ser, k)),
+      "serialized probe disagrees with object probe")
+    // FPP: 32-bit fingerprints, 4-slot buckets → bound ≈ 1.9e-9; observe 0
+    // false positives over 200k non-member probes (expected FP count 4e-4)
+    val nonMembers = (0L until 200000L).map(i =>
+      graft.model.Fixtures.mix(999L, i)).filterNot(keys.toSet)
+    val fps = nonMembers.count(f.mightContain)
+    assert(fps === 0, s"$fps false positives in ${nonMembers.size} probes")
+    // deletion: remove half, removed gone, kept intact
+    val (del, keep) = keys.splitAt(4500)
+    del.foreach(k => assert(f.delete(k), s"delete failed for $k"))
+    assert(del.forall(!f.mightContain(_)), "deleted key still present")
+    assert(keep.forall(f.mightContain), "deletion corrupted a kept key")
+    // overflow is LOUD, never silent degradation
+    val tiny = graft.seen.CuckooFilter.create(64L)
+    assertThrows[IllegalStateException] {
+      (0L until 10000L).foreach(i => tiny.put(graft.model.Fixtures.mix(7L, i)))
+    }
+  }
+
+  test("cuckoo retraction: delete-then-recrawl flips seen→unseen; " +
+      "the raw prefilter itself no longer fires (what Bloom can't do)") {
+    val all = spark.range(0, 1000)
+      .select(concat(lit("https://recrawl.example.com/p/"),
+        col("id").cast("string")).as("url"), col("id"))
+    val seen0 = all.filter(col("id") < 500).select("url").persist()
+    val segs0 = UrlSeen.buildCuckooSegments(seen0, "url", 4, 1000).persist()
+    def flags(segs: org.apache.spark.sql.DataFrame,
+        seen: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      UrlSeen.flagSeen(all, graft.seen.SeenProbe.CuckooConfirm(segs, seen, 4),
+        "url", "f").select("id", "f").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val before = flags(segs0, seen0)
+    assert((0L until 500L).forall(before(_)), "seeded urls must flag seen")
+    // retract ids 100-199: recrawl directive removes them from the exact
+    // seen table AND their fingerprints from the cuckoo segments
+    val retract = all.filter(col("id") >= 100 && col("id") < 200).select("url")
+    val seen1 = seen0.join(retract.withColumnRenamed("url", "r"),
+      col("url") === col("r"), "left_anti").select("url").persist()
+    val segs1 = UrlSeen.deleteFromCuckooSegments(segs0, retract, "url", 4)
+      .persist()
+    val after = flags(segs1, seen1)
+    assert((100L until 200L).forall(!after(_)),
+      "retracted urls must flag unseen (recrawl-eligible)")
+    assert((0L until 100L).forall(after(_)) &&
+      (200L until 500L).forall(after(_)),
+      "retraction corrupted an untouched url")
+    assert((500L until 1000L).forall(!after(_)))
+    // the part Bloom cannot express: the PREFILTER itself stopped firing
+    // for the retracted urls — not just the confirm join. With Bloom the
+    // stale positives would each cost a confirm-join row forever.
+    val segArr = new Array[Array[Byte]](4)
+    segs1.collect().foreach(r =>
+      segArr(r.getLong(0).toInt) = r.getAs[Array[Byte]]("bloom"))
+    val retractedHashes = retract
+      .select(org.apache.spark.sql.functions.xxhash64(col("url")))
+      .collect().map(_.getLong(0))
+    assert(retractedHashes.forall(h => !UrlSeen.probeCuckooSegments(segArr, h)),
+      "prefilter still fires for a retracted url")
+    Seq(seen0, segs0, seen1, segs1).foreach(_.unpersist())
   }
 
   test("filterUnseen with empty seen set passes everything through") {
