@@ -397,6 +397,11 @@ object Bench {
     // same operator, same coverage, planted-cluster corpus: the measured
     // proof that the uniform-random recall above is fixture geometry
     val ivfRecallC = graft.operators.TrainingOps.ivfRecallClustered(spark, sfDir)
+    // Lloyd-refined centroids (r3 verdict #4), same coverage dial: the
+    // uniform number should sit ABOVE the unrefined coverage bound
+    val ivfKmRecall = graft.operators.TrainingOps.ivfKmeansRecallAtK(spark, sfDir)
+    val ivfKmRecallC =
+      graft.operators.TrainingOps.ivfKmeansRecallClustered(spark, sfDir)
 
     // Scaling arms (north rule: throughput efficiency ≥ 0.8 from N to 4N
     // cores) — driver-reproducible in ONE run, but each arm in its OWN
@@ -470,7 +475,7 @@ object Bench {
       s"""{"probes":$p,"recall":${f"$r%.3f"},"candidates":$c}"""
     }.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","cpus":$cpus,"frontier_n":$frontierN,"frontier_scheduled_rows":$frontierRows,"frontier_urls_per_sec":$urlsPerSec,"frontier_runs_sec":[${f"$run1Sec%.3f"},${f"$run2Sec%.3f"}],"frontier_stages":${jmap(stages)},"ann_recall_at_10":${f"$annRecall%.3f"},"ann_ivf_recall_at_10":${f"$ivfRecall%.3f"},"ann_ivf_recall_clustered":${f"$ivfRecallC%.3f"},"ann_recall_curve":$annCurveJson,"scaling":$scalingJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","cpus":$cpus,"frontier_n":$frontierN,"frontier_scheduled_rows":$frontierRows,"frontier_urls_per_sec":$urlsPerSec,"frontier_runs_sec":[${f"$run1Sec%.3f"},${f"$run2Sec%.3f"}],"frontier_stages":${jmap(stages)},"ann_recall_at_10":${f"$annRecall%.3f"},"ann_ivf_recall_at_10":${f"$ivfRecall%.3f"},"ann_ivf_recall_clustered":${f"$ivfRecallC%.3f"},"ann_ivf_kmeans_recall_at_10":${f"$ivfKmRecall%.3f"},"ann_ivf_kmeans_recall_clustered":${f"$ivfKmRecallC%.3f"},"ann_recall_curve":$annCurveJson,"scaling":$scalingJson}"""
     // build.sbt sets outputStrategy := StdoutOutput, so this line reaches
     // the driver's stdout tail UNPREFIXED (sbt's "[info] " wrapper broke
     // the driver's parse in rounds 1-2); the file copy stays as the

@@ -48,6 +48,7 @@ object SparkEntry {
     "q_emb_lsh_buckets" -> ((s, d) => TrainingOps.lshBuckets(s, d)),
     "q_emb_lsh_topk" -> ((s, d) => TrainingOps.lshBucketTopK(s, d)),
     "q_emb_ivf_topk" -> ((s, d) => TrainingOps.ivfTopK(s, d)),
+    "q_emb_ivf_kmeans_topk" -> ((s, d) => TrainingOps.ivfKmeansTopK(s, d)),
     "q_emb_cosine_dups" -> ((s, d) => TrainingOps.cosineNearDups(s, d)),
     // --- scan/projection surface (S4, S6, F1, O1, P5, P8, P9, P12, J4, §2.7) ---
     "q_json_payload" -> ((s, d) => ScanOps.jsonPayload(s, d)),
@@ -711,6 +712,72 @@ object SparkEntry {
            |               i -> (q.qv[i] - ct.cv[i]) * (q.qv[i] - ct.cv[i]))) ASC,
            |             ct.centroid_id ASC) AS rn
            |    FROM q, cents ct)
+           |  WHERE rn <= GREATEST(4, CAST(FLOOR(nlist / 8.0) AS BIGINT))),
+           |s AS (
+           |  SELECT p.query_id, a.vec_id AS neighbor_id,
+           |         CAST(list_sum(list_transform(range(1, len(p.qv) + 1),
+           |              i -> p.qv[i] * a.q[i])) AS BIGINT) AS dot
+           |  FROM probes p JOIN assigned a USING (centroid_id)),
+           |r AS (
+           |  SELECT query_id, neighbor_id, dot,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |              ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+           |  FROM s)
+           |SELECT query_id, neighbor_id, dot, rank FROM r WHERE rank <= 10""".stripMargin,
+      // Lloyd-refined IVF: the 2 fixed k-means iterations unrolled as CTEs
+      // (assign = the same argmin rank; update = per-dim floor(sum/count)
+      // mean, list() reassembled in dim order) — then the q_emb_ivf_topk
+      // probe/score/rank over the refined centroids
+      "q_emb_ivf_kmeans_topk" ->
+        s"""WITH e AS (SELECT vec_id, $quant AS q FROM embeddings),
+           |corpus AS (SELECT vec_id, q FROM e WHERE vec_id >= 8),
+           |c0 AS (
+           |  SELECT vec_id AS centroid_id, q AS cv
+           |  FROM corpus WHERE vec_id % 31 = 0),
+           |a1 AS (
+           |  SELECT vec_id, centroid_id, q FROM (
+           |    SELECT c.vec_id, ct.centroid_id, c.q,
+           |           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+           |             list_sum(list_transform(range(1, len(c.q) + 1),
+           |               i -> (c.q[i] - ct.cv[i]) * (c.q[i] - ct.cv[i]))) ASC,
+           |             ct.centroid_id ASC) AS rn
+           |    FROM corpus c, c0 ct) WHERE rn = 1),
+           |m1 AS (
+           |  SELECT centroid_id, i,
+           |         CAST(FLOOR(SUM(q[i]) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS v
+           |  FROM a1, generate_series(1, 64) AS g(i) GROUP BY 1, 2),
+           |c1 AS (SELECT centroid_id, list(v ORDER BY i) AS cv FROM m1 GROUP BY 1),
+           |a2 AS (
+           |  SELECT vec_id, centroid_id, q FROM (
+           |    SELECT c.vec_id, ct.centroid_id, c.q,
+           |           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+           |             list_sum(list_transform(range(1, len(c.q) + 1),
+           |               i -> (c.q[i] - ct.cv[i]) * (c.q[i] - ct.cv[i]))) ASC,
+           |             ct.centroid_id ASC) AS rn
+           |    FROM corpus c, c1 ct) WHERE rn = 1),
+           |m2 AS (
+           |  SELECT centroid_id, i,
+           |         CAST(FLOOR(SUM(q[i]) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS v
+           |  FROM a2, generate_series(1, 64) AS g(i) GROUP BY 1, 2),
+           |c2 AS (SELECT centroid_id, list(v ORDER BY i) AS cv FROM m2 GROUP BY 1),
+           |assigned AS (
+           |  SELECT vec_id, centroid_id, q FROM (
+           |    SELECT c.vec_id, ct.centroid_id, c.q,
+           |           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+           |             list_sum(list_transform(range(1, len(c.q) + 1),
+           |               i -> (c.q[i] - ct.cv[i]) * (c.q[i] - ct.cv[i]))) ASC,
+           |             ct.centroid_id ASC) AS rn
+           |    FROM corpus c, c2 ct) WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, q AS qv FROM e WHERE vec_id < 8),
+           |probes AS (
+           |  SELECT query_id, qv, centroid_id FROM (
+           |    SELECT q.query_id, q.qv, ct.centroid_id,
+           |           COUNT(*) OVER (PARTITION BY q.query_id) AS nlist,
+           |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+           |             list_sum(list_transform(range(1, len(q.qv) + 1),
+           |               i -> (q.qv[i] - ct.cv[i]) * (q.qv[i] - ct.cv[i]))) ASC,
+           |             ct.centroid_id ASC) AS rn
+           |    FROM q, c2 ct)
            |  WHERE rn <= GREATEST(4, CAST(FLOOR(nlist / 8.0) AS BIGINT))),
            |s AS (
            |  SELECT p.query_id, a.vec_id AS neighbor_id,

@@ -856,18 +856,69 @@ object TrainingOps {
         .select(col("vec_id"), quantized(col("embedding")).as("q")),
       centroidStride)
 
-  /** [[ivfAssignments]] over any prepared (vec_id, q) frame. */
-  def ivfAssignmentsFrom(e: DataFrame, centroidStride: Long): DataFrame = {
-    val corpus = e.filter(col("vec_id") >= NQueryVecs)
-    val centroids = broadcast(
-      corpus.filter(col("vec_id") % centroidStride === 0)
-        .select(col("vec_id").as("centroid_id"), col("q").as("cv")))
-    corpus.join(centroids)
+  /** Seed centroids: the deterministic stride sample (SQL-expressible). */
+  def ivfSeedCentroids(e: DataFrame, centroidStride: Long): DataFrame =
+    e.filter(col("vec_id") >= NQueryVecs)
+      .filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("centroid_id"), col("q").as("cv"))
+
+  /** Corpus→centroid argmin assignment against ANY centroid frame
+    * (centroid_id, cv). The argmin is a `min(struct)` aggregate, never a
+    * rank window (see [[ivfAssignments]]).
+    */
+  def ivfAssignmentsWithCents(e: DataFrame, cents: DataFrame): DataFrame =
+    e.filter(col("vec_id") >= NQueryVecs)
+      .join(broadcast(cents))
       .withColumn("dist", intL2(col("q"), col("cv")))
       .groupBy("vec_id")
       .agg(min(struct(col("dist"), col("centroid_id"), col("q"))).as("m"))
       .select(col("vec_id"), col("m.centroid_id").as("centroid_id"),
         col("m.q").as("q"))
+
+  /** [[ivfAssignments]] over any prepared (vec_id, q) frame. */
+  def ivfAssignmentsFrom(e: DataFrame, centroidStride: Long): DataFrame =
+    ivfAssignmentsWithCents(e, ivfSeedCentroids(e, centroidStride))
+
+  /** Lloyd-refined centroids (r3 verdict ask #4): seed = the stride sample,
+    * then a FIXED number of k-means iterations — fixed so the DuckDB oracle
+    * can mirror the refinement as unrolled CTEs (a data-dependent stopping
+    * rule would not be SQL-expressible). Each iteration is
+    *
+    *   assign:  the same `min(struct(dist, centroid_id))` argmin aggregate
+    *            as the index build (partial-aggregated map-side, one
+    *            shuffle on vec_id);
+    *   update:  per-centroid element-wise integer mean — 64 `sum` buffers
+    *            + a count per group (one aggregate, map-side combined;
+    *            the shuffle carries nlist × 65 longs), new coordinate =
+    *            floor(sum / count) with the division in double (both
+    *            engines IEEE-identical: |per-dim sum| ≤ |q|max × n ≈ 6.4e6
+    *            at the verify SF — exact in double).
+    *
+    * Centroid ids keep their seed identity (the list id is stable across
+    * refinement); a centroid that captures no vectors in an iteration
+    * drops out (standard Lloyd on sampled seeds — nlist can only shrink,
+    * and the effective-nprobe floor in [[ivfTopKFrom]] adapts in-plan).
+    * At 100 TB each iteration costs one corpus×nlist broadcast-scored
+    * argmin plus an nlist-row aggregate — the same shape (and the same
+    * plan gates) as the index build itself, ×iters.
+    */
+  val IvfKmeansIters = 2
+  val EmbDim = 64
+
+  def ivfKmeansCentroidsFrom(e: DataFrame,
+      centroidStride: Long = IvfCentroidStride,
+      iters: Int = IvfKmeansIters): DataFrame = {
+    var cents = ivfSeedCentroids(e, centroidStride)
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssignmentsWithCents(e, cents)
+      val sums = (0 until EmbDim).map(i => sum(col("q")(i)).as(s"__s$i"))
+      val grouped = assigned.groupBy("centroid_id")
+        .agg(sums.head, (sums.tail :+ count(lit(1)).as("__n")): _*)
+      cents = grouped.select(col("centroid_id"),
+        array((0 until EmbDim).map(i =>
+          floor(col(s"__s$i") / col("__n")).cast("long")): _*).as("cv"))
+    }
+    cents
   }
 
   /** IVF-Flat top-k: queries probe their nprobe nearest centroid lists and
@@ -911,18 +962,53 @@ object TrainingOps {
   def ivfTopKFrom(e: DataFrame, centroidStride: Long = IvfCentroidStride,
       nprobe: Int = IvfNProbe,
       maxProbeBroadcastBytes: Long = DefaultIvfProbeMaxBroadcastBytes)
+      : DataFrame =
+    // dispatch sizing: the seed-centroid count prunes to a vec_id-only scan
+    // (q never computed)
+    ivfTopKWithCents(e, ivfSeedCentroids(e, centroidStride),
+      ivfSeedCentroids(e, centroidStride).select("centroid_id").count(),
+      nprobe, maxProbeBroadcastBytes)
+
+  /** [[ivfTopK]] with Lloyd-refined centroids ([[ivfKmeansCentroidsFrom]]).
+    * The refined centroid frame is persisted: it feeds the probe ranking,
+    * the corpus assignment AND the dispatch-sizing count — unpersisted, the
+    * 2-iteration refinement chain would run three times.
+    */
+  def ivfKmeansTopK(spark: SparkSession, sfDir: String,
+      centroidStride: Long = IvfCentroidStride,
+      iters: Int = IvfKmeansIters,
+      nprobe: Int = IvfNProbe,
+      maxProbeBroadcastBytes: Long = DefaultIvfProbeMaxBroadcastBytes)
+      : DataFrame =
+    ivfKmeansTopKFrom(
+      embeddings(spark, sfDir)
+        .select(col("vec_id"), quantized(col("embedding")).as("q")),
+      centroidStride, iters, nprobe, maxProbeBroadcastBytes)
+
+  /** [[ivfKmeansTopK]] over any prepared (vec_id, q) frame. */
+  def ivfKmeansTopKFrom(e: DataFrame,
+      centroidStride: Long = IvfCentroidStride,
+      iters: Int = IvfKmeansIters,
+      nprobe: Int = IvfNProbe,
+      maxProbeBroadcastBytes: Long = DefaultIvfProbeMaxBroadcastBytes)
       : DataFrame = {
-    val centroids = broadcast(
-      e.filter(col("vec_id") >= NQueryVecs)
-        .filter(col("vec_id") % centroidStride === 0)
-        .select(col("vec_id").as("centroid_id"), col("q").as("cv")))
+    val cents = ivfKmeansCentroidsFrom(e, centroidStride, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ivfTopKWithCents(e, cents, cents.count(), nprobe, maxProbeBroadcastBytes)
+  }
+
+  /** Shared IVF top-k body over ANY centroid frame (centroid_id, cv).
+    * @param nlist the centroid count (a tiny driver scalar, sized by the
+    *   caller so the seed path can count with a pruned scan)
+    */
+  def ivfTopKWithCents(e: DataFrame, cents: DataFrame, nlist: Long,
+      nprobe: Int = IvfNProbe,
+      maxProbeBroadcastBytes: Long = DefaultIvfProbeMaxBroadcastBytes)
+      : DataFrame = {
+    val centroids = broadcast(cents)
     val queries = e.filter(col("vec_id") < NQueryVecs)
       .select(col("vec_id").as("query_id"), col("q").as("qv"))
-    // dispatch sizing: centroid count prunes to a vec_id-only scan (q never
-    // computed), and the query count is the NQueryVecs contract bound
-    val nlist = e.filter(col("vec_id") >= NQueryVecs)
-      .filter(col("vec_id") % centroidStride === 0)
-      .select("vec_id").count()
+    // the query count is the NQueryVecs contract bound
     val effNprobe = math.max(nprobe.toLong, nlist / 8L)
     val probeBytes = NQueryVecs.toLong * effNprobe * IvfProbeRowBytes
     val broadcastProbes = probeBytes <= maxProbeBroadcastBytes
@@ -947,7 +1033,7 @@ object TrainingOps {
     val probeSide =
       if (broadcastProbes) broadcast(probes) else probes.hint("shuffle_hash")
     val scored = probeSide
-      .join(ivfAssignmentsFrom(e, centroidStride), Seq("centroid_id"))
+      .join(ivfAssignmentsWithCents(e, cents), Seq("centroid_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("qv"), col("q").as("nv"))
       .withColumn("dot", intDot(col("qv"), col("nv")))
@@ -996,6 +1082,34 @@ object TrainingOps {
     val hit = bf.join(ivf, Seq("query_id", "neighbor_id")).count()
     val total = bf.count()
     if (total == 0) 1.0 else hit.toDouble / total
+  }
+
+  /** recall@k of each ANN variant vs the exact top-k on the same frame. */
+  private def recallVs(bf: DataFrame, approx: DataFrame): Double = {
+    val truth = bf.select("query_id", "neighbor_id")
+    val hit = truth
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count()
+    val total = truth.count()
+    if (total == 0) 1.0 else hit.toDouble / total
+  }
+
+  /** IVF recall with Lloyd-refined centroids at the SAME coverage dial as
+    * [[ivfRecallAtK]] — the r3 verdict's expected lift: refinement moves
+    * sampled centroids toward local density, so fixed-coverage probes
+    * capture more of each query's true neighborhood even on the
+    * uniform-random fixture.
+    */
+  def ivfKmeansRecallAtK(spark: SparkSession, sfDir: String): Double = {
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+    recallVs(bruteForceTopKFrom(e), ivfKmeansTopKFrom(e))
+  }
+
+  /** [[ivfKmeansRecallAtK]] on the planted-cluster corpus. */
+  def ivfKmeansRecallClustered(spark: SparkSession, sfDir: String): Double = {
+    val e = clusteredCorpus(spark, sfDir)
+    recallVs(bruteForceTopKFrom(e), ivfKmeansTopKFrom(e))
   }
 
   def lshRecallAtK(spark: SparkSession, sfDir: String,

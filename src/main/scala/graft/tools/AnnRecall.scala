@@ -27,6 +27,10 @@ object AnnRecall {
     println(f"ivf recall@10=$ivf%.3f (uniform-random corpus)")
     val ivfC = TrainingOps.ivfRecallClustered(spark, sfDir)
     println(f"ivf recall@10=$ivfC%.3f (planted-cluster corpus, same coverage)")
+    val km = TrainingOps.ivfKmeansRecallAtK(spark, sfDir)
+    println(f"ivf-kmeans recall@10=$km%.3f (uniform-random corpus)")
+    val kmC = TrainingOps.ivfKmeansRecallClustered(spark, sfDir)
+    println(f"ivf-kmeans recall@10=$kmC%.3f (planted-cluster corpus)")
     spark.stop()
   }
 }

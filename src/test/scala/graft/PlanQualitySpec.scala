@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 
 import graft.operators.{CrawlOps, ScanOps, TrainingOps}
@@ -98,6 +99,32 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     val a = forced.collect().map(_.toSeq).toSet
     val b = default.collect().map(_.toSeq).toSet
     assert(a === b, "IVF dispatch paths disagree")
+  }
+
+  test("IVF k-means refinement: every Lloyd iteration is aggregates over a " +
+      "broadcast-scored argmin — no window, no cartesian; dispatch holds") {
+    val e = TrainingOps.embeddings(spark, sf())
+      .select(col("vec_id"), TrainingOps.quantized(col("embedding")).as("q"))
+    val pC = planString(TrainingOps.ivfKmeansCentroidsFrom(e))
+    // assign = min(struct) argmin, update = per-dim sums + count: the whole
+    // refinement must plan as (broadcast join → partial agg → final agg)
+    // per iteration — a Window anywhere means n×nlist rows got shuffled
+    assert(!pC.contains("Window"),
+      "k-means refinement regressed to a rank window:\n" + pC)
+    assert(!pC.contains("CartesianProduct"), pC)
+    assert(pC.contains("BroadcastNestedLoopJoin") || pC.contains("BroadcastExchange"),
+      "centroid side not broadcast in refinement:\n" + pC)
+    // the refined top-k keeps both probe-dispatch paths (same gate as the
+    // stride-seeded path) with identical results
+    val forced = TrainingOps.ivfKmeansTopKFrom(e, maxProbeBroadcastBytes = 0L)
+    val pF = planString(forced)
+    assert(pF.contains("ShuffledHashJoin"),
+      "kmeans probe join not SHJ with the gate at 0:\n" + pF)
+    assert(!pF.contains("SortMergeJoin"), pF)
+    val default = TrainingOps.ivfKmeansTopKFrom(e)
+    val a = forced.collect().map(_.toSeq).toSet
+    val b = default.collect().map(_.toSeq).toSet
+    assert(a === b, "kmeans IVF dispatch paths disagree")
   }
 
   test("latest-per-source: 7-day lookback reaches the scan as a pushed " +
