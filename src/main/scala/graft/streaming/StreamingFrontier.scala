@@ -61,7 +61,7 @@ object StreamingFrontier {
   final case class HostCand(host: String, canonical_url: String,
       source: String, item_idx: Int)
   final case class Scheduled(host: String, canonical_url: String,
-      host_rank: Long, fetch_epoch: Long)
+      source: String, item_idx: Int, host_rank: Long, fetch_epoch: Long)
   /** Per-host politeness state: fetch slots assigned so far (ever). */
   final case class HostRate(assigned: Long)
 
@@ -94,7 +94,8 @@ object StreamingFrontier {
           state.update(HostRate(start + sorted.size))
           sorted.iterator.zipWithIndex.map { case (c, i) =>
             val rank = start + i + 1
-            Scheduled(host, c.canonical_url, rank, (rank - 1) / budgetPerEpoch)
+            Scheduled(host, c.canonical_url, c.source, c.item_idx,
+              rank, (rank - 1) / budgetPerEpoch)
           }
       }
   }
@@ -123,6 +124,66 @@ object StreamingFrontier {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Candidate], batchId: Long) =>
+        val store = new graft.store.FrontierStore(storeDir, nSegments).init()
+        val alreadyCommitted = store.latest().exists(_.fetchEpoch >= batchId)
+        if (!alreadyCommitted) {
+          val emitted = batch.toDF()
+            .withColumn("language", lit("und")) // stream carries no lang-id
+          val stats = batch.toDF().groupBy("source")
+            .agg(count(lit(1)).as("new_articles"))
+            .withColumn("skipped", lit(0L))
+            .withColumn("errors", lit(0L))
+          store.commit(batch.sparkSession, emitted, stats,
+            fetchEpoch = batchId)
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** The COMPOSED streaming tick (the streaming analog of
+    * `CrawlTick.runTick`'s dedup → schedule → persist core): one streaming
+    * query chains the exact URL-seen dedup into the stateful per-host
+    * politeness pacing; commit each micro-batch with
+    * [[sinkScheduledToStore]] and the batch chain becomes the snapshot
+    * chain.
+    *
+    * Engine note: two `flatMapGroupsWithState` operators CAN live in one
+    * query because both declare `OutputMode.Append` under an Append sink
+    * (Spark's multiple-stateful-operator rule rejects any other
+    * combination); the exchange between them re-keys canonical_url → host,
+    * exactly the batch plan's probe-shuffle → politeness-window boundary.
+    *
+    * Cross-batch semantics (asserted ≡ two batch ticks in
+    * StreamingFrontierSpec): the emit set and the URL-seen state advance
+    * per batch exactly like chained `CrawlTick.runTick` ticks; host pacing
+    * CONTINUES across batches (each host's rank sequence never resets), so
+    * a streamed batch's fetch epochs equal the batch scheduler run over
+    * the concatenated tick emits — strictly more polite than the batch
+    * path's per-tick restart, never less.
+    *
+    * Scale: state is one row per live URL plus one 8-byte counter per
+    * host (both RocksDB-shardable by the same hash layout as the batch
+    * path's segments), and per-batch work is ∝ the batch, never history.
+    */
+  def composedTick(listings: Dataset[graft.model.ListItem], nSegments: Int,
+      budgetPerEpoch: Long): Dataset[Scheduled] =
+    politenessStream(dedupStream(candidates(listings, nSegments)),
+      budgetPerEpoch)
+
+  /** [[sinkToStore]] for the composed tick's scheduled rows: each
+    * micro-batch commits one FrontierStore snapshot whose article rows
+    * carry the politeness schedule (host_rank, fetch_epoch) — the same
+    * columns the batch tick persists. Idempotent across restart replays
+    * via the same epoch guard (batch id = fetch epoch = snapshot chain).
+    */
+  def sinkScheduledToStore(scheduled: Dataset[Scheduled], storeDir: String,
+      checkpointDir: String, nSegments: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    scheduled.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Scheduled], batchId: Long) =>
         val store = new graft.store.FrontierStore(storeDir, nSegments).init()
         val alreadyCommitted = store.latest().exists(_.fetchEpoch >= batchId)
         if (!alreadyCommitted) {

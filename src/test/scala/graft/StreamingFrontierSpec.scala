@@ -208,6 +208,133 @@ class StreamingFrontierSpec extends SparkTestBase {
     assert(arts.count() === arts.distinct().count())
   }
 
+  test("composed streaming tick: dedup → politeness → store in ONE query " +
+      "≡ two batch CrawlTick ticks; kill/resume exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    import graft.model.{DedupPolicy, RobotsRule, SourceSpec}
+
+    val nSources = 6
+    // Permissive source specs reduce the batch tick's extra gates (caps,
+    // stop-policy, robots, fetch errors) to no-ops, so CrawlTick.runTick's
+    // remaining semantics — first-occurrence dedup vs snapshot+claims,
+    // per-host rank in (source_idx, item_idx) order, epoch = ⌊(rank-1)/
+    // budget⌋ — are EXACTLY the composed stream's core. delay 75000 ms on
+    // a 300000 ms epoch = budget 4, mirrored in the stream's dial.
+    val delayMs = 75000
+    val budget = 4L
+    val sources = (0 until nSources).map(i => SourceSpec(f"src-$i%03d", i,
+      DedupPolicy.SkipAndContinue, list_cap = 1000000, save_cap = 1000000,
+      crawl_delay_ms = delayMs, language = "zh", kind = 1)).toDF()
+    val robots = Seq.empty[RobotsRule].toDF()
+    // blank titles would trip the batch tick's F4 gate the stream does not
+    // model — force them non-blank (same rows feed both formulations)
+    val ticks = (0 to 1).map(t =>
+      Fixtures.listItemsAt(spark, nSources, 14, tick = t).collect().toSeq
+        .map(li => if (li.title.isEmpty) li.copy(title = "t") else li))
+    val canonAll = ticks.flatten
+      .map(li => graft.functions.UrlCanonicalizer.canonicalize(li.url))
+      .distinct
+    val pages = canonAll.map(c => (c, s"img-$c", s"cap-$c", 200))
+      .toDF("canonical_url", "image_id", "caption", "status")
+
+    // --- batch ground truth: two chained CrawlTick.runTick ticks ---
+    val emptySeen = Seq.empty[String].toDF("canonical_url")
+    val t0 = pipeline.CrawlTick.runTick(spark, ticks(0).toDF(), sources,
+      emptySeen, robots, pages)
+    val emit0 = t0.emitted.select("canonical_url", "host", "source",
+      "source_idx", "item_idx", "fetch_epoch").collect().toSeq
+    val seen0 = emit0.map(_.getString(0)).toDF("canonical_url")
+    val t1 = pipeline.CrawlTick.runTick(spark, ticks(1).toDF(), sources,
+      seen0, robots, pages)
+    val emit1 = t1.emitted.select("canonical_url", "host", "source",
+      "source_idx", "item_idx", "fetch_epoch").collect().toSeq
+    t0.cleanup(); t1.cleanup()
+
+    // --- the stream, killed between the two ticks ---
+    val storeDir = "target/test-composed-store"
+    val ckptDir = "target/test-composed-ckpt"
+    new graft.store.FrontierStore(storeDir).delete()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
+    val input = MemoryStream[graft.model.ListItem]
+    def startQuery() = StreamingFrontier.sinkScheduledToStore(
+      StreamingFrontier.composedTick(input.toDS(), nSegments = 8,
+        budgetPerEpoch = budget),
+      storeDir, ckptDir, nSegments = 8)
+
+    val q1 = startQuery()
+    input.addData(ticks(0)); q1.processAllAvailable()
+    q1.stop() // the kill: both operators' state lives in the checkpoint
+    val q2 = startQuery()
+    input.addData(ticks(1)); q2.processAllAvailable()
+    q2.stop()
+
+    val store = new graft.store.FrontierStore(storeDir)
+    // exactly-once: one snapshot per tick, no canonical persisted twice
+    assert(store.snapshotIds() === Seq(0, 1))
+    val arts = store.articles(spark)
+      .select("canonical_url", "host", "source", "host_rank", "fetch_epoch")
+      .collect().toSeq
+    assert(arts.map(_.getString(0)).distinct.size === arts.size)
+
+    // emit set per snapshot ≡ the batch tick chain's emit sets
+    val snap0 = store.articles(spark, asOf = Some(0))
+      .select("canonical_url").as[String].collect().toSet
+    assert(snap0 === emit0.map(_.getString(0)).toSet,
+      "tick-0 snapshot ≠ batch tick-0 emit set")
+    assert(arts.map(_.getString(0)).toSet ===
+      (emit0 ++ emit1).map(_.getString(0)).toSet)
+
+    // seen state ≡ the batch chain's advanced seen set
+    assert(store.seen(spark).collect().map(_.getString(0)).toSet ===
+      (emit0 ++ emit1).map(_.getString(0)).toSet)
+
+    // fetch_epoch pacing: hosts CONTINUE across batches — the streamed
+    // schedule equals the batch scheduler run over the two batch ticks'
+    // emits concatenated in tick order (and tick 0, where both start from
+    // empty state, matches the batch tick's own epochs EXACTLY)
+    val both = emit0.map(r => (0, r)) ++ emit1.map(r => (1, r))
+    val concat = both.map { case (t, r) =>
+      (t, r.getString(0), r.getString(1), r.getInt(3), r.getInt(4)) }
+      .toDF("tick", "canonical_url", "host", "source_idx", "item_idx")
+    val expected = graft.politeness.Scheduler.assignEpochs(
+        graft.politeness.Scheduler.plainHostRank(concat, "host",
+          Seq(col("tick").asc, col("source_idx").asc, col("item_idx").asc)),
+        "host_rank", lit(delayMs), epochMillis = 300000L)
+      .select("canonical_url", "host_rank", "fetch_epoch")
+      .as[(String, Long, Long)].collect().toSet
+    val streamedSched = arts.map(r =>
+      (r.getString(0), r.getLong(3), r.getLong(4))).toSet
+    assert(streamedSched === expected,
+      "streamed (host_rank, fetch_epoch) ≠ batch scheduler over the tick chain")
+    val epochs0Batch = emit0.map(r => (r.getString(0), r.getLong(5))).toSet
+    val epochs0Stream = store.articles(spark, asOf = Some(0))
+      .select("canonical_url", "fetch_epoch")
+      .as[(String, Long)].collect().toSet
+    assert(epochs0Stream === epochs0Batch,
+      "tick-0 fetch epochs diverge from the batch tick")
+
+    // per-source A1 stats ≡ the batch ticks' new_articles
+    val batchStats = Seq(t0, t1).map(_.stats
+      .select("source", "new_articles").as[(String, Long)].collect()
+      .toMap.filter(_._2 > 0L))
+    val streamStats = Seq(0, 1).map { id =>
+      val m = store.manifest(id)
+      assert(m.fetchEpoch === id.toLong)
+      store.articles(spark, asOf = Some(id))
+    }
+    // per-snapshot deltas: snapshot 1's own rows = chain(1) minus chain(0)
+    val snap1Only = arts.map(_.getString(0)).toSet -- snap0
+    val stream1BySource = arts.filter(r => snap1Only(r.getString(0)))
+      .groupBy(_.getString(2)).map { case (s, rs) => (s, rs.size.toLong) }
+    val stream0BySource = arts.filter(r => snap0(r.getString(0)))
+      .groupBy(_.getString(2)).map { case (s, rs) => (s, rs.size.toLong) }
+    assert(stream0BySource === batchStats(0), "tick-0 per-source stats diverge")
+    assert(stream1BySource === batchStats(1), "tick-1 per-source stats diverge")
+    assert(streamStats.size === 2)
+  }
+
   test("state updates scale with NEW urls per batch, under RocksDB state store") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
