@@ -201,6 +201,127 @@ object StreamingFrontier {
       .start()
   }
 
+  /** A gated candidate: [[Candidate]] plus what the politeness stage needs
+    * to reproduce the batch tick exactly — the cross-source order key
+    * (source_idx) and the per-row effective politeness delay.
+    */
+  final case class GatedCand(host: String, canonical_url: String,
+      source: String, source_idx: Int, item_idx: Int,
+      effective_delay_ms: Long, url_hash: Long, seg: Long)
+
+  /** The batch tick's STATELESS gates, applied to the listing stream before
+    * any stateful operator — the same three gates, in the same order, as
+    * `CrawlTick.selectManaged` (gates a–c):
+    *
+    *  (a) list slice: item_idx < list_cap (T3) — a broadcast stream-static
+    *      join against the tiny SourceSpec table, then a codegen'd filter;
+    *  (b) blank-title guard (F4);
+    *  (c) robots longest-prefix gate (F3) — `Scheduler.applyRobots` is
+    *      already a broadcast join + higher-order-function match, which
+    *      works unchanged on a streaming frame.
+    *
+    * Each row also picks up its effective politeness delay
+    * (max(source crawl_delay, matched robots crawl_delay)) — the exact
+    * per-row delay the batch tick feeds `Scheduler.assignEpochs`.
+    */
+  def gatedCandidates(listings: Dataset[graft.model.ListItem],
+      sources: org.apache.spark.sql.DataFrame,
+      robots: org.apache.spark.sql.DataFrame, nSegments: Int)
+      : Dataset[GatedCand] = {
+    val spark = listings.sparkSession
+    import spark.implicits._
+    val spec = broadcast(
+      sources.select("source", "source_idx", "list_cap", "crawl_delay_ms"))
+    val considered = listings.toDF()
+      .join(spec, Seq("source"))
+      .filter(col("item_idx") < col("list_cap")) // gate (a): T3 list slice
+      .filter(length(trim(col("title"))) > 0) // gate (b): F4
+      .withColumn("canonical_url", canonicalize_url(col("url")))
+      .withColumn("host", url_host(col("canonical_url")))
+      .withColumn("path", url_path(col("canonical_url")))
+    graft.politeness.Scheduler.applyRobots(considered, robots, "host", "path")
+      .filter(col("allowed")) // gate (c): F3
+      .withColumn("effective_delay_ms",
+        greatest(col("crawl_delay_ms"), col("robots_delay_ms")).cast("long"))
+      .withColumn("url_hash", xxhash64(col("canonical_url")))
+      .withColumn("seg", pmod(col("url_hash"), lit(nSegments.toLong)))
+      .select("host", "canonical_url", "source", "source_idx", "item_idx",
+        "effective_delay_ms", "url_hash", "seg")
+      .as[GatedCand]
+  }
+
+  /** [[dedupStream]] over gated candidates, with the batch tick's EXACT
+    * winner rule: the first occurrence by (source_idx, item_idx) — the
+    * cross-source first-wins order (CrawlTick defined semantics #2) —
+    * claims the URL; `dedupStream` orders by the source NAME, which only
+    * coincides when names sort like indices.
+    */
+  def dedupGated(cands: Dataset[GatedCand]): Dataset[GatedCand] = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands
+      .groupByKey(_.canonical_url)
+      .flatMapGroupsWithState[UrlClaim, GatedCand](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[GatedCand], state: GroupState[UrlClaim]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.minBy(c => (c.source_idx, c.item_idx))
+            state.update(UrlClaim(first.source, first.item_idx))
+            Iterator.single(first)
+          }
+      }
+  }
+
+  /** [[politenessStream]] with PER-ROW delay budgets — the streaming form
+    * of `Scheduler.assignEpochs(ranked, "host_rank", effective_delay_ms)`:
+    * each row's epoch budget is max(1, epochMillis / its effective delay),
+    * so hosts whose sources (or robots rules) demand different pacing get
+    * the batch tick's exact epochs, not one global dial.
+    */
+  def politenessGated(cands: Dataset[GatedCand],
+      epochMillis: Long = graft.pipeline.CrawlTick.EpochMillis)
+      : Dataset[Scheduled] = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[HostRate, Scheduled](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (host: String, rows: Iterator[GatedCand], state: GroupState[HostRate]) =>
+          val sorted = rows.toVector.sortBy(c => (c.source_idx, c.item_idx))
+          val start = state.getOption.map(_.assigned).getOrElse(0L)
+          state.update(HostRate(start + sorted.size))
+          sorted.iterator.zipWithIndex.map { case (c, i) =>
+            val rank = start + i + 1
+            val budget = math.max(1L,
+              epochMillis / math.max(c.effective_delay_ms, 1L))
+            Scheduled(host, c.canonical_url, c.source, c.item_idx,
+              rank, (rank - 1) / budget)
+          }
+      }
+  }
+
+  /** [[composedTick]] with the batch tick's stateless gates and exact
+    * politeness semantics: list_cap → blank-title → robots → stateful
+    * URL-seen dedup (claims ordered (source_idx, item_idx)) → stateful
+    * per-host pacing under per-row delays. With permissive save_cap,
+    * skip-and-continue policy, and fetch-ok pages — the two tick stages
+    * that must stay batch-side, because a streaming claim is permanent
+    * while a failed fetch must NOT advance the persistent seen set
+    * (CrawlTick defined semantics #3) — this is the full batch tick,
+    * proven ≡ chained `runTick` calls on raw skewed fixtures (blank
+    * titles, /private robots paths, shared mega-host) in
+    * StreamingFrontierSpec.
+    */
+  def composedTickGated(listings: Dataset[graft.model.ListItem],
+      sources: org.apache.spark.sql.DataFrame,
+      robots: org.apache.spark.sql.DataFrame, nSegments: Int,
+      epochMillis: Long = graft.pipeline.CrawlTick.EpochMillis)
+      : Dataset[Scheduled] =
+    politenessGated(dedupGated(
+      gatedCandidates(listings, sources, robots, nSegments)), epochMillis)
+
   /** A scheduled-fetch event on the monitoring surface. */
   final case class HostEvent(host: String, source: String,
       event_time: java.sql.Timestamp)

@@ -335,6 +335,123 @@ class StreamingFrontierSpec extends SparkTestBase {
     assert(streamStats.size === 2)
   }
 
+  test("gated composed tick: batch gates IN-STREAM on raw skewed fixtures " +
+      "(blank titles, robots, list_cap, per-row delays) ≡ two batch ticks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    import graft.model.{DedupPolicy, SourceSpec}
+
+    val nSources = 6
+    // RAW fixtures this time — blank titles stay, /private paths stay, the
+    // mega-source (i=4) keeps its SkewFactor-long listing; the gates that
+    // must stay batch-side (save_cap, stop-policy, fetch errors — see
+    // composedTickGated doc) are the only ones made permissive.
+    // Delays exercise BOTH sides of the per-row greatest(): even sources'
+    // 100 ms is below every robots "/" delay (0/250/500/1000 ms), odd
+    // sources' 75000 ms dominates (budget 4/epoch).
+    val sources = (0 until nSources).map(i => SourceSpec(f"src-$i%03d", i,
+      DedupPolicy.SkipAndContinue, list_cap = 10, save_cap = 1000000,
+      crawl_delay_ms = if (i % 2 == 0) 100 else 75000,
+      language = "zh", kind = 1)).toDF()
+    val robotsRules = Fixtures.robots(nSources)
+    val robots = robotsRules.toDF()
+    val ticks = (0 to 1).map(t =>
+      Fixtures.listItemsAt(spark, nSources, 14, tick = t).collect().toSeq)
+    val canonAll = ticks.flatten
+      .map(li => graft.functions.UrlCanonicalizer.canonicalize(li.url))
+      .distinct
+    val pages = canonAll.map(c => (c, s"img-$c", s"cap-$c", 200))
+      .toDF("canonical_url", "image_id", "caption", "status")
+
+    // --- batch ground truth: two chained CrawlTick.runTick ticks ---
+    val emptySeen = Seq.empty[String].toDF("canonical_url")
+    val t0 = pipeline.CrawlTick.runTick(spark, ticks(0).toDF(), sources,
+      emptySeen, robots, pages)
+    val emit0 = t0.emitted.select("canonical_url", "host", "source",
+      "source_idx", "item_idx", "fetch_epoch").collect().toSeq
+    val seen0 = emit0.map(_.getString(0)).toDF("canonical_url")
+    val t1 = pipeline.CrawlTick.runTick(spark, ticks(1).toDF(), sources,
+      seen0, robots, pages)
+    val emit1 = t1.emitted.select("canonical_url", "host", "source",
+      "source_idx", "item_idx", "fetch_epoch").collect().toSeq
+    t0.cleanup(); t1.cleanup()
+    assert(emit0.nonEmpty && emit1.nonEmpty)
+
+    // --- the gated stream, killed between the two ticks ---
+    val storeDir = "target/test-gated-store"
+    val ckptDir = "target/test-gated-ckpt"
+    new graft.store.FrontierStore(storeDir).delete()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
+    val input = MemoryStream[ListItem]
+    def startQuery() = StreamingFrontier.sinkScheduledToStore(
+      StreamingFrontier.composedTickGated(input.toDS(), sources, robots,
+        nSegments = 8),
+      storeDir, ckptDir, nSegments = 8)
+
+    val q1 = startQuery()
+    input.addData(ticks(0)); q1.processAllAvailable()
+    q1.stop()
+    val q2 = startQuery()
+    input.addData(ticks(1)); q2.processAllAvailable()
+    q2.stop()
+
+    val store = new graft.store.FrontierStore(storeDir)
+    assert(store.snapshotIds() === Seq(0, 1))
+    val arts = store.articles(spark)
+      .select("canonical_url", "host", "source", "host_rank", "fetch_epoch")
+      .collect().toSeq
+    assert(arts.map(_.getString(0)).distinct.size === arts.size)
+
+    // emit sets per snapshot ≡ the batch ticks' (gates agree IN-stream)
+    val snap0 = store.articles(spark, asOf = Some(0))
+      .select("canonical_url").as[String].collect().toSet
+    assert(snap0 === emit0.map(_.getString(0)).toSet,
+      "tick-0 snapshot ≠ batch tick-0 emit set (a stateless gate diverges)")
+    assert(arts.map(_.getString(0)).toSet ===
+      (emit0 ++ emit1).map(_.getString(0)).toSet)
+    assert(store.seen(spark).collect().map(_.getString(0)).toSet ===
+      (emit0 ++ emit1).map(_.getString(0)).toSet)
+
+    // tick-0 epochs EXACT vs the batch tick — validates the per-row
+    // greatest(crawl_delay, robots_delay) budget in the stream
+    val epochs0Batch = emit0.map(r => (r.getString(0), r.getLong(5))).toSet
+    val epochs0Stream = store.articles(spark, asOf = Some(0))
+      .select("canonical_url", "fetch_epoch")
+      .as[(String, Long)].collect().toSet
+    assert(epochs0Stream === epochs0Batch,
+      "tick-0 fetch epochs diverge from the batch tick under per-row delays")
+
+    // cross-batch: ranks continue per host; schedule ≡ batch scheduler over
+    // the concatenated tick emits with each row's own effective delay
+    val both = emit0.map(r => (0, r)) ++ emit1.map(r => (1, r))
+    val concat = both.map { case (t, r) =>
+      (t, r.getString(0), r.getString(1), r.getString(2), r.getInt(3),
+        r.getInt(4)) }
+      .toDF("tick", "canonical_url", "host", "source", "source_idx",
+        "item_idx")
+    val specDelays = sources.select(col("source"),
+      col("crawl_delay_ms").cast("long").as("src_delay"))
+    val robotsDelays = robotsRules
+      .filter(_.path_prefix == "/")
+      .map(r => (r.host, r.crawl_delay_ms.toLong))
+      .toDF("host", "robots_delay")
+    val withDelay = concat.join(specDelays, Seq("source"))
+      .join(robotsDelays, Seq("host"), "left")
+      .withColumn("effective_delay_ms",
+        greatest(col("src_delay"), coalesce(col("robots_delay"), lit(0L))))
+    val expected = graft.politeness.Scheduler.assignEpochs(
+        graft.politeness.Scheduler.plainHostRank(withDelay, "host",
+          Seq(col("tick").asc, col("source_idx").asc, col("item_idx").asc)),
+        "host_rank", col("effective_delay_ms"), epochMillis = 300000L)
+      .select("canonical_url", "host_rank", "fetch_epoch")
+      .as[(String, Long, Long)].collect().toSet
+    val streamedSched = arts.map(r =>
+      (r.getString(0), r.getLong(3), r.getLong(4))).toSet
+    assert(streamedSched === expected,
+      "streamed (host_rank, fetch_epoch) ≠ batch scheduler over the chain")
+  }
+
   test("state updates scale with NEW urls per batch, under RocksDB state store") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
