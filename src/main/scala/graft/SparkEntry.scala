@@ -40,6 +40,7 @@ object SparkEntry {
     "q_doc_langid" -> ((s, d) => TrainingOps.langId(s, d)),
     "q_doc_quality" -> ((s, d) => TrainingOps.qualityScores(s, d)),
     "q_doc_simhash" -> ((s, d) => TrainingOps.simhash(s, d)),
+    "q_doc_simhash_dups" -> ((s, d) => TrainingOps.simhashNearDups(s, d)),
     "q_doc_minhash" -> ((s, d) => TrainingOps.minhashSignatures(s, d)),
     "q_doc_lsh_pairs" -> ((s, d) => TrainingOps.lshCandidatePairs(s, d)),
     "q_doc_jaccard_pairs" -> ((s, d) => TrainingOps.jaccardVerifiedPairs(s, d)),
@@ -49,6 +50,7 @@ object SparkEntry {
     "q_emb_lsh_topk" -> ((s, d) => TrainingOps.lshBucketTopK(s, d)),
     "q_emb_ivf_topk" -> ((s, d) => TrainingOps.ivfTopK(s, d)),
     "q_emb_ivf_kmeans_topk" -> ((s, d) => TrainingOps.ivfKmeansTopK(s, d)),
+    "q_emb_pq_topk" -> ((s, d) => TrainingOps.pqTopK(s, d)),
     "q_emb_cosine_dups" -> ((s, d) => TrainingOps.cosineNearDups(s, d)),
     // --- scan/projection surface (S4, S6, F1, O1, P5, P8, P9, P12, J4, §2.7) ---
     "q_json_payload" -> ((s, d) => ScanOps.jsonPayload(s, d)),
@@ -95,7 +97,12 @@ object SparkEntry {
       graft.functions.ImageOps.decodeMeta(
           graft.model.Fixtures.images(s, 2000L)).toDF()
         .select("image_id", "fmt", "w", "h", "decoded_w", "decoded_h",
-          "n_bytes"))
+          "n_bytes")),
+    // real RIFF/WAV parse over opaque bytes; the oracle recomputes every
+    // decoded field + feature analytically from the synthesis parameters
+    "q_audio_meta" -> ((s, _) =>
+      graft.functions.AudioOps.decodeMeta(
+        graft.model.Fixtures.audios(s, 2000L)).toDF())
   )
 
   /** Where graft.Verify dumps the crawl-tick/image fixture parquet for the
@@ -332,6 +339,23 @@ object SparkEntry {
            |       w AS decoded_w, h AS decoded_h,
            |       CAST(octet_length(bytes) AS BIGINT) AS n_bytes
            |FROM read_parquet('$F/images/*.parquet')""".stripMargin,
+      // every decoded field + feature recomputed ANALYTICALLY from the
+      // square-wave synthesis parameters (peak = amp; energy = n·amp²;
+      // zero-crossings = sign flips at multiples of half_period in
+      // [1, n-1] = (n-1) div half_period) — the Spark side parses only
+      // the bytes, so a RIFF-walker or de-interleave bug cannot match
+      "q_audio_meta" ->
+        s"""SELECT audio_id,
+           |       CASE WHEN corrupt THEN -1 ELSE sample_rate END AS sr,
+           |       CASE WHEN corrupt THEN -1 ELSE channels END AS channels,
+           |       CASE WHEN corrupt THEN -1 ELSE n_frames END AS n_frames,
+           |       CAST(octet_length(bytes) AS BIGINT) AS n_bytes,
+           |       CASE WHEN corrupt THEN 0 ELSE amp END AS peak,
+           |       CASE WHEN corrupt THEN CAST(0 AS BIGINT)
+           |            ELSE CAST(n_frames AS BIGINT) * amp * amp END AS sum_sq,
+           |       CASE WHEN corrupt THEN CAST(0 AS BIGINT)
+           |            ELSE CAST((n_frames - 1) // half_period AS BIGINT) END AS zero_crossings
+           |FROM read_parquet('$F/audios/*.parquet')""".stripMargin,
       "q_image_phash_dups" ->
         s"""WITH base AS (
            |  SELECT image_id, phash & 1152921504606846975 AS ph
@@ -618,6 +642,40 @@ object SparkEntry {
            |SELECT doc_id,
            |       CAST(SUM(CASE WHEN vote_sum > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
            |FROM votes GROUP BY doc_id""".stripMargin,
+      "q_doc_simhash_dups" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000 AS doc_id,
+           |         substr(text, 1, greatest(length(text) - 30, 50)) AS text
+           |  FROM documents),
+           |tok AS (
+           |  SELECT doc_id,
+           |         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS token
+           |  FROM corpus),
+           |th AS (SELECT doc_id, ${h60("token")} AS th FROM tok),
+           |votes AS (
+           |  SELECT doc_id, b,
+           |         SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote_sum
+           |  FROM th, generate_series(0, 59) AS g(b)
+           |  GROUP BY 1, 2),
+           |sig AS (
+           |  SELECT doc_id,
+           |         CAST(SUM(CASE WHEN vote_sum > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
+           |  FROM votes GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, sh, b AS band, (sh >> (b * 15)) & 32767 AS band_val
+           |  FROM sig, generate_series(0, 3) AS g(b)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         a.sh AS sh_a, b.sh AS sh_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.band_val = b.band_val
+           |   AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b,
+           |       CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming,
+           |       bit_count(xor(sh_a, sh_b)) <= 3 AS is_dup
+           |FROM cand""".stripMargin,
       "q_doc_minhash" ->
         s"""WITH $nearDupCtes
            |SELECT doc_id, seed, minhash FROM mh""".stripMargin,
@@ -790,6 +848,43 @@ object SparkEntry {
            |              ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
            |  FROM s)
            |SELECT query_id, neighbor_id, dot, rank FROM r WHERE rank <= 10""".stripMargin,
+      // PQ-ADC: codebook = stride-sampled corpus subvectors (4 subspaces ×
+      // 16 codewords), encode = per-subspace argmin, score = sum of 4 LUT
+      // lookups — all integer, replayed identically to the Spark plan
+      "q_emb_pq_topk" ->
+        s"""WITH e AS (SELECT vec_id, $quant AS q FROM embeddings),
+           |corpus AS (SELECT vec_id, q FROM e WHERE vec_id >= 8),
+           |cb AS (
+           |  SELECT m, (vec_id // 29 - 1) AS k,
+           |         list_slice(q, m * 16 + 1, m * 16 + 16) AS cw
+           |  FROM corpus, generate_series(0, 3) AS g(m)
+           |  WHERE vec_id % 29 = 0 AND vec_id <= 464),
+           |enc AS (
+           |  SELECT vec_id, m, k FROM (
+           |    SELECT c.vec_id, cb.m, cb.k,
+           |           ROW_NUMBER() OVER (PARTITION BY c.vec_id, cb.m ORDER BY
+           |             list_sum(list_transform(range(1, 17),
+           |               i -> (c.q[cb.m * 16 + i] - cb.cw[i])
+           |                  * (c.q[cb.m * 16 + i] - cb.cw[i]))) ASC,
+           |             cb.k ASC) AS rn
+           |    FROM corpus c, cb) WHERE rn = 1),
+           |qs AS (SELECT vec_id AS query_id, q AS qv FROM e WHERE vec_id < 8),
+           |lut AS (
+           |  SELECT qs.query_id, cb.m, cb.k,
+           |         CAST(list_sum(list_transform(range(1, 17),
+           |           i -> qs.qv[cb.m * 16 + i] * cb.cw[i])) AS BIGINT) AS lv
+           |  FROM qs, cb),
+           |s AS (
+           |  SELECT l.query_id, enc.vec_id AS neighbor_id,
+           |         CAST(SUM(l.lv) AS BIGINT) AS adc
+           |  FROM enc JOIN lut l ON l.m = enc.m AND l.k = enc.k
+           |  GROUP BY 1, 2),
+           |r AS (
+           |  SELECT query_id, neighbor_id, adc,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |              ORDER BY adc DESC, neighbor_id ASC) AS BIGINT) AS rank
+           |  FROM s)
+           |SELECT query_id, neighbor_id, adc, rank FROM r WHERE rank <= 10""".stripMargin,
       "q_emb_lsh_buckets" ->
         s"""WITH planes AS (
            |  SELECT p, i,

@@ -42,6 +42,7 @@ object Verify {
       dump(Fixtures.pageStore(spark, nSources, maxTick = 0).toDF()
         .select("canonical_url", "image_id", "caption", "status"), "tick_pages")
       dump(Fixtures.images(spark, 2000L).toDF(), "images")
+      dump(Fixtures.audios(spark, 2000L).toDF(), "audios")
     }
 
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -311,6 +311,56 @@ object Fixtures {
       .toDF("image_id", "phash")
   }
 
+  // ----------------------------------------------------------------- audio
+
+  /** Square-wave sample for frame `i` of channel 0: +amp for the first
+    * `halfPeriod` frames, -amp for the next, alternating. Channel 1 (when
+    * stereo) carries the NEGATED sample — so a decoder that de-interleaves
+    * wrongly produces visibly wrong zero-crossing counts.
+    */
+  def audioSample(i: Int, amp: Int, halfPeriod: Int): Short =
+    (if ((i / halfPeriod) % 2 == 0) amp else -amp).toShort
+
+  /** Deterministic RIFF/WAV synthesis (16-bit LE PCM). The container is a
+    * REAL spec-conformant WAV — [[graft.functions.AudioOps.parseWav]]
+    * walks its chunks like any third-party file's; ~3% of rows get the
+    * RIFF magic destroyed to exercise the decode error-isolation path.
+    */
+  def audioDoc(rowIdx: Long): AudioDoc = {
+    val h = mix(Seed, 50L, rowIdx)
+    val sr = Vector(8000, 16000, 22050)(bounded(h, 3))
+    val ch = 1 + bounded(mix64(h ^ 1L), 2)
+    val n = 400 + bounded(mix64(h ^ 2L), 1600)
+    val amp = 1000 + bounded(mix64(h ^ 3L), 29000)
+    val hp = 5 + bounded(mix64(h ^ 4L), 45)
+    val corrupt = bounded(mix64(h ^ 5L), 33) == 0
+    val dataLen = n * ch * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(ch.toShort).putInt(sr).putInt(sr * ch * 2)
+      .putShort((ch * 2).toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      val s = audioSample(i, amp, hp)
+      buf.putShort(s)
+      if (ch == 2) buf.putShort((-s).toShort)
+      i += 1
+    }
+    val bytes = buf.array()
+    if (corrupt) "JUNK".getBytes("US-ASCII").copyToArray(bytes, 0)
+    AudioDoc(f"aud-$rowIdx%08d", bytes, sr, ch, n, amp, hp, corrupt)
+  }
+
+  def audios(spark: SparkSession, n: Long): Dataset[AudioDoc] = {
+    import spark.implicits._
+    spark.range(0, n).map(i => audioDoc(i))
+  }
+
   /** Page row for one canonical URL — pure function of the URL, so every
     * occurrence (any tick, any source listing) resolves identically.
     * ~3% get a non-200 status to exercise error isolation (C5).

@@ -24,6 +24,25 @@ final case class ImageDoc(
     phash: Long
 )
 
+/** Audio payload row — the second opaque-binary modality (alongside
+  * [[ImageDoc]]'s image and the disclosed video stub): a RIFF/WAV container
+  * of 16-bit PCM, carried as an opaque BinaryType column with typed
+  * metadata. The synthesis parameters (`amp`, `half_period`, square wave)
+  * are fixture ground truth: the decoder parses ONLY `bytes`, and the
+  * DuckDB oracle recomputes the expected features analytically from the
+  * parameters — so a decode/feature bug cannot hash-match.
+  */
+final case class AudioDoc(
+    audio_id: String,
+    bytes: Array[Byte],
+    sample_rate: Int,
+    channels: Int, // 1 or 2; stereo carries (s, -s) per frame
+    n_frames: Int,
+    amp: Int, // square-wave amplitude, 16-bit PCM range
+    half_period: Int, // frames per half-cycle
+    corrupt: Boolean // ~3%: RIFF magic destroyed (error-isolation path)
+)
+
 /** Per-source crawl policy — the reference's scraper registry re-expressed
   * as data, not code (reference: main.py:156-270 + per-scraper constants).
   *

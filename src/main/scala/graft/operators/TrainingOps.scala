@@ -149,7 +149,16 @@ object TrainingOps {
     * hashes, weighted by multiplicity.
     */
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
+    simhashOf(docs(spark, sfDir))
+
+  /** SimHash signatures for an arbitrary (doc_id, text) corpus — the
+    * computation behind [[simhash]] and [[simhashNearDups]]. All shuffle
+    * keys ((doc_id, b), doc_id) are uniform; the token×60 explode is the
+    * cost driver but stays map-side until the per-bit vote aggregation,
+    * which combines partially (sum).
+    */
+  def simhashOf(corpus: DataFrame): DataFrame =
+    corpus
       .select(col("doc_id"),
         explode(filter(split(col("text"), "\\s+"), t => t =!= ""))
           .as("token"))
@@ -164,6 +173,49 @@ object TrainingOps {
       .agg(sum(when(col("vote_sum") > 0,
           expr("shiftleft(1L, CAST(b AS INT))")).otherwise(0L))
         .as("simhash"))
+
+  /** SimHash near-duplicate pairs (the dedup-family entry the signatures
+    * feed): band the 60-bit signature into 4×15-bit keys, self-join on
+    * band equality (the LSH step — a near-pair within Hamming distance 3
+    * of 60 bits is GUARANTEED a candidate by pigeonhole: 4 bands, ≤ 3
+    * differing bits, so at least one band matches exactly), then verify
+    * with the exact `bit_count` Hamming distance. Runs over the synthetic
+    * near-dup corpus (tail-chopped twins at doc_id+100000) so there are
+    * true positives to find. `is_dup` is gated at the banding's GUARANTEED
+    * radius (Hamming ≤ 3 = bands − 1, the classic Manku-et-al design
+    * point): within it recall is 1.0 by pigeonhole — SimhashDupsSpec
+    * proves it against the O(n²) truth — while candidates beyond it are
+    * reported with their exact distance but not flagged (measured on the
+    * fixture corpus: banding also surfaces ~69% of all tail-chopped
+    * twins, median twin distance ≈ 5).
+    *
+    * Scale: identical shape to the phash image path — the join is
+    * shuffle-bounded by band-collision mass, ids+signatures only (no text
+    * moves), never all-pairs; 15-bit bands keep bucket occupancy ~n/32k
+    * per band so the self-join stays collision-bounded at corpus scale.
+    */
+  val SimhashBands = 4
+  val SimhashBandBits = 15
+  val SimhashDupMax = SimhashBands - 1 // the pigeonhole-guaranteed radius
+  def simhashNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = simhashOf(nearDupCorpus(spark, sfDir))
+    val bands = sigs
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
+      .withColumn("band_val",
+        expr(s"shiftright(simhash, CAST(band * $SimhashBandBits AS INT))" +
+          s" & ${(1 << SimhashBandBits) - 1}"))
+    val a = bands.select(col("band"), col("band_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = bands.select(col("band").as("band_b"), col("band_val").as("val_b"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, col("band") === col("band_b") &&
+        col("band_val") === col("val_b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)").as("hamming"))
+      .withColumn("is_dup", col("hamming") <= SimhashDupMax)
+  }
 
   // ============================================= near-dup: MinHash/LSH ===
 
@@ -1050,6 +1102,107 @@ object TrainingOps {
     val bf = bruteForceTopK(spark, sfDir).select("query_id", "neighbor_id")
     val ivf = ivfTopK(spark, sfDir).select("query_id", "neighbor_id")
     val hit = bf.join(ivf, Seq("query_id", "neighbor_id")).count()
+    val total = bf.count()
+    if (total == 0) 1.0 else hit.toDouble / total
+  }
+
+  // --------------------------------------- PQ (product quantization) ---
+
+  /** PQ dials: the 64-dim vector splits into M=4 subspaces of 16 dims;
+    * each subspace gets K=16 codewords (a deterministic stride sample of
+    * corpus subvectors — SQL-expressible, same design choice as the IVF
+    * seeds; k-means-refined codebooks would compose exactly like
+    * [[ivfKmeansCentroidsFrom]]). A vector encodes to M codes = 4 bytes
+    * of index payload vs 64×4 B raw floats — the ×64 memory compression
+    * is the 100 TB story: a corpus whose raw embeddings cannot fit
+    * executor memory scans as codes, with the float vectors left in cold
+    * storage for optional re-ranking.
+    */
+  val PqM = 4
+  val PqSubDim = EmbDim / PqM // 16
+  val PqK = 16
+  val PqCodeStride = 29L // 16 codewords ⇒ max source vec_id 464 (≤ all SFs)
+
+  /** Codebook (m, k, cw): codeword k of subspace m is dims
+    * [m·16, (m+1)·16) of the corpus vector with vec_id = 29·(k+1).
+    */
+  def pqCodebook(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") >= NQueryVecs)
+      .filter(col("vec_id") % PqCodeStride === 0 &&
+        col("vec_id") <= PqCodeStride * PqK)
+      .withColumn("k", (col("vec_id") / PqCodeStride).cast("long") - 1)
+      .select(col("k"), explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("q"))
+      .select(col("m"), col("k"),
+        slice(col("q"), col("m") * PqSubDim + lit(1), lit(PqSubDim)).as("cw"))
+
+  /** Corpus → PQ codes (vec_id, codes[M]): per-subspace argmin over the
+    * broadcast codebook (min(struct) aggregate, map-side combined — the
+    * n×M×K scored pairs reduce to n×M before the shuffle), then the M
+    * codes reassemble in subspace order. Index-build cost: two uniform
+    * vec_id shuffles of (id, small-int) rows.
+    */
+  def pqEncode(e: DataFrame, cbook: DataFrame): DataFrame =
+    e.filter(col("vec_id") >= NQueryVecs)
+      .join(broadcast(cbook))
+      .withColumn("dist",
+        intL2(slice(col("q"), col("m") * PqSubDim + lit(1), lit(PqSubDim)),
+          col("cw")))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("k"))).as("mk"))
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("m"), col("mk.k").as("k"))))
+        .as("mc"))
+      .select(col("vec_id"),
+        transform(col("mc"), s => s("k")).as("codes"))
+
+  /** PQ-ADC top-k (asymmetric distance computation, the third ANN path):
+    * each query precomputes a LUT of dot(query_sub_m, codeword[m][k]) —
+    * M×K longs — and every corpus vector scores as the sum of M lookups
+    * on its codes: adc ≈ dot(query, corpus), with NO float vector touched
+    * at scan time. Scale shape: the codes frame (4 small ints per vector)
+    * is the only corpus-sized input and it never shuffles before the
+    * two-stage rank; the LUT side is queries × (M·K) longs — broadcast at
+    * the NQueryVecs contract (at real query load the same size-gated
+    * dispatch as [[ivfTopKWithCents]] applies, and IVF composes in front
+    * as the candidate prefilter: IVF-PQ). Integer arithmetic throughout —
+    * the DuckDB oracle replays codebook/encode/LUT/score identically.
+    */
+  def pqTopK(spark: SparkSession, sfDir: String): DataFrame =
+    pqTopKFrom(
+      embeddings(spark, sfDir)
+        .select(col("vec_id"), quantized(col("embedding")).as("q")))
+
+  def pqTopKFrom(e: DataFrame): DataFrame = {
+    val cbook = pqCodebook(e)
+    val codes = pqEncode(e, cbook)
+    val luts = e.filter(col("vec_id") < NQueryVecs)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+      .join(broadcast(cbook))
+      .withColumn("lv",
+        intDot(slice(col("qv"), col("m") * PqSubDim + lit(1), lit(PqSubDim)),
+          col("cw")))
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("m"), col("k"), col("lv"))))
+        .as("ml"))
+      .select(col("query_id"), transform(col("ml"), s => s("lv")).as("lut"))
+    val scored = codes.join(broadcast(luts))
+      .withColumn("dot",
+        (0 until PqM).map(m =>
+          element_at(col("lut"),
+            (col("codes")(m) + lit(m * PqK + 1)).cast("int")))
+          .reduce(_ + _))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("dot"))
+    topKPerQuery(scored, TopK).withColumnRenamed("dot", "adc")
+  }
+
+  /** Recall@k of the ADC ranking vs exact brute force — the measured cost
+    * of scanning 4-byte codes instead of 256-byte vectors.
+    */
+  def pqRecallAtK(spark: SparkSession, sfDir: String): Double = {
+    val bf = bruteForceTopK(spark, sfDir).select("query_id", "neighbor_id")
+    val pq = pqTopK(spark, sfDir).select("query_id", "neighbor_id")
+    val hit = bf.join(pq, Seq("query_id", "neighbor_id")).count()
     val total = bf.count()
     if (total == 0) 1.0 else hit.toDouble / total
   }

@@ -31,6 +31,8 @@ object AnnRecall {
     println(f"ivf-kmeans recall@10=$km%.3f (uniform-random corpus)")
     val kmC = TrainingOps.ivfKmeansRecallClustered(spark, sfDir)
     println(f"ivf-kmeans recall@10=$kmC%.3f (planted-cluster corpus)")
+    val pq = TrainingOps.pqRecallAtK(spark, sfDir)
+    println(f"pq-adc recall@10=$pq%.3f (x64-compressed codes, uniform corpus)")
     spark.stop()
   }
 }

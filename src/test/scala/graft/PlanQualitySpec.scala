@@ -54,7 +54,8 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     for (df <- Seq(
         TrainingOps.bruteForceTopK(spark, sf()),
         TrainingOps.lshBucketTopK(spark, sf()),
-        TrainingOps.ivfTopK(spark, sf()))) {
+        TrainingOps.ivfTopK(spark, sf()),
+        TrainingOps.pqTopK(spark, sf()))) {
       val p = planString(df)
       // the partial stage partitions by (query_id, __subq); a regression back
       // to one global window would drop the __subq key from every Window node
@@ -80,6 +81,24 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!pTop.contains("CartesianProduct"), pTop)
     assert(!pTop.contains("SortMergeJoin"),
       "probe join fell back to SMJ (probes side should broadcast):\n" + pTop)
+  }
+
+  test("PQ: codebook and LUT broadcast; encode argmin is an aggregate, not a window") {
+    import org.apache.spark.sql.functions.col
+    val e = TrainingOps.embeddings(spark, sf())
+      .select(col("vec_id"), TrainingOps.quantized(col("embedding")).as("q"))
+    val pEnc = planString(TrainingOps.pqEncode(e, TrainingOps.pqCodebook(e)))
+    assert(pEnc.contains("BroadcastNestedLoopJoin") || pEnc.contains("BroadcastExchange"),
+      "codebook not broadcast:\n" + pEnc)
+    assert(!pEnc.contains("CartesianProduct"), pEnc)
+    // per-subspace argmin must partial-aggregate map-side: a rank window
+    // would shuffle all n×M×K scored pairs (the collect_list reassembly
+    // window over (vec_id, m) is NOT present either — it's an aggregate)
+    assert(!pEnc.contains("Window"), "encode regressed to a rank window:\n" + pEnc)
+    val pTop = planString(TrainingOps.pqTopK(spark, sf()))
+    assert(!pTop.contains("CartesianProduct"), pTop)
+    assert(!pTop.contains("SortMergeJoin"),
+      "ADC scan joined by SMJ (LUT side should broadcast):\n" + pTop)
   }
 
   test("IVF probe join is size-dispatched: broadcast by default, " +
