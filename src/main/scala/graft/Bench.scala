@@ -405,6 +405,11 @@ object Bench {
     // PQ-ADC (round 4): what ranking on 4-byte codes instead of 256-byte
     // vectors costs in recall — the ×64-compression scale path's honesty dial
     val pqRecall = graft.operators.TrainingOps.pqRecallAtK(spark, sfDir)
+    // ...and what the R=50 exact re-rank pass buys back over raw codes
+    val pqRerankRecall =
+      graft.operators.TrainingOps.pqRerankRecallAtK(spark, sfDir)
+    // IVF-PQ composed: coarse-pruning × code-quantization recall, together
+    val ivfPqRecall = graft.operators.TrainingOps.ivfPqRecallAtK(spark, sfDir)
 
     // Scaling arms (north rule: throughput efficiency ≥ 0.8 from N to 4N
     // cores) — driver-reproducible in ONE run, but each arm in its OWN
@@ -478,7 +483,7 @@ object Bench {
       s"""{"probes":$p,"recall":${f"$r%.3f"},"candidates":$c}"""
     }.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","cpus":$cpus,"frontier_n":$frontierN,"frontier_scheduled_rows":$frontierRows,"frontier_urls_per_sec":$urlsPerSec,"frontier_runs_sec":[${f"$run1Sec%.3f"},${f"$run2Sec%.3f"}],"frontier_stages":${jmap(stages)},"ann_recall_at_10":${f"$annRecall%.3f"},"ann_ivf_recall_at_10":${f"$ivfRecall%.3f"},"ann_ivf_recall_clustered":${f"$ivfRecallC%.3f"},"ann_ivf_kmeans_recall_at_10":${f"$ivfKmRecall%.3f"},"ann_ivf_kmeans_recall_clustered":${f"$ivfKmRecallC%.3f"},"ann_pq_recall_at_10":${f"$pqRecall%.3f"},"ann_recall_curve":$annCurveJson,"scaling":$scalingJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","cpus":$cpus,"frontier_n":$frontierN,"frontier_scheduled_rows":$frontierRows,"frontier_urls_per_sec":$urlsPerSec,"frontier_runs_sec":[${f"$run1Sec%.3f"},${f"$run2Sec%.3f"}],"frontier_stages":${jmap(stages)},"ann_recall_at_10":${f"$annRecall%.3f"},"ann_ivf_recall_at_10":${f"$ivfRecall%.3f"},"ann_ivf_recall_clustered":${f"$ivfRecallC%.3f"},"ann_ivf_kmeans_recall_at_10":${f"$ivfKmRecall%.3f"},"ann_ivf_kmeans_recall_clustered":${f"$ivfKmRecallC%.3f"},"ann_pq_recall_at_10":${f"$pqRecall%.3f"},"ann_pq_rerank_recall_at_10":${f"$pqRerankRecall%.3f"},"ann_ivfpq_recall_at_10":${f"$ivfPqRecall%.3f"},"ann_recall_curve":$annCurveJson,"scaling":$scalingJson}"""
     // build.sbt sets outputStrategy := StdoutOutput, so this line reaches
     // the driver's stdout tail UNPREFIXED (sbt's "[info] " wrapper broke
     // the driver's parse in rounds 1-2); the file copy stays as the

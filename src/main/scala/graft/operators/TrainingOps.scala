@@ -1173,7 +1173,14 @@ object TrainingOps {
       embeddings(spark, sfDir)
         .select(col("vec_id"), quantized(col("embedding")).as("q")))
 
-  def pqTopKFrom(e: DataFrame): DataFrame = {
+  def pqTopKFrom(e: DataFrame): DataFrame =
+    topKPerQuery(pqAdcScores(e), TopK).withColumnRenamed("dot", "adc")
+
+  /** The raw ADC scoring stage of [[pqTopKFrom]] — every corpus code
+    * scored against every query's LUT — exposed so [[pqRerankTopKFrom]]
+    * can take a wider shortlist off the same plan.
+    */
+  def pqAdcScores(e: DataFrame): DataFrame = {
     val cbook = pqCodebook(e)
     val codes = pqEncode(e, cbook)
     val luts = e.filter(col("vec_id") < NQueryVecs)
@@ -1186,7 +1193,126 @@ object TrainingOps {
       .agg(sort_array(collect_list(struct(col("m"), col("k"), col("lv"))))
         .as("ml"))
       .select(col("query_id"), transform(col("ml"), s => s("lv")).as("lut"))
-    val scored = codes.join(broadcast(luts))
+    codes.join(broadcast(luts))
+      .withColumn("dot",
+        (0 until PqM).map(m =>
+          element_at(col("lut"),
+            (col("codes")(m) + lit(m * PqK + 1)).cast("int")))
+          .reduce(_ + _))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("dot"))
+  }
+
+  /** Shortlist width for the exact re-rank stage: ADC keeps its top R per
+    * query, the exact int-dot re-scores only those R. R = 5·k trades a
+    * constant-factor exact-scoring cost for most of the recall ADC loses
+    * to 4-bit codes (measured in Bench as `ann_pq_rerank_recall_at_10`).
+    */
+  val PqRerankR = 50
+
+  /** PQ-ADC + exact re-rank — the composition the PQ path is FOR at
+    * scale: the compressed-domain scan (4-byte codes, no float vectors)
+    * produces a per-query shortlist of R candidates, and ONLY those R×|Q|
+    * rows ever touch full vectors again. Scale shape: the shortlist
+    * (query_id, neighbor_id) is tiny → broadcast INTO the corpus scan as
+    * a hash semi-join-with-payload, so the corpus never shuffles and the
+    * full-vector fetch is one narrow pass; query vectors broadcast at the
+    * NQueryVecs contract. Both ranks are the two-stage partial top-k.
+    * Output schema matches [[bruteForceTopK]] (query_id, neighbor_id,
+    * dot, rank) — recall is a direct join, and the DuckDB oracle replays
+    * shortlist → exact dot → re-rank with the same tie order.
+    */
+  def pqRerankTopK(spark: SparkSession, sfDir: String): DataFrame =
+    pqRerankTopKFrom(
+      embeddings(spark, sfDir)
+        .select(col("vec_id"), quantized(col("embedding")).as("q")))
+
+  def pqRerankTopKFrom(e: DataFrame): DataFrame = {
+    val short = topKPerQuery(pqAdcScores(e), PqRerankR)
+      .select(col("query_id"), col("neighbor_id"))
+    val corpus = e.filter(col("vec_id") >= NQueryVecs)
+      .select(col("vec_id").as("neighbor_id"), col("q").as("nv"))
+    val queries = e.filter(col("vec_id") < NQueryVecs)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    val exact = broadcast(short)
+      .join(corpus, Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("dot", intDot(col("qv"), col("nv")))
+      .select(col("query_id"), col("neighbor_id"), col("dot"))
+    topKPerQuery(exact, TopK)
+  }
+
+  /** IVF-PQ — the two scale paths COMPOSED, and the canonical big-corpus
+    * ANN index shape (the FAISS `IVFx,PQy` family): the IVF coarse
+    * quantizer prunes WHICH vectors are scored (only the probed lists),
+    * and PQ compresses WHAT is stored per vector (4-byte codes, not
+    * 256-byte vectors) — so the inverted lists themselves hold codes and
+    * the full-precision corpus is never read at query time at all.
+    *
+    * Index build: the centroid assignment and the PQ encode are both
+    * `groupBy(vec_id)` aggregates, so the (assignment ⋈ codes) zip is a
+    * join of two frames already hash-partitioned on vec_id — no extra
+    * exchange (plan-gated). Query: probes rank the broadcast centroids
+    * (queries × nlist, never corpus rows), each probe row carries its
+    * query's M×K LUT (the two tiny frames join before fanning out), and
+    * the probe side takes the same size-gated broadcast/shuffle-hash
+    * dispatch as [[ivfTopKWithCents]] — above the gate both sides
+    * shuffle on centroid_id, the key the lists were built on. Scoring is
+    * 4 integer LUT lookups per candidate code; ranking is the two-stage
+    * [[topKPerQuery]]. Integer arithmetic throughout; the DuckDB oracle
+    * composes the IVF CTEs in front of the PQ CTEs exactly as the plan
+    * does.
+    */
+  def ivfPqTopK(spark: SparkSession, sfDir: String,
+      centroidStride: Long = IvfCentroidStride,
+      nprobe: Int = IvfNProbe,
+      maxProbeBroadcastBytes: Long = DefaultIvfProbeMaxBroadcastBytes)
+      : DataFrame =
+    ivfPqTopKFrom(
+      embeddings(spark, sfDir)
+        .select(col("vec_id"), quantized(col("embedding")).as("q")),
+      centroidStride, nprobe, maxProbeBroadcastBytes)
+
+  def ivfPqTopKFrom(e: DataFrame,
+      centroidStride: Long = IvfCentroidStride,
+      nprobe: Int = IvfNProbe,
+      maxProbeBroadcastBytes: Long = DefaultIvfProbeMaxBroadcastBytes)
+      : DataFrame = {
+    val cents = ivfSeedCentroids(e, centroidStride)
+    val nlist = cents.select("centroid_id").count()
+    val cbook = pqCodebook(e)
+    // the inverted lists store CODES: (centroid_id, vec_id, codes[4]) —
+    // vec_id-copartitioned zip of the two index-build aggregates
+    val lists = ivfAssignmentsWithCents(e, cents)
+      .select("vec_id", "centroid_id")
+      .join(pqEncode(e, cbook), Seq("vec_id"))
+    val queries = e.filter(col("vec_id") < NQueryVecs)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    val luts = queries
+      .join(broadcast(cbook))
+      .withColumn("lv",
+        intDot(slice(col("qv"), col("m") * PqSubDim + lit(1), lit(PqSubDim)),
+          col("cw")))
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("m"), col("k"), col("lv"))))
+        .as("ml"))
+      .select(col("query_id"), transform(col("ml"), s => s("lv")).as("lut"))
+    val effNprobe = math.max(nprobe.toLong, nlist / 8L)
+    val probeBytes = NQueryVecs.toLong * effNprobe * IvfProbeRowBytes
+    val broadcastProbes = probeBytes <= maxProbeBroadcastBytes
+    val probes = queries.join(broadcast(cents))
+      .withColumn("dist", intL2(col("qv"), col("cv")))
+      .withColumn("nlist",
+        count(lit(1)).over(Window.partitionBy("query_id")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(asc("dist"), asc("centroid_id"))))
+      .filter(col("crank") <=
+        greatest(lit(nprobe.toLong), floor(col("nlist") / lit(8.0)).cast("long")))
+      .select(col("query_id"), col("centroid_id"))
+      .join(luts, Seq("query_id")) // both frames are queries-sized
+    val probeSide =
+      if (broadcastProbes) broadcast(probes) else probes.hint("shuffle_hash")
+    val scored = probeSide.join(lists, Seq("centroid_id"))
       .withColumn("dot",
         (0 until PqM).map(m =>
           element_at(col("lut"),
@@ -1196,12 +1322,34 @@ object TrainingOps {
     topKPerQuery(scored, TopK).withColumnRenamed("dot", "adc")
   }
 
+  /** Recall@k of IVF-PQ vs exact brute force — coarse-pruning recall loss
+    * (IVF) × code-quantization recall loss (PQ), measured together.
+    */
+  def ivfPqRecallAtK(spark: SparkSession, sfDir: String): Double = {
+    val bf = bruteForceTopK(spark, sfDir).select("query_id", "neighbor_id")
+    val ip = ivfPqTopK(spark, sfDir).select("query_id", "neighbor_id")
+    val hit = bf.join(ip, Seq("query_id", "neighbor_id")).count()
+    val total = bf.count()
+    if (total == 0) 1.0 else hit.toDouble / total
+  }
+
   /** Recall@k of the ADC ranking vs exact brute force — the measured cost
     * of scanning 4-byte codes instead of 256-byte vectors.
     */
   def pqRecallAtK(spark: SparkSession, sfDir: String): Double = {
     val bf = bruteForceTopK(spark, sfDir).select("query_id", "neighbor_id")
     val pq = pqTopK(spark, sfDir).select("query_id", "neighbor_id")
+    val hit = bf.join(pq, Seq("query_id", "neighbor_id")).count()
+    val total = bf.count()
+    if (total == 0) 1.0 else hit.toDouble / total
+  }
+
+  /** Recall@k with the exact re-rank behind the ADC shortlist — what the
+    * R-candidate exact pass buys back vs [[pqRecallAtK]]'s raw codes.
+    */
+  def pqRerankRecallAtK(spark: SparkSession, sfDir: String): Double = {
+    val bf = bruteForceTopK(spark, sfDir).select("query_id", "neighbor_id")
+    val pq = pqRerankTopK(spark, sfDir).select("query_id", "neighbor_id")
     val hit = bf.join(pq, Seq("query_id", "neighbor_id")).count()
     val total = bf.count()
     if (total == 0) 1.0 else hit.toDouble / total

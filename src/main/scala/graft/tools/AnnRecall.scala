@@ -33,6 +33,10 @@ object AnnRecall {
     println(f"ivf-kmeans recall@10=$kmC%.3f (planted-cluster corpus)")
     val pq = TrainingOps.pqRecallAtK(spark, sfDir)
     println(f"pq-adc recall@10=$pq%.3f (x64-compressed codes, uniform corpus)")
+    val pqR = TrainingOps.pqRerankRecallAtK(spark, sfDir)
+    println(f"pq-adc+rerank recall@10=$pqR%.3f (exact re-rank of ADC top-${TrainingOps.PqRerankR})")
+    val ivfPq = TrainingOps.ivfPqRecallAtK(spark, sfDir)
+    println(f"ivf-pq recall@10=$ivfPq%.3f (probed lists scored as codes, uniform corpus)")
     spark.stop()
   }
 }

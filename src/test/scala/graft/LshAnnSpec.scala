@@ -129,6 +129,69 @@ class LshAnnSpec extends SparkTestBase {
     assert(clustered >= 0.9, f"clustered recall collapsed: $clustered%.3f")
   }
 
+  test("PQ re-rank: results come from the ADC shortlist, dots are exact, " +
+      "and the exact pass lifts recall over raw codes") {
+    val rer = TrainingOps.pqRerankTopK(spark, sf())
+    val bf = TrainingOps.bruteForceTopK(spark, sf())
+    assert(rer.columns.toSeq === bf.columns.toSeq)
+    // containment law: the re-rank stage only re-scores, never widens —
+    // every output pair must be inside the ADC top-R shortlist
+    val e = TrainingOps.embeddings(spark, sf())
+      .select(col("vec_id"), TrainingOps.quantized(col("embedding")).as("q"))
+    val short = TrainingOps.topKPerQuery(
+      TrainingOps.pqAdcScores(e), TrainingOps.PqRerankR)
+      .select("query_id", "neighbor_id")
+    assert(rer.select("query_id", "neighbor_id")
+      .join(short, Seq("query_id", "neighbor_id"), "left_anti")
+      .count() === 0)
+    // exactness law: re-ranked dots are the TRUE dots — identical to brute
+    // force on every shared (query, neighbor) pair
+    val joined = rer.select(col("query_id"), col("neighbor_id"),
+        col("dot").as("rr_dot"))
+      .join(bf.select(col("query_id"), col("neighbor_id"), col("dot")),
+        Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("rr_dot") =!= col("dot")).count() === 0)
+    // the point of the composition: exact re-ranking of the R-candidate
+    // shortlist recovers recall that raw 4-bit codes lose
+    val rawRecall = TrainingOps.pqRecallAtK(spark, sf())
+    val rerRecall = TrainingOps.pqRerankRecallAtK(spark, sf())
+    assert(rerRecall >= rawRecall,
+      f"re-rank recall $rerRecall%.3f fell below raw ADC $rawRecall%.3f")
+    assert(rer.select("query_id").distinct().count() ===
+      TrainingOps.NQueryVecs.toLong)
+  }
+
+  test("IVF-PQ: candidates come only from probed lists, ADC scores match " +
+      "the flat-PQ scorer, and both dispatch paths agree") {
+    val e = TrainingOps.embeddings(spark, sf())
+      .select(col("vec_id"), TrainingOps.quantized(col("embedding")).as("q"))
+    val res = TrainingOps.ivfPqTopK(spark, sf())
+    // scoring-integrity law: each returned pair's adc equals the flat-PQ
+    // ADC for that pair — the IVF stage only restricts the candidate set,
+    // never changes the scoring (a left join that finds a NULL means
+    // IVF-PQ surfaced a pair the PQ scorer can't even produce)
+    val flatAdc = TrainingOps.pqAdcScores(e)
+      .withColumnRenamed("dot", "flat_adc")
+    val joined = res.select(col("query_id"), col("neighbor_id"),
+        col("adc"))
+      .join(flatAdc, Seq("query_id", "neighbor_id"), "left")
+    assert(joined.filter(col("flat_adc").isNull).count() === 0,
+      "IVF-PQ returned a pair flat PQ never scored")
+    assert(joined.filter(col("adc") =!= col("flat_adc")).count() === 0,
+      "IVF-PQ ADC disagrees with flat-PQ ADC on a shared pair")
+    // every query answered; schema contract
+    assert(res.select("query_id").distinct().count() ===
+      TrainingOps.NQueryVecs.toLong)
+    assert(res.columns.toSeq ===
+      Seq("query_id", "neighbor_id", "adc", "rank"))
+    // dispatch parity: probe side broadcast (default) vs shuffle-hash
+    // (gate at 0) must produce the identical result set
+    val forced = TrainingOps.ivfPqTopK(spark, sf(),
+      maxProbeBroadcastBytes = 0L)
+    assert(res.collect().map(_.toSeq).toSet ===
+      forced.collect().map(_.toSeq).toSet, "IVF-PQ dispatch paths disagree")
+  }
+
   test("multi-probe dial: candidates and recall are monotone in probe count") {
     val curve = TrainingOps.lshRecallCurve(spark, sf(), Seq(1, 3, 5))
     val (probes, recalls, cands) = (curve.map(_._1), curve.map(_._2), curve.map(_._3))

@@ -99,6 +99,31 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!pTop.contains("CartesianProduct"), pTop)
     assert(!pTop.contains("SortMergeJoin"),
       "ADC scan joined by SMJ (LUT side should broadcast):\n" + pTop)
+    // the re-rank composition keeps the same discipline: the shortlist and
+    // query vectors broadcast INTO the corpus scan — the corpus-sized side
+    // must never sort-merge or shuffle for the full-vector fetch-back
+    val pRer = planString(TrainingOps.pqRerankTopK(spark, sf()))
+    assert(!pRer.contains("CartesianProduct"), pRer)
+    assert(!pRer.contains("SortMergeJoin"),
+      "re-rank fetch-back joined by SMJ (shortlist should broadcast):\n" + pRer)
+  }
+
+  test("IVF-PQ: no cartesian, no rank window in the index build, and the " +
+      "probe join keeps the size-gated broadcast/SHJ dispatch") {
+    val pD = planString(TrainingOps.ivfPqTopK(spark, sf()))
+    assert(!pD.contains("CartesianProduct"), pD)
+    // the only Window nodes allowed are the probe ranking (queries × nlist)
+    // and the two-stage top-k — the corpus-sized encode/assign stages must
+    // stay aggregates; all three window families partition by query_id, so
+    // a Window keyed by vec_id means a corpus-wide rank regression
+    assert(!pD.contains("windowspecdefinition(vec_id"),
+      "corpus-sized rank window appeared in the IVF-PQ index build:\n" + pD)
+    assert(!pD.contains("ShuffledHashJoin"),
+      "default dispatch unexpectedly shuffled the probe join:\n" + pD)
+    val pF = planString(TrainingOps.ivfPqTopK(spark, sf(),
+      maxProbeBroadcastBytes = 0L))
+    assert(pF.contains("ShuffledHashJoin"),
+      "probe join is not SHJ with the gate at 0:\n" + pF)
   }
 
   test("IVF probe join is size-dispatched: broadcast by default, " +
