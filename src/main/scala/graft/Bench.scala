@@ -270,11 +270,18 @@ object Bench {
         ArmSample(cores, round, sec, steal, offBusy)
       }
     }
-    val best = armCores.map(c =>
-      samples.filter(_.cores == c).flatMap(_.sec) match {
-        case s if s.nonEmpty => Some(s.min)
-        case _ => None
-      })
+    // Per-arm choice prefers the best QUIET sample: /proc/stat noise only
+    // ever inflates a child's time, so comparing the two arms' quiet
+    // minima measures true capability under the SAME admission criterion.
+    // Noisy samples stay in the record (visibly "quiet": false) but only
+    // elect the arm time when an arm caught no quiet window at all — and
+    // that case marks the whole object invalid downstream.
+    val best = armCores.map { c =>
+      val armRuns = samples.filter(s => s.cores == c && s.sec.isDefined)
+      val pool = if (armRuns.exists(_.quiet)) armRuns.filter(_.quiet)
+        else armRuns
+      if (pool.nonEmpty) Some(pool.map(_.sec.get).min) else None
+    }
     if (best.forall(_.isDefined)) (best.map(_.get), true, samples)
     else (armCores.map(c => ScalingBench.arm(c, n)), false, samples)
   }
@@ -377,6 +384,18 @@ object Bench {
       stages("full_job_best") = frontierSec
     }
 
+    // The shingle/minhash parquet cache is a one-time INDEX BUILD shared by
+    // the whole near-dup family (4 consumers across 3 driver-independent
+    // queries) — at 100 TB you build it once and amortize. Untimed, it
+    // lands on whichever family query the Map happens to order first
+    // (measured: q_doc_lsh_pairs read 1.7 s warm vs 24.9 s when it drew the
+    // cold build — a 14× swing that says nothing about the query). Build it
+    // HERE as its own reported stage so per-query numbers measure queries.
+    val (_, cacheSec) = timed {
+      graft.operators.TrainingOps.shingles(spark, sfDir).count()
+      graft.operators.TrainingOps.minhashSignatures(spark, sfDir).count()
+    }
+
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.foreach { case (name, fn) =>
       val (_, sec) = timed {
@@ -386,6 +405,7 @@ object Bench {
       results(name) = sec
     }
     results("frontier_tick") = frontierSec
+    results("traincache_build") = cacheSec
 
     // honesty metric for the approximate ANN path (VERDICT r1 #6): recall
     // of the banded-LSH bucket-local top-10 vs exact brute force, measured
@@ -410,6 +430,9 @@ object Bench {
       graft.operators.TrainingOps.pqRerankRecallAtK(spark, sfDir)
     // IVF-PQ composed: coarse-pruning × code-quantization recall, together
     val ivfPqRecall = graft.operators.TrainingOps.ivfPqRecallAtK(spark, sfDir)
+    // ...and the full stack with the exact top-R refine pass behind it
+    val ivfPqRerankRecall =
+      graft.operators.TrainingOps.ivfPqRerankRecallAtK(spark, sfDir)
 
     // Scaling arms (north rule: throughput efficiency ≥ 0.8 from N to 4N
     // cores) — driver-reproducible in ONE run, but each arm in its OWN
@@ -448,13 +471,19 @@ object Bench {
     //  - efficiency > 1.0 — superlinear is physically impossible here and,
     //    by the measured taxonomy (BENCH.md §2), means the 1-core arm never
     //    caught a quiet window;
-    //  - the CHOSEN (minimum) sample of either arm ran under host noise
-    //    above the stated bounds — small-arm noise inflates efficiency,
-    //    large-arm noise deflates it; either way the ratio is polluted;
+    //  - the CHOSEN sample of either arm ran under host noise above the
+    //    stated bounds — selection prefers quiet samples (runPinnedArms),
+    //    so this only fires when an arm caught NO quiet window across all
+    //    rounds and had to elect a noisy minimum: small-arm noise inflates
+    //    efficiency, large-arm noise deflates it; either way the ratio is
+    //    polluted;
     //  - the arms fell back to unpinned in-process mode (no noise evidence).
-    val chosenPerArm = armCores.map(c =>
-      armSamples.filter(s => s.cores == c && s.sec.isDefined)
-        .sortBy(_.sec.get).headOption)
+    val chosenPerArm = armCores.map { c =>
+      val armRuns = armSamples.filter(s => s.cores == c && s.sec.isDefined)
+      val pool = if (armRuns.exists(_.quiet)) armRuns.filter(_.quiet)
+        else armRuns
+      pool.sortBy(_.sec.get).headOption
+    }
     val reasons = scala.collection.mutable.ListBuffer[String]()
     if (scalingEff > 1.0)
       reasons += "superlinear (>1.0): small arm starved of a quiet window"
@@ -483,7 +512,7 @@ object Bench {
       s"""{"probes":$p,"recall":${f"$r%.3f"},"candidates":$c}"""
     }.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","cpus":$cpus,"frontier_n":$frontierN,"frontier_scheduled_rows":$frontierRows,"frontier_urls_per_sec":$urlsPerSec,"frontier_runs_sec":[${f"$run1Sec%.3f"},${f"$run2Sec%.3f"}],"frontier_stages":${jmap(stages)},"ann_recall_at_10":${f"$annRecall%.3f"},"ann_ivf_recall_at_10":${f"$ivfRecall%.3f"},"ann_ivf_recall_clustered":${f"$ivfRecallC%.3f"},"ann_ivf_kmeans_recall_at_10":${f"$ivfKmRecall%.3f"},"ann_ivf_kmeans_recall_clustered":${f"$ivfKmRecallC%.3f"},"ann_pq_recall_at_10":${f"$pqRecall%.3f"},"ann_pq_rerank_recall_at_10":${f"$pqRerankRecall%.3f"},"ann_ivfpq_recall_at_10":${f"$ivfPqRecall%.3f"},"ann_recall_curve":$annCurveJson,"scaling":$scalingJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","cpus":$cpus,"frontier_n":$frontierN,"frontier_scheduled_rows":$frontierRows,"frontier_urls_per_sec":$urlsPerSec,"frontier_runs_sec":[${f"$run1Sec%.3f"},${f"$run2Sec%.3f"}],"frontier_stages":${jmap(stages)},"ann_recall_at_10":${f"$annRecall%.3f"},"ann_ivf_recall_at_10":${f"$ivfRecall%.3f"},"ann_ivf_recall_clustered":${f"$ivfRecallC%.3f"},"ann_ivf_kmeans_recall_at_10":${f"$ivfKmRecall%.3f"},"ann_ivf_kmeans_recall_clustered":${f"$ivfKmRecallC%.3f"},"ann_pq_recall_at_10":${f"$pqRecall%.3f"},"ann_pq_rerank_recall_at_10":${f"$pqRerankRecall%.3f"},"ann_ivfpq_recall_at_10":${f"$ivfPqRecall%.3f"},"ann_ivfpq_rerank_recall_at_10":${f"$ivfPqRerankRecall%.3f"},"ann_recall_curve":$annCurveJson,"scaling":$scalingJson}"""
     // build.sbt sets outputStrategy := StdoutOutput, so this line reaches
     // the driver's stdout tail UNPREFIXED (sbt's "[info] " wrapper broke
     // the driver's parse in rounds 1-2); the file copy stays as the

@@ -53,6 +53,7 @@ object SparkEntry {
     "q_emb_pq_topk" -> ((s, d) => TrainingOps.pqTopK(s, d)),
     "q_emb_pq_rerank_topk" -> ((s, d) => TrainingOps.pqRerankTopK(s, d)),
     "q_emb_ivfpq_topk" -> ((s, d) => TrainingOps.ivfPqTopK(s, d)),
+    "q_emb_ivfpq_rerank_topk" -> ((s, d) => TrainingOps.ivfPqRerankTopK(s, d)),
     "q_emb_cosine_dups" -> ((s, d) => TrainingOps.cosineNearDups(s, d)),
     // --- scan/projection surface (S4, S6, F1, O1, P5, P8, P9, P12, J4, §2.7) ---
     "q_json_payload" -> ((s, d) => ScanOps.jsonPayload(s, d)),
@@ -999,6 +1000,81 @@ object SparkEntry {
            |              ORDER BY adc DESC, neighbor_id ASC) AS BIGINT) AS rank
            |  FROM s)
            |SELECT query_id, neighbor_id, adc, rank FROM r WHERE rank <= 10""".stripMargin,
+      // the full stack: the q_emb_ivfpq_topk CTE chain through the ADC
+      // scores, then the q_emb_pq_rerank_topk tail (top-R shortlist →
+      // exact dot on only those rows → final top-10, same tie order)
+      "q_emb_ivfpq_rerank_topk" ->
+        s"""WITH e AS (SELECT vec_id, $quant AS q FROM embeddings),
+           |corpus AS (SELECT vec_id, q FROM e WHERE vec_id >= 8),
+           |cents AS (
+           |  SELECT vec_id AS centroid_id, q AS cv
+           |  FROM corpus WHERE vec_id % 31 = 0),
+           |assigned AS (
+           |  SELECT vec_id, centroid_id FROM (
+           |    SELECT c.vec_id, ct.centroid_id,
+           |           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+           |             list_sum(list_transform(range(1, len(c.q) + 1),
+           |               i -> (c.q[i] - ct.cv[i]) * (c.q[i] - ct.cv[i]))) ASC,
+           |             ct.centroid_id ASC) AS rn
+           |    FROM corpus c, cents ct) WHERE rn = 1),
+           |cb AS (
+           |  SELECT m, (vec_id // 29 - 1) AS k,
+           |         list_slice(q, m * 16 + 1, m * 16 + 16) AS cw
+           |  FROM corpus, generate_series(0, 3) AS g(m)
+           |  WHERE vec_id % 29 = 0 AND vec_id <= 464),
+           |enc AS (
+           |  SELECT vec_id, m, k FROM (
+           |    SELECT c.vec_id, cb.m, cb.k,
+           |           ROW_NUMBER() OVER (PARTITION BY c.vec_id, cb.m ORDER BY
+           |             list_sum(list_transform(range(1, 17),
+           |               i -> (c.q[cb.m * 16 + i] - cb.cw[i])
+           |                  * (c.q[cb.m * 16 + i] - cb.cw[i]))) ASC,
+           |             cb.k ASC) AS rn
+           |    FROM corpus c, cb) WHERE rn = 1),
+           |qs AS (SELECT vec_id AS query_id, q AS qv FROM e WHERE vec_id < 8),
+           |lut AS (
+           |  SELECT qs.query_id, cb.m, cb.k,
+           |         CAST(list_sum(list_transform(range(1, 17),
+           |           i -> qs.qv[cb.m * 16 + i] * cb.cw[i])) AS BIGINT) AS lv
+           |  FROM qs, cb),
+           |probes AS (
+           |  SELECT query_id, centroid_id FROM (
+           |    SELECT q.query_id, ct.centroid_id,
+           |           COUNT(*) OVER (PARTITION BY q.query_id) AS nlist,
+           |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+           |             list_sum(list_transform(range(1, len(q.qv) + 1),
+           |               i -> (q.qv[i] - ct.cv[i]) * (q.qv[i] - ct.cv[i]))) ASC,
+           |             ct.centroid_id ASC) AS rn
+           |    FROM qs q, cents ct)
+           |  WHERE rn <= GREATEST(4, CAST(FLOOR(nlist / 8.0) AS BIGINT))),
+           |s AS (
+           |  SELECT p.query_id, a.vec_id AS neighbor_id,
+           |         CAST(SUM(l.lv) AS BIGINT) AS adc
+           |  FROM probes p
+           |  JOIN assigned a USING (centroid_id)
+           |  JOIN enc ON enc.vec_id = a.vec_id
+           |  JOIN lut l ON l.query_id = p.query_id
+           |            AND l.m = enc.m AND l.k = enc.k
+           |  GROUP BY 1, 2),
+           |short AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |           ROW_NUMBER() OVER (PARTITION BY query_id
+           |                ORDER BY adc DESC, neighbor_id ASC) AS rn
+           |    FROM s) WHERE rn <= 50),
+           |ex AS (
+           |  SELECT sh.query_id, sh.neighbor_id,
+           |         CAST(list_sum(list_transform(range(1, 65),
+           |           i -> q2.qv[i] * c.q[i])) AS BIGINT) AS dot
+           |  FROM short sh
+           |  JOIN corpus c ON c.vec_id = sh.neighbor_id
+           |  JOIN qs q2 ON q2.query_id = sh.query_id),
+           |r AS (
+           |  SELECT query_id, neighbor_id, dot,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |              ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+           |  FROM ex)
+           |SELECT query_id, neighbor_id, dot, rank FROM r WHERE rank <= 10""".stripMargin,
       "q_emb_lsh_buckets" ->
         s"""WITH planes AS (
            |  SELECT p, i,

@@ -1226,20 +1226,8 @@ object TrainingOps {
       embeddings(spark, sfDir)
         .select(col("vec_id"), quantized(col("embedding")).as("q")))
 
-  def pqRerankTopKFrom(e: DataFrame): DataFrame = {
-    val short = topKPerQuery(pqAdcScores(e), PqRerankR)
-      .select(col("query_id"), col("neighbor_id"))
-    val corpus = e.filter(col("vec_id") >= NQueryVecs)
-      .select(col("vec_id").as("neighbor_id"), col("q").as("nv"))
-    val queries = e.filter(col("vec_id") < NQueryVecs)
-      .select(col("vec_id").as("query_id"), col("q").as("qv"))
-    val exact = broadcast(short)
-      .join(corpus, Seq("neighbor_id"))
-      .join(broadcast(queries), Seq("query_id"))
-      .withColumn("dot", intDot(col("qv"), col("nv")))
-      .select(col("query_id"), col("neighbor_id"), col("dot"))
-    topKPerQuery(exact, TopK)
-  }
+  def pqRerankTopKFrom(e: DataFrame): DataFrame =
+    exactRerank(e, topKPerQuery(pqAdcScores(e), PqRerankR))
 
   /** IVF-PQ — the two scale paths COMPOSED, and the canonical big-corpus
     * ANN index shape (the FAISS `IVFx,PQy` family): the IVF coarse
@@ -1276,6 +1264,18 @@ object TrainingOps {
       centroidStride: Long = IvfCentroidStride,
       nprobe: Int = IvfNProbe,
       maxProbeBroadcastBytes: Long = DefaultIvfProbeMaxBroadcastBytes)
+      : DataFrame =
+    topKPerQuery(
+      ivfPqAdcScores(e, centroidStride, nprobe, maxProbeBroadcastBytes),
+      TopK).withColumnRenamed("dot", "adc")
+
+  /** The raw probed-list ADC scoring stage of [[ivfPqTopKFrom]], exposed so
+    * [[ivfPqRerankTopKFrom]] can take a wider shortlist off the same plan.
+    */
+  def ivfPqAdcScores(e: DataFrame,
+      centroidStride: Long = IvfCentroidStride,
+      nprobe: Int = IvfNProbe,
+      maxProbeBroadcastBytes: Long = DefaultIvfProbeMaxBroadcastBytes)
       : DataFrame = {
     val cents = ivfSeedCentroids(e, centroidStride)
     val nlist = cents.select("centroid_id").count()
@@ -1309,17 +1309,74 @@ object TrainingOps {
       .filter(col("crank") <=
         greatest(lit(nprobe.toLong), floor(col("nlist") / lit(8.0)).cast("long")))
       .select(col("query_id"), col("centroid_id"))
-      .join(luts, Seq("query_id")) // both frames are queries-sized
+      // both frames are queries-sized, but the strategy must not depend on
+      // Catalyst's stat estimate (the composed rerank plan inflated it past
+      // the broadcast threshold and fell to SMJ): dispatch on the same gate
+      // as the probe join — broadcast at bounded query load, shuffle-hash
+      // on query_id above it (uniform keys, both sides ~|Q| rows)
+      .join(
+        if (broadcastProbes) broadcast(luts) else luts.hint("shuffle_hash"),
+        Seq("query_id"))
     val probeSide =
       if (broadcastProbes) broadcast(probes) else probes.hint("shuffle_hash")
-    val scored = probeSide.join(lists, Seq("centroid_id"))
+    probeSide.join(lists, Seq("centroid_id"))
       .withColumn("dot",
         (0 until PqM).map(m =>
           element_at(col("lut"),
             (col("codes")(m) + lit(m * PqK + 1)).cast("int")))
           .reduce(_ + _))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("dot"))
-    topKPerQuery(scored, TopK).withColumnRenamed("dot", "adc")
+  }
+
+  /** IVF-PQ + exact re-rank — the full production ANN stack (FAISS's
+    * `IVFx,PQy` + refine): coarse pruning bounds WHICH codes are scanned,
+    * PQ bounds their SIZE, and the exact pass touches full-precision
+    * vectors for only the ADC top-R per query. The three stages compose
+    * the plans already gated individually: probed-list ADC scan →
+    * two-stage top-R shortlist → [[exactRerank]]'s broadcast fetch-back.
+    */
+  def ivfPqRerankTopK(spark: SparkSession, sfDir: String): DataFrame =
+    ivfPqRerankTopKFrom(
+      embeddings(spark, sfDir)
+        .select(col("vec_id"), quantized(col("embedding")).as("q")))
+
+  def ivfPqRerankTopKFrom(e: DataFrame,
+      centroidStride: Long = IvfCentroidStride,
+      nprobe: Int = IvfNProbe,
+      maxProbeBroadcastBytes: Long = DefaultIvfProbeMaxBroadcastBytes)
+      : DataFrame =
+    exactRerank(e, topKPerQuery(
+      ivfPqAdcScores(e, centroidStride, nprobe, maxProbeBroadcastBytes),
+      PqRerankR))
+
+  /** Exact re-rank of a per-query shortlist: ONLY the shortlist rows ever
+    * touch full vectors — the (query_id, neighbor_id) frame broadcasts
+    * INTO the corpus scan (hash join, corpus never shuffles), query
+    * vectors broadcast at the NQueryVecs contract, exact int-dot, and the
+    * two-stage rank. Shared tail of [[pqRerankTopKFrom]] and
+    * [[ivfPqRerankTopKFrom]].
+    */
+  private def exactRerank(e: DataFrame, shortlist: DataFrame): DataFrame = {
+    val short = shortlist.select(col("query_id"), col("neighbor_id"))
+    val corpus = e.filter(col("vec_id") >= NQueryVecs)
+      .select(col("vec_id").as("neighbor_id"), col("q").as("nv"))
+    val queries = e.filter(col("vec_id") < NQueryVecs)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    val exact = broadcast(short)
+      .join(corpus, Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("dot", intDot(col("qv"), col("nv")))
+      .select(col("query_id"), col("neighbor_id"), col("dot"))
+    topKPerQuery(exact, TopK)
+  }
+
+  /** Recall@k of the full IVF-PQ + re-rank stack vs exact brute force. */
+  def ivfPqRerankRecallAtK(spark: SparkSession, sfDir: String): Double = {
+    val bf = bruteForceTopK(spark, sfDir).select("query_id", "neighbor_id")
+    val ip = ivfPqRerankTopK(spark, sfDir).select("query_id", "neighbor_id")
+    val hit = bf.join(ip, Seq("query_id", "neighbor_id")).count()
+    val total = bf.count()
+    if (total == 0) 1.0 else hit.toDouble / total
   }
 
   /** Recall@k of IVF-PQ vs exact brute force — coarse-pruning recall loss

@@ -37,6 +37,8 @@ object AnnRecall {
     println(f"pq-adc+rerank recall@10=$pqR%.3f (exact re-rank of ADC top-${TrainingOps.PqRerankR})")
     val ivfPq = TrainingOps.ivfPqRecallAtK(spark, sfDir)
     println(f"ivf-pq recall@10=$ivfPq%.3f (probed lists scored as codes, uniform corpus)")
+    val ivfPqR = TrainingOps.ivfPqRerankRecallAtK(spark, sfDir)
+    println(f"ivf-pq+rerank recall@10=$ivfPqR%.3f (full stack: coarse prune + codes + exact top-${TrainingOps.PqRerankR} refine)")
     spark.stop()
   }
 }

@@ -192,6 +192,36 @@ class LshAnnSpec extends SparkTestBase {
       forced.collect().map(_.toSeq).toSet, "IVF-PQ dispatch paths disagree")
   }
 
+  test("IVF-PQ + re-rank full stack: shortlist containment, exact dots, " +
+      "and the refine pass never loses recall vs raw IVF-PQ") {
+    val e = TrainingOps.embeddings(spark, sf())
+      .select(col("vec_id"), TrainingOps.quantized(col("embedding")).as("q"))
+    val full = TrainingOps.ivfPqRerankTopK(spark, sf())
+    val bf = TrainingOps.bruteForceTopK(spark, sf())
+    assert(full.columns.toSeq === bf.columns.toSeq)
+    // containment: the refine stage only re-scores the IVF-PQ ADC top-R
+    val short = TrainingOps.topKPerQuery(
+      TrainingOps.ivfPqAdcScores(e), TrainingOps.PqRerankR)
+      .select("query_id", "neighbor_id")
+    assert(full.select("query_id", "neighbor_id")
+      .join(short, Seq("query_id", "neighbor_id"), "left_anti")
+      .count() === 0)
+    // exactness: re-ranked dots are the TRUE dots on every shared pair
+    val joined = full.select(col("query_id"), col("neighbor_id"),
+        col("dot").as("rr_dot"))
+      .join(bf.select(col("query_id"), col("neighbor_id"), col("dot")),
+        Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("rr_dot") =!= col("dot")).count() === 0)
+    // the refine pass can only help: candidates are fixed by the coarse+code
+    // stages, and exact scoring ranks them at least as faithfully as ADC
+    val raw = TrainingOps.ivfPqRecallAtK(spark, sf())
+    val ref = TrainingOps.ivfPqRerankRecallAtK(spark, sf())
+    assert(ref >= raw,
+      f"refine pass lost recall: $ref%.3f < raw IVF-PQ $raw%.3f")
+    assert(full.select("query_id").distinct().count() ===
+      TrainingOps.NQueryVecs.toLong)
+  }
+
   test("multi-probe dial: candidates and recall are monotone in probe count") {
     val curve = TrainingOps.lshRecallCurve(spark, sf(), Seq(1, 3, 5))
     val (probes, recalls, cands) = (curve.map(_._1), curve.map(_._2), curve.map(_._3))

@@ -124,6 +124,17 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       maxProbeBroadcastBytes = 0L))
     assert(pF.contains("ShuffledHashJoin"),
       "probe join is not SHJ with the gate at 0:\n" + pF)
+    // the full stack (+ exact refine) keeps the same discipline — the
+    // fetch-back joins (shortlist → corpus on neighbor_id, queries on
+    // query_id) must broadcast, never sort-merge. The one SMJ the plan IS
+    // allowed is the inverted-lists build zip on vec_id: both inputs are
+    // groupBy(vec_id) aggregates already hash-partitioned on the key, so
+    // that join is an exchange-free co-partitioned merge by construction
+    val pR = planString(TrainingOps.ivfPqRerankTopK(spark, sf()))
+    assert(!pR.contains("CartesianProduct"), pR)
+    assert(!pR.contains("SortMergeJoin [neighbor_id") &&
+        !pR.contains("SortMergeJoin [query_id"),
+      "full-stack refine fetch-back joined by SMJ:\n" + pR)
   }
 
   test("IVF probe join is size-dispatched: broadcast by default, " +
