@@ -105,7 +105,11 @@ object SparkEntry {
     // decoded field + feature analytically from the synthesis parameters
     "q_audio_meta" -> ((s, _) =>
       graft.functions.AudioOps.decodeMeta(
-        graft.model.Fixtures.audios(s, 2000L)).toDF())
+        graft.model.Fixtures.audios(s, 2000L)).toDF()),
+    // audio near-dup banding over the amplitude-invariant ZCR fingerprint;
+    // both the clips and their half-amplitude twins decode real WAV bytes
+    "q_audio_zcr_dups" -> ((s, _) =>
+      graft.operators.TrainingOps.audioZcrNearDups(s, 2000L))
   )
 
   /** Where graft.Verify dumps the crawl-tick/image fixture parquet for the
@@ -359,6 +363,41 @@ object SparkEntry {
            |       CASE WHEN corrupt THEN CAST(0 AS BIGINT)
            |            ELSE CAST((n_frames - 1) // half_period AS BIGINT) END AS zero_crossings
            |FROM read_parquet('$F/audios/*.parquet')""".stripMargin,
+      // the ZCR fingerprint recomputed ANALYTICALLY: the square wave flips
+      // sign exactly at multiples of half_period, so window w's count is
+      // floor(hi_w/hp) − floor(lo_w/hp) — the Spark side counts real
+      // decoded sign flips, so windowing/de-interleave bugs cannot match.
+      // Twins share their original's print BY CONSTRUCTION (same shape,
+      // half amplitude): the oracle derives them from the params, while
+      // Spark must EARN the match by decoding the re-synthesized bytes
+      "q_audio_zcr_dups" ->
+        s"""WITH p AS (
+           |  SELECT audio_id, n_frames AS n, half_period AS hp
+           |  FROM read_parquet('$F/audios/*.parquet') WHERE NOT corrupt),
+           |fp0 AS (
+           |  SELECT audio_id,
+           |         CAST(SUM(
+           |           LEAST(LEAST((w+1)*(n//15), n-1)//hp - (w*(n//15))//hp,
+           |                 15) << (4*w)) AS BIGINT) AS fp
+           |  FROM p, generate_series(0, 14) AS g(w)
+           |  GROUP BY audio_id),
+           |allr AS (
+           |  SELECT audio_id, fp FROM fp0
+           |  UNION ALL
+           |  SELECT audio_id || '_t' AS audio_id, fp FROM fp0),
+           |bands AS (
+           |  SELECT audio_id, fp, b AS band, (fp >> (b * 15)) & 32767 AS band_val
+           |  FROM allr, generate_series(0, 3) AS g(b)),
+           |cand AS (
+           |  SELECT DISTINCT a.audio_id AS audio_a, b.audio_id AS audio_b,
+           |         a.fp AS fp_a, b.fp AS fp_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.band_val = b.band_val
+           |   AND a.audio_id < b.audio_id)
+           |SELECT audio_a, audio_b,
+           |       CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming,
+           |       bit_count(xor(fp_a, fp_b)) <= 3 AS is_dup
+           |FROM cand""".stripMargin,
       "q_image_phash_dups" ->
         s"""WITH base AS (
            |  SELECT image_id, phash & 1152921504606846975 AS ph

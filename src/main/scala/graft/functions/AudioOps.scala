@@ -100,6 +100,61 @@ object AudioOps {
     (peak, sumSq, zc)
   }
 
+  val ZcrWindows = 15
+  val ZcrNibbleBits = 4 // 15 windows × 4-bit capped count = 60-bit print
+
+  /** Amplitude-invariant 60-bit audio fingerprint: channel 0 is split into
+    * [[ZcrWindows]] equal windows and each window contributes a 4-bit
+    * nibble = min(sign-flips inside it, 15). Zero crossings depend only on
+    * the waveform's SHAPE (where it changes sign), never its level, so
+    * volume-rescaled re-encodes of the same clip produce the IDENTICAL
+    * print — the property the near-dup banding exploits — while a pitch
+    * (half-period) change moves every nibble. Counts saturate at 15:
+    * high-frequency content collapses toward the all-saturated print,
+    * a real hot-bucket the banded join must absorb (disclosed in
+    * [[graft.operators.TrainingOps.audioZcrNearDups]]).
+    *
+    * Window w covers flip positions i ∈ (w·len, min((w+1)·len, n−1)] with
+    * len = n/15 (integer), a flip at i meaning s[i−1]·s[i] < 0 — the same
+    * interval arithmetic the DuckDB oracle evaluates analytically from the
+    * square-wave parameters (flips at exact multiples of half_period), so
+    * a windowing or de-interleave bug cannot hash-match.
+    */
+  def zcrFingerprint(samples: Array[Short]): Long = {
+    val n = samples.length
+    val len = n / ZcrWindows
+    if (len == 0) return 0L
+    var fp = 0L
+    var w = 0
+    while (w < ZcrWindows) {
+      val lo = w * len
+      val hi = math.min((w + 1) * len, n - 1)
+      var c = 0
+      var i = lo + 1
+      while (i <= hi) {
+        if (samples(i - 1).toInt * samples(i).toInt < 0) c += 1
+        i += 1
+      }
+      fp |= math.min(c, 15).toLong << (ZcrNibbleBits * w)
+      w += 1
+    }
+    fp
+  }
+
+  /** (audio_id, fp) for every DECODABLE row — corrupt payloads drop out
+    * here (no fingerprint exists for bytes that don't parse), mirroring
+    * the typed-error contract of [[decodeMeta]]. Partition-local: bytes
+    * never shuffle; only the 8-byte print enters downstream joins.
+    */
+  def fingerprints(audios: Dataset[AudioDoc])
+      : org.apache.spark.sql.DataFrame = {
+    import audios.sparkSession.implicits._
+    audios.mapPartitions { it =>
+      it.flatMap(d => parseWav(d.bytes).map(w =>
+        (d.audio_id, zcrFingerprint(w.samples))))
+    }.toDF("audio_id", "fp")
+  }
+
   /** Batch decode + feature extraction — partition-local, mirroring
     * [[ImageOps.decodeMeta]]'s contract: undecodable rows land as typed
     * (-1, …, 0) rows with their byte length preserved for triage.

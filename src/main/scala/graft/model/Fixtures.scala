@@ -334,6 +334,23 @@ object Fixtures {
     val amp = 1000 + bounded(mix64(h ^ 3L), 29000)
     val hp = 5 + bounded(mix64(h ^ 4L), 45)
     val corrupt = bounded(mix64(h ^ 5L), 33) == 0
+    synthAudio(f"aud-$rowIdx%08d", sr, ch, n, amp, hp, corrupt)
+  }
+
+  /** Amplitude-perturbed twin of [[audioDoc]]: identical waveform SHAPE
+    * (same half-period, frame count, channels) at half the amplitude —
+    * the perceptual near-duplicate an amplitude-invariant fingerprint
+    * must still match (volume-normalized re-encodes of the same clip).
+    * Same corrupt flag, so the twin of an undecodable row is undecodable.
+    */
+  def audioTwinDoc(rowIdx: Long): AudioDoc = {
+    val d = audioDoc(rowIdx)
+    synthAudio(d.audio_id + "_t", d.sample_rate, d.channels, d.n_frames,
+      math.max(d.amp / 2, 1), d.half_period, d.corrupt)
+  }
+
+  private def synthAudio(id: String, sr: Int, ch: Int, n: Int,
+      amp: Int, hp: Int, corrupt: Boolean): AudioDoc = {
     val dataLen = n * ch * 2
     val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -353,12 +370,17 @@ object Fixtures {
     }
     val bytes = buf.array()
     if (corrupt) "JUNK".getBytes("US-ASCII").copyToArray(bytes, 0)
-    AudioDoc(f"aud-$rowIdx%08d", bytes, sr, ch, n, amp, hp, corrupt)
+    AudioDoc(id, bytes, sr, ch, n, amp, hp, corrupt)
   }
 
   def audios(spark: SparkSession, n: Long): Dataset[AudioDoc] = {
     import spark.implicits._
     spark.range(0, n).map(i => audioDoc(i))
+  }
+
+  def audioTwins(spark: SparkSession, n: Long): Dataset[AudioDoc] = {
+    import spark.implicits._
+    spark.range(0, n).map(i => audioTwinDoc(i))
   }
 
   /** Page row for one canonical URL — pure function of the URL, so every

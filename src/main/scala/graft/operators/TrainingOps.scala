@@ -627,6 +627,53 @@ object TrainingOps {
       .withColumn("is_dup", col("hamming") <= HammingDupMax)
   }
 
+  val AudioHammingDupMax = 3 // < PhashBands ⇒ banding is LOSSLESS at radius
+
+  /** Audio near-duplicate detection over the amplitude-invariant windowed
+    * zero-crossing fingerprint ([[graft.functions.AudioOps.zcrFingerprint]])
+    * — the audio sibling of [[phashNearDups]], completing the near-dup
+    * family across all three modalities (text SimHash, image phash, audio
+    * ZCR). The corpus is the WAV fixture plus a half-amplitude re-synthesis
+    * of every clip (volume-normalized re-encode, the canonical audio dup):
+    * both sides DECODE REAL BYTES — the twin's print matches its original
+    * only if the fingerprint is genuinely level-free, not by fixture echo.
+    *
+    * Same scale shape as phash: 4×15-bit banded self-join (a pair within
+    * Hamming ≤ 3 of 60 shares a band by pigeonhole — the radius is chosen
+    * lossless), exact bit_count verify on candidates only, bytes never in
+    * the plan (decode is partition-local; only 8-byte prints shuffle).
+    * Honest hot-bucket caveat: ZCR counts saturate at 15 per window, so
+    * high-frequency clips (half_period ≤ len/15) collapse onto the
+    * all-saturated print and band-collide en masse — the emitted pairs are
+    * still CORRECT (identical prints ARE near-dups under this feature);
+    * at production scale that band key is exactly the hot-bucket case the
+    * LSH path's dropped-mass guard handles, and a production print would
+    * widen the nibble or log-quantize.
+    */
+  def audioZcrNearDups(spark: SparkSession, nAudios: Long = 2000L)
+      : DataFrame = {
+    import graft.functions.AudioOps
+    import graft.model.Fixtures
+    val all = Fixtures.audios(spark, nAudios)
+      .unionByName(Fixtures.audioTwins(spark, nAudios))
+    val prints = AudioOps.fingerprints(all)
+    val bands = prints
+      .select(col("audio_id"), col("fp"),
+        explode(sequence(lit(0), lit(PhashBands - 1))).as("band"))
+      .withColumn("band_val",
+        expr(s"shiftright(fp, CAST(band * $PhashBandBits AS INT)) & ${(1 << PhashBandBits) - 1}"))
+    val a = bands.select(col("band"), col("band_val"),
+      col("audio_id").as("audio_a"), col("fp").as("fp_a"))
+    val b = bands.select(col("band").as("band_b"), col("band_val").as("val_b"),
+      col("audio_id").as("audio_b"), col("fp").as("fp_b"))
+    a.join(b, col("band") === col("band_b") &&
+        col("band_val") === col("val_b") && col("audio_a") < col("audio_b"))
+      .select("audio_a", "audio_b", "fp_a", "fp_b").distinct()
+      .select(col("audio_a"), col("audio_b"),
+        expr("CAST(bit_count(fp_a ^ fp_b) AS BIGINT)").as("hamming"))
+      .withColumn("is_dup", col("hamming") <= AudioHammingDupMax)
+  }
+
   // ======================================== similarity search (ANN) =====
 
   val QuantScale = 1000

@@ -81,6 +81,79 @@ class AudioOpsSpec extends SparkTestBase {
       "channel 0 must survive de-interleaving untouched")
   }
 
+  test("ZCR fingerprint: analytic parity, amplitude invariance, pitch " +
+      "sensitivity") {
+    // analytic parity: the decoded-sample count per window equals the
+    // multiples-of-half_period formula the DuckDB oracle evaluates
+    Fixtures.audios(spark, 128).filter(!_.corrupt).collect().foreach { d =>
+      val w = AudioOps.parseWav(d.bytes).get
+      val len = d.n_frames / AudioOps.ZcrWindows
+      var expect = 0L
+      for (wi <- 0 until AudioOps.ZcrWindows) {
+        val lo = wi * len
+        val hi = math.min((wi + 1) * len, d.n_frames - 1)
+        val c = hi / d.half_period - lo / d.half_period
+        expect |= math.min(c, 15).toLong << (4 * wi)
+      }
+      assert(AudioOps.zcrFingerprint(w.samples) === expect,
+        s"analytic mismatch for ${d.audio_id} (hp=${d.half_period}, n=${d.n_frames})")
+    }
+    // amplitude invariance: the half-amplitude twin's REAL decoded bytes
+    // produce the identical print; a pitch change produces a different one
+    val origs = Fixtures.audios(spark, 64).filter(!_.corrupt).collect()
+    val twins = Fixtures.audioTwins(spark, 64).filter(!_.corrupt).collect()
+      .map(d => d.audio_id.stripSuffix("_t") -> d).toMap
+    origs.foreach { d =>
+      val fpO = AudioOps.zcrFingerprint(AudioOps.parseWav(d.bytes).get.samples)
+      val fpT = AudioOps.zcrFingerprint(
+        AudioOps.parseWav(twins(d.audio_id).bytes).get.samples)
+      assert(fpO === fpT, s"amplitude changed the print for ${d.audio_id}")
+    }
+    val base = origs.head
+    val shifted = Array.tabulate(base.n_frames)(i =>
+      Fixtures.audioSample(i, base.amp, base.half_period * 3))
+    assert(AudioOps.zcrFingerprint(shifted) !==
+      AudioOps.zcrFingerprint(AudioOps.parseWav(base.bytes).get.samples),
+      "a 3x half-period change must move the print")
+  }
+
+  test("audioZcrNearDups: every twin pair found at hamming 0, banding is " +
+      "lossless at the pigeonhole radius, corrupt rows never appear") {
+    import org.apache.spark.sql.functions._
+    val n = 256L
+    val dups = graft.operators.TrainingOps.audioZcrNearDups(spark, n)
+      .persist()
+    try {
+      val docs = Fixtures.audios(spark, n).collect()
+      val clean = docs.filter(!_.corrupt).map(_.audio_id).toSet
+      // recall on the planted twins: (id, id_t) sorts as id < id_t, so the
+      // pair must surface with hamming 0 for every non-corrupt original
+      val twinPairs = dups
+        .filter(col("audio_b") === concat(col("audio_a"), lit("_t")))
+        .collect()
+      assert(twinPairs.map(_.getString(0)).toSet === clean)
+      assert(twinPairs.forall(r => r.getLong(2) == 0L && r.getBoolean(3)))
+      // losslessness: hamming <= 3 of 60 over 4 bands pigeonholes at least
+      // one equal band, so the banded candidate set contains EVERY true
+      // pair within the radius — verified against the O(n²) truth
+      val prints = graft.functions.AudioOps.fingerprints(
+        Fixtures.audios(spark, n).unionByName(Fixtures.audioTwins(spark, n)))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val truth = (for {
+        (ia, fa) <- prints; (ib, fb) <- prints if ia < ib
+        h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+      } yield (ia, ib)).toSet
+      val found = dups.filter(col("is_dup"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(found === truth, "banded is_dup set differs from O(n²) truth")
+      // corrupt payloads (and their twins) must never reach the output
+      val corruptIds = docs.filter(_.corrupt)
+        .flatMap(d => Seq(d.audio_id, d.audio_id + "_t")).toSet
+      assert(dups.collect().forall(r =>
+        !corruptIds(r.getString(0)) && !corruptIds(r.getString(1))))
+    } finally dups.unpersist()
+  }
+
   test("decodeMeta matches the analytic oracle formulas on every fixture row") {
     import spark.implicits._
     val n = 256L
