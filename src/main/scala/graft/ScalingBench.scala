@@ -15,6 +15,18 @@ package graft
   */
 object ScalingBench {
 
+  /** "lo-hi" (the taskset range the parent pinned this JVM to) → cpu set.
+    * The child cannot derive this itself: under taskset,
+    * `Runtime.availableProcessors` returns the PINNED count, not the
+    * box's cpu indices.
+    */
+  def parseCpuRange(s: String): Option[Set[Int]] =
+    s.split("-") match {
+      case Array(lo, hi) if lo.forall(_.isDigit) && hi.forall(_.isDigit) =>
+        Some((lo.toInt to hi.toInt).toSet)
+      case _ => None
+    }
+
   def arm(cpus: Int, frontierN: Long): Double = {
     val spark = Bench.session(cpus.toString)
     spark.sparkContext.setLogLevel("WARN")
@@ -25,10 +37,25 @@ object ScalingBench {
     Bench.force(Bench.frontierJob(spark, frontierN))
     spark.catalog.clearCache() // each timed run starts cold — no reuse
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_ARM_RUNS", "3").toInt
+    // Per-run noise bracketing (r4): each TIMED RUN reads /proc/stat
+    // around itself and self-reports steal + off-arm busy fractions. The
+    // parent's whole-child bracket spans warmup + every run (~5 min on
+    // the 1-core arm) — one host burst anywhere in that window used to
+    // poison all of the child's runs; a ~70 s run-level bracket lets the
+    // quiet runs inside a partially-noisy child still count.
+    val armCpus = sys.env.get("SPARK_GRAFT_ARM_CPUSET").flatMap(parseCpuRange)
     val secs = (1 to nRuns).map { i =>
+      val before = Bench.readCpuJiffies()
       val (_, s) = Bench.timed(Bench.force(Bench.frontierJob(spark, frontierN)))
+      val after = Bench.readCpuJiffies()
       spark.catalog.clearCache()
-      println(f"[scaling] cpus=$cpus run$i ${s}%.2f s")
+      val (steal, offBusy) = (before, after, armCpus) match {
+        case (Some(b), Some(a), Some(set)) => Bench.cpuNoise(b, a, set)
+        case _ => (None, None)
+      }
+      def d(o: Option[Double]) = o.map(v => f"$v%.4f").getOrElse("null")
+      println(f"""{"metric":"scaling_run","cpus":$cpus,"run":$i,"sec":$s%.3f,""" +
+        s""""steal_frac":${d(steal)},"offarm_busy_frac":${d(offBusy)}}""")
       s
     }
     spark.stop()

@@ -109,7 +109,14 @@ object SparkEntry {
     // audio near-dup banding over the amplitude-invariant ZCR fingerprint;
     // both the clips and their half-amplitude twins decode real WAV bytes
     "q_audio_zcr_dups" -> ((s, _) =>
-      graft.operators.TrainingOps.audioZcrNearDups(s, 2000L))
+      graft.operators.TrainingOps.audioZcrNearDups(s, 2000L)),
+    // video modality: stride frame-sampling over the GVID container —
+    // every sampled frame's luminance features computed from REAL decoded
+    // bytes; the oracle recomputes them analytically from the synthesis
+    // parameters (VideoOps doc)
+    "q_video_frames" -> ((s, _) =>
+      graft.functions.VideoOps.frameSampleStats(
+        graft.model.Fixtures.videos(s, 500L)))
   )
 
   /** Where graft.Verify dumps the crawl-tick/image fixture parquet for the
@@ -398,6 +405,33 @@ object SparkEntry {
            |       CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming,
            |       bit_count(xor(fp_a, fp_b)) <= 3 AS is_dup
            |FROM cand""".stripMargin,
+      // every stride-sampled frame's luminance features recomputed
+      // ANALYTICALLY from the synthesis parameters: pixel(f, x, ·) =
+      // (vf + x) mod 256 with vf = (base + f·step) mod 256, so a row sums
+      // to w·vf + w(w−1)/2 minus 256 per wrapped position (positions
+      // x ≥ 256 − vf wrap; there are max(0, vf + w − 256) of them), ×h
+      // rows; min is 0 iff any wrap else vf, max is 255 iff any wrap else
+      // vf + w − 1. Spark decodes real bytes, so a frame-stride, header,
+      // or row-offset bug cannot hash-match. Stride k = max(n//8, 1),
+      // sampled indices f ∈ {0, k, 2k, …} — the series bound 200 exceeds
+      // the fixture's max n_frames (95)
+      "q_video_frames" ->
+        s"""WITH p AS (
+           |  SELECT video_id, w, h, n_frames AS n, base, step,
+           |         GREATEST(n_frames // 8, 1) AS k
+           |  FROM read_parquet('$F/videos/*.parquet') WHERE NOT corrupt),
+           |fr AS (
+           |  SELECT video_id, w, h,
+           |         CAST(g.f AS INTEGER) AS frame_idx,
+           |         (base + CAST(g.f AS INTEGER) * step) % 256 AS vf
+           |  FROM p, generate_series(0, 200) AS g(f)
+           |  WHERE g.f < n AND g.f % k = 0)
+           |SELECT video_id, frame_idx,
+           |       CAST(h * (w * vf + w * (w - 1) // 2
+           |                 - 256 * GREATEST(vf + w - 256, 0)) AS BIGINT) AS lum_sum,
+           |       CAST(CASE WHEN vf + w > 256 THEN 0 ELSE vf END AS INTEGER) AS lum_min,
+           |       CAST(CASE WHEN vf + w > 256 THEN 255 ELSE vf + w - 1 END AS INTEGER) AS lum_max
+           |FROM fr""".stripMargin,
       "q_image_phash_dups" ->
         s"""WITH base AS (
            |  SELECT image_id, phash & 1152921504606846975 AS ph

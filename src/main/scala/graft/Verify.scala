@@ -43,6 +43,7 @@ object Verify {
         .select("canonical_url", "image_id", "caption", "status"), "tick_pages")
       dump(Fixtures.images(spark, 2000L).toDF(), "images")
       dump(Fixtures.audios(spark, 2000L).toDF(), "audios")
+      dump(Fixtures.videos(spark, 500L).toDF(), "videos")
     }
 
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -146,10 +146,14 @@ object ImageOps {
     c => f(c)
   }
 
-  /** STUB — video frame sampling. This container has no video codecs, so
-    * the decode step is a deterministic fake (xxhash-keyed pseudo-frames);
-    * the Spark-side plumbing (signature, batch shape, partition locality)
-    * is the real design: swap `fakeFrame` for a JavaCV/FFmpeg grab call.
+  /** STUB — timestamp-addressed frame grab for REAL codec containers
+    * (mp4/H.264 …). This environment has no video codecs, so the decode
+    * step is a deterministic fake (xxhash-keyed pseudo-frames); the
+    * signature is the FFmpeg-shaped call a deployment swaps in. The full
+    * PRODUCTION plumbing — container parse, stride sampling, per-frame
+    * feature rows, partition locality, analytic oracle — lives in
+    * [[VideoOps]] over the codec-free GVID container; this stub remains
+    * only to document the codec boundary.
     */
   def sampleFrames(videoBytes: Array[Byte], nFrames: Int): Array[Array[Byte]] = {
     def fakeFrame(i: Int): Array[Byte] = {

@@ -383,6 +383,50 @@ object Fixtures {
     spark.range(0, n).map(i => audioTwinDoc(i))
   }
 
+  // ----------------------------------------------------------------- video
+
+  /** Deterministic GVID synthesis (see [[graft.model.VideoDoc]]): magic
+    * "GVID" + LE int32 header (w, h, n_frames, fps) + frame-major row-major
+    * gray8 pixels with pixel(f, x, ·) = (base + f·step + x) mod 256. The
+    * x-gradient witnesses intra-row offsets, the f·step term witnesses
+    * frame indexing/stride, and the y-constancy keeps every luminance
+    * feature analytically computable by the oracle. ~3% of rows get the
+    * magic destroyed to exercise the decode error-isolation path.
+    */
+  def videoDoc(rowIdx: Long): VideoDoc = {
+    val hsh = mix(Seed, 51L, rowIdx)
+    val w = 16 + bounded(mix64(hsh ^ 1L), 48) // 16..63 px
+    val h = 9 + bounded(mix64(hsh ^ 2L), 27) // 9..35 px
+    val n = 24 + bounded(mix64(hsh ^ 3L), 72) // 24..95 frames
+    val fps = Vector(24, 25, 30)(bounded(mix64(hsh ^ 4L), 3))
+    val base = bounded(mix64(hsh ^ 5L), 256)
+    val step = 1 + bounded(mix64(hsh ^ 6L), 17)
+    val corrupt = bounded(mix64(hsh ^ 7L), 33) == 0
+    val buf = java.nio.ByteBuffer.allocate(20 + n * w * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("GVID".getBytes("US-ASCII"))
+    buf.putInt(w); buf.putInt(h); buf.putInt(n); buf.putInt(fps)
+    var f = 0
+    while (f < n) {
+      val vf = (base + f * step) & 255
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { buf.put(((vf + x) & 255).toByte); x += 1 }
+        y += 1
+      }
+      f += 1
+    }
+    val bytes = buf.array()
+    if (corrupt) "JUNK".getBytes("US-ASCII").copyToArray(bytes, 0)
+    VideoDoc(f"vid-$rowIdx%08d", bytes, w, h, n, fps, base, step, corrupt)
+  }
+
+  def videos(spark: SparkSession, n: Long): Dataset[VideoDoc] = {
+    import spark.implicits._
+    spark.range(0, n).map(i => videoDoc(i))
+  }
+
   /** Page row for one canonical URL — pure function of the URL, so every
     * occurrence (any tick, any source listing) resolves identically.
     * ~3% get a non-200 status to exercise error isolation (C5).

@@ -43,6 +43,30 @@ final case class AudioDoc(
     corrupt: Boolean // ~3%: RIFF magic destroyed (error-isolation path)
 )
 
+/** Video payload row — the third opaque-binary modality. The container is
+  * a minimal but REAL framed format ("GVID": magic + LE header + n_frames
+  * × w·h raw gray8 frames) that
+  * [[graft.functions.VideoOps.parseVideo]] walks with full bounds
+  * checking; only the CODEC is the stub (raw gray8 instead of H.264 — no
+  * codecs ship in this environment, disclosed). The synthesis parameters
+  * (`base`, `step`: pixel(f, x, ·) = (base + f·step + x) mod 256) are
+  * fixture ground truth: the decoder reads ONLY `bytes`, and the DuckDB
+  * oracle recomputes every sampled frame's luminance features analytically
+  * from the parameters — a frame-indexing, stride, or row-offset bug
+  * cannot hash-match.
+  */
+final case class VideoDoc(
+    video_id: String,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    n_frames: Int,
+    fps: Int,
+    base: Int, // luminance offset of frame 0
+    step: Int, // per-frame luminance increment (frame-index witness)
+    corrupt: Boolean // ~3%: magic destroyed (error-isolation path)
+)
+
 /** Per-source crawl policy — the reference's scraper registry re-expressed
   * as data, not code (reference: main.py:156-270 + per-scraper constants).
   *

@@ -174,48 +174,69 @@ object TrainingOps {
           expr("shiftleft(1L, CAST(b AS INT))")).otherwise(0L))
         .as("simhash"))
 
-  /** SimHash near-duplicate pairs (the dedup-family entry the signatures
-    * feed): band the 60-bit signature into 4×15-bit keys, self-join on
-    * band equality (the LSH step — a near-pair within Hamming distance 3
-    * of 60 bits is GUARANTEED a candidate by pigeonhole: 4 bands, ≤ 3
-    * differing bits, so at least one band matches exactly), then verify
-    * with the exact `bit_count` Hamming distance. Runs over the synthetic
-    * near-dup corpus (tail-chopped twins at doc_id+100000) so there are
-    * true positives to find. `is_dup` is gated at the banding's GUARANTEED
-    * radius (Hamming ≤ 3 = bands − 1, the classic Manku-et-al design
-    * point): within it recall is 1.0 by pigeonhole — SimhashDupsSpec
-    * proves it against the O(n²) truth — while candidates beyond it are
-    * reported with their exact distance but not flagged (measured on the
-    * fixture corpus: banding also surfaces ~69% of all tail-chopped
-    * twins, median twin distance ≈ 5).
+  /** The shared banding kernel behind every fingerprint near-dup operator
+    * (text [[simhashNearDups]], image [[phashNearDups]], audio
+    * [[audioZcrNearDups]] — one implementation, three modalities): split
+    * each `nBands × bandBits`-bit print into band keys, self-join on
+    * (band, band_val) equality — the LSH step; a pair within Hamming
+    * distance ≤ nBands − 1 has its differing bits in ≤ nBands − 1 bands,
+    * so at least one band matches exactly (pigeonhole) and banding is
+    * LOSSLESS at that radius — then verify candidates with the exact
+    * `bit_count(xor)` distance and flag `is_dup` at `radius`. Candidates
+    * beyond `radius` are reported with their distance but not flagged.
     *
-    * Scale: identical shape to the phash image path — the join is
-    * shuffle-bounded by band-collision mass, ids+signatures only (no text
-    * moves), never all-pairs; 15-bit bands keep bucket occupancy ~n/32k
-    * per band so the self-join stays collision-bounded at corpus scale.
+    * Scale shape (identical for all three callers): the join is
+    * shuffle-bounded by band-collision mass, never all-pairs (no-cartesian
+    * plan gate, PlanQualitySpec); only (id, print) pairs move — the
+    * text/pixels/samples the prints came from never enter the plan; band
+    * keys are uniform when print bits are balanced (hot-bucket mass from
+    * degenerate prints is each caller's documented caveat); 15-bit bands
+    * keep bucket occupancy ~n/32k per band at corpus scale.
+    *
+    * `prints` carries (idCol, fpCol); output is (idA, idB, hamming,
+    * is_dup), idA < idB, distinct pairs. Laws (lossless radius, exact
+    * distance, beyond-radius behavior) are tested once on the kernel
+    * (BandedNearDupsSpec) and per-modality on real prints.
+    */
+  def bandedNearDups(prints: DataFrame, idCol: String, fpCol: String,
+      idA: String, idB: String, nBands: Int, bandBits: Int,
+      radius: Int): DataFrame = {
+    val bands = prints
+      .select(col(idCol).as("__id"), col(fpCol).as("__fp"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("band_val",
+        expr(s"shiftright(__fp, CAST(band * $bandBits AS INT))" +
+          s" & ${(1 << bandBits) - 1}"))
+    val a = bands.select(col("band"), col("band_val"),
+      col("__id").as(idA), col("__fp").as("__fp_a"))
+    val b = bands.select(col("band").as("band_b"), col("band_val").as("val_b"),
+      col("__id").as(idB), col("__fp").as("__fp_b"))
+    a.join(b, col("band") === col("band_b") &&
+        col("band_val") === col("val_b") && col(idA) < col(idB))
+      .select(idA, idB, "__fp_a", "__fp_b").distinct()
+      .select(col(idA), col(idB),
+        expr("CAST(bit_count(__fp_a ^ __fp_b) AS BIGINT)").as("hamming"))
+      .withColumn("is_dup", col("hamming") <= radius)
+  }
+
+  /** SimHash near-duplicate pairs (the dedup-family entry the signatures
+    * feed): [[bandedNearDups]] over the 60-bit signatures — 4×15-bit
+    * bands, exact verify. Runs over the synthetic near-dup corpus
+    * (tail-chopped twins at doc_id+100000) so there are true positives to
+    * find. `is_dup` is gated at the banding's GUARANTEED radius
+    * (Hamming ≤ 3 = bands − 1, the classic Manku-et-al design point):
+    * within it recall is 1.0 by pigeonhole — SimhashDupsSpec proves it
+    * against the O(n²) truth — while beyond it banding still surfaces
+    * ~69% of all tail-chopped twins on the fixture corpus (median twin
+    * distance ≈ 5).
     */
   val SimhashBands = 4
   val SimhashBandBits = 15
   val SimhashDupMax = SimhashBands - 1 // the pigeonhole-guaranteed radius
-  def simhashNearDups(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = simhashOf(nearDupCorpus(spark, sfDir))
-    val bands = sigs
-      .select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
-      .withColumn("band_val",
-        expr(s"shiftright(simhash, CAST(band * $SimhashBandBits AS INT))" +
-          s" & ${(1 << SimhashBandBits) - 1}"))
-    val a = bands.select(col("band"), col("band_val"),
-      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = bands.select(col("band").as("band_b"), col("band_val").as("val_b"),
-      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, col("band") === col("band_b") &&
-        col("band_val") === col("val_b") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
-      .select(col("doc_a"), col("doc_b"),
-        expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)").as("hamming"))
-      .withColumn("is_dup", col("hamming") <= SimhashDupMax)
-  }
+  def simhashNearDups(spark: SparkSession, sfDir: String): DataFrame =
+    bandedNearDups(simhashOf(nearDupCorpus(spark, sfDir)),
+      "doc_id", "simhash", "doc_a", "doc_b",
+      SimhashBands, SimhashBandBits, SimhashDupMax)
 
   // ============================================= near-dup: MinHash/LSH ===
 
@@ -610,21 +631,8 @@ object TrainingOps {
       concat(col("image_id"), lit("_d")).as("image_id"),
       col("ph").bitwiseXOR(
         expr("shiftleft(1L, CAST(pmod(ph, 60) AS INT))")).as("ph"))
-    val bands = base.unionByName(twins)
-      .select(col("image_id"), col("ph"),
-        explode(sequence(lit(0), lit(PhashBands - 1))).as("band"))
-      .withColumn("band_val",
-        expr(s"shiftright(ph, CAST(band * $PhashBandBits AS INT)) & ${(1 << PhashBandBits) - 1}"))
-    val a = bands.select(col("band"), col("band_val"),
-      col("image_id").as("image_a"), col("ph").as("ph_a"))
-    val b = bands.select(col("band").as("band_b"), col("band_val").as("val_b"),
-      col("image_id").as("image_b"), col("ph").as("ph_b"))
-    a.join(b, col("band") === col("band_b") &&
-        col("band_val") === col("val_b") && col("image_a") < col("image_b"))
-      .select("image_a", "image_b", "ph_a", "ph_b").distinct()
-      .select(col("image_a"), col("image_b"),
-        expr("CAST(bit_count(ph_a ^ ph_b) AS BIGINT)").as("hamming"))
-      .withColumn("is_dup", col("hamming") <= HammingDupMax)
+    bandedNearDups(base.unionByName(twins), "image_id", "ph",
+      "image_a", "image_b", PhashBands, PhashBandBits, HammingDupMax)
   }
 
   val AudioHammingDupMax = 3 // < PhashBands ⇒ banding is LOSSLESS at radius
@@ -656,22 +664,8 @@ object TrainingOps {
     import graft.model.Fixtures
     val all = Fixtures.audios(spark, nAudios)
       .unionByName(Fixtures.audioTwins(spark, nAudios))
-    val prints = AudioOps.fingerprints(all)
-    val bands = prints
-      .select(col("audio_id"), col("fp"),
-        explode(sequence(lit(0), lit(PhashBands - 1))).as("band"))
-      .withColumn("band_val",
-        expr(s"shiftright(fp, CAST(band * $PhashBandBits AS INT)) & ${(1 << PhashBandBits) - 1}"))
-    val a = bands.select(col("band"), col("band_val"),
-      col("audio_id").as("audio_a"), col("fp").as("fp_a"))
-    val b = bands.select(col("band").as("band_b"), col("band_val").as("val_b"),
-      col("audio_id").as("audio_b"), col("fp").as("fp_b"))
-    a.join(b, col("band") === col("band_b") &&
-        col("band_val") === col("val_b") && col("audio_a") < col("audio_b"))
-      .select("audio_a", "audio_b", "fp_a", "fp_b").distinct()
-      .select(col("audio_a"), col("audio_b"),
-        expr("CAST(bit_count(fp_a ^ fp_b) AS BIGINT)").as("hamming"))
-      .withColumn("is_dup", col("hamming") <= AudioHammingDupMax)
+    bandedNearDups(AudioOps.fingerprints(all), "audio_id", "fp",
+      "audio_a", "audio_b", PhashBands, PhashBandBits, AudioHammingDupMax)
   }
 
   // ======================================== similarity search (ANN) =====

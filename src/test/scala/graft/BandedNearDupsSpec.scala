@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.TrainingOps
+import org.apache.spark.sql.DataFrame
+
+/** Laws of the shared banding kernel (`TrainingOps.bandedNearDups`) on
+  * hand-placed bit patterns — distances and band memberships chosen so
+  * every boundary of the pigeonhole argument is exercised exactly once.
+  * The three modality operators (simhash/phash/ZCR) route through this
+  * kernel; their own suites test it on real prints, this one tests the
+  * kernel's geometry in isolation.
+  */
+class BandedNearDupsSpec extends SparkTestBase {
+
+  // 4 bands × 15 bits over 60-bit prints (the production dials)
+  private val B = 4
+  private val W = 15
+
+  private def bit(i: Int): Long = 1L << i
+
+  /** ids 0–5 with controlled pairwise distances:
+    *   p0 = 0
+    *   p1 = d(·,p0)=1, dirty band {0}
+    *   p2 = d(·,p0)=3, dirty bands {0,1,2}           — pigeonhole edge
+    *   p3 = d(·,p0)=4, one bit in EVERY band         — the guaranteed miss
+    *   p4 = p0 (exact dup at distance 0)
+    *   p5 = d(·,p0)=5 within bands {0,1,2}, band 3 clean — candidate
+    *        beyond the simhash radius
+    */
+  private val prints = Map[Long, Long](
+    0L -> 0L,
+    1L -> bit(0),
+    2L -> (bit(0) | bit(15) | bit(30)),
+    3L -> (bit(0) | bit(15) | bit(30) | bit(45)),
+    4L -> 0L,
+    5L -> (bit(0) | bit(1) | bit(15) | bit(16) | bit(30)))
+
+  private def run(radius: Int): Map[(Long, Long), (Long, Boolean)] = {
+    import spark.implicits._
+    val df: DataFrame = prints.toSeq.toDF("id", "fp")
+    TrainingOps.bandedNearDups(df, "id", "fp", "id_a", "id_b", B, W, radius)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+  }
+
+  private lazy val atPigeonhole = run(B - 1) // radius 3 — the lossless point
+
+  test("pigeonhole losslessness: every pair within Hamming B-1 is emitted " +
+      "with its exact distance and is_dup=true") {
+    val ids = prints.keys.toSeq.sorted
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      val d = java.lang.Long.bitCount(prints(a) ^ prints(b)).toLong
+      if (d <= B - 1) {
+        assert(atPigeonhole.contains((a, b)), s"missed guaranteed pair ($a,$b) d=$d")
+        assert(atPigeonhole((a, b)) === ((d, true)), s"pair ($a,$b)")
+      }
+    }
+  }
+
+  test("the all-bands-dirty pair is the miss the pigeonhole bound allows") {
+    // p0↔p3 and p3↔p4: distance 4 with one differing bit in every band —
+    // no band key collides, so banding CANNOT surface it
+    assert(!atPigeonhole.contains((0L, 3L)))
+    assert(!atPigeonhole.contains((3L, 4L)))
+  }
+
+  test("candidates beyond the radius are reported unflagged; a wider " +
+      "radius flags them without changing the candidate set") {
+    // p0↔p5: distance 5 but band 3 is clean on both → candidate
+    assert(atPigeonhole((0L, 5L)) === ((5L, false)))
+    val wide = run(6) // the image-path radius (HammingDupMax)
+    assert(wide((0L, 5L)) === ((5L, true)))
+    assert(wide.keySet === atPigeonhole.keySet,
+      "radius must only move the is_dup flag, never candidate generation")
+  }
+
+  test("exact dups and multi-band collisions emit exactly one distinct " +
+      "row each, ordered id_a < id_b") {
+    assert(atPigeonhole((0L, 4L)) === ((0L, true))) // p4 = p0, 4 colliding bands
+    atPigeonhole.keys.foreach { case (a, b) => assert(a < b) }
+    // no duplicate keys is implied by the Map build succeeding over ALL
+    // emitted rows only if sizes agree — assert via a recount
+    import spark.implicits._
+    val df = prints.toSeq.toDF("id", "fp")
+    val n = TrainingOps.bandedNearDups(df, "id", "fp", "id_a", "id_b", B, W, 3)
+      .count()
+    assert(n === atPigeonhole.size.toLong)
+  }
+}

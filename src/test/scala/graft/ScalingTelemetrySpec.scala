@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scaling record's self-adjudication plumbing (r3 verdict #1, r4
+  * run-level refinement): the child's per-run telemetry lines must parse
+  * back into samples, the quiet predicate must match the published noise
+  * bounds, and samples that carry no telemetry must stay conservative in
+  * the direction the protocol documents (missing evidence ⇒ quiet=true at
+  * the sample level; the PARENT marks the whole record invalid when the
+  * arms fell back to unpinned mode — Bench.main's `reasons`).
+  */
+class ScalingTelemetrySpec extends AnyFunSuite {
+
+  private val childOut =
+    """26/08/18 some spark log noise
+      |{"metric":"scaling_run","cpus":1,"run":1,"sec":76.301,"steal_frac":0.0003,"offarm_busy_frac":0.0004}
+      |[scaling] prose line that must not confuse the parser
+      |{"metric":"scaling_run","cpus":1,"run":2,"sec":72.650,"steal_frac":0.0900,"offarm_busy_frac":0.0100}
+      |{"metric":"scaling_run","cpus":1,"run":3,"sec":71.980,"steal_frac":null,"offarm_busy_frac":null}
+      |{"metric":"scaling_arm","cpus":1,"sec":71.98,"frontier_n":8000000,"urls_per_sec":111141}
+      |""".stripMargin
+
+  test("parseRuns: one sample per timed run, noise fields and nulls intact") {
+    val runs = Bench.parseRuns(childOut, cores = 1, round = 2)
+    assert(runs.map(_.run) === Seq(1, 2, 3))
+    assert(runs.forall(s => s.cores == 1 && s.round == 2 && s.sec.isDefined))
+    assert(runs(0).sec.get === 76.301 && runs(0).stealFrac === Some(0.0003))
+    assert(runs(2).stealFrac === None && runs(2).offBusyFrac === None)
+    // cross-arm leakage guard: asking for a different core count parses none
+    assert(Bench.parseRuns(childOut, cores = 4, round = 1).isEmpty)
+    // the legacy whole-child line alone yields no per-run samples → the
+    // caller's run-0 fallback path is what covers old-protocol output
+    assert(Bench.parseRuns(
+      """{"metric":"scaling_arm","cpus":1,"sec":71.98}""", 1, 1).isEmpty)
+  }
+
+  test("quiet predicate enforces the published bounds, one-sided per field") {
+    def s(steal: Option[Double], off: Option[Double]) =
+      Bench.ArmSample(1, 1, 1, Some(10.0), steal, off)
+    assert(s(Some(Bench.MaxStealFrac), Some(Bench.MaxOffarmBusyFrac)).quiet)
+    assert(!s(Some(Bench.MaxStealFrac + 1e-4), Some(0.0)).quiet)
+    assert(!s(Some(0.0), Some(Bench.MaxOffarmBusyFrac + 1e-4)).quiet)
+    // missing evidence does not disqualify the SAMPLE (the record-level
+    // invalid marking handles evidence-free fallback arms)
+    assert(s(None, None).quiet)
+    val parsed = Bench.parseRuns(childOut, 1, 1)
+    assert(parsed.map(_.quiet) === Seq(true, false, true))
+  }
+
+  private def smp(cores: Int, sec: Double, quiet: Boolean = true) =
+    Bench.ArmSample(cores, 1, 1, Some(sec),
+      Some(if (quiet) 0.001 else 0.2), Some(if (quiet) 0.01 else 0.5))
+
+  test("adjudication: DRAM-contended 'quiet' runs are caught by the " +
+      "corroboration rule") {
+    // The observed false-valid record (bench run concurrent with a 4-core
+    // Spark job on the same box): /proc/stat fractions stayed under the
+    // bounds while memory-bandwidth contention inflated the pinned arms
+    // 4-20x and non-repeatably — efficiency read 0.243 "valid" before the
+    // corroboration rule. Exact seconds from that run.
+    val observed = Seq(
+      smp(1, 82.375), smp(1, 58.639), smp(1, 26.16),
+      smp(4, 70.288, quiet = false), smp(4, 57.366, quiet = false),
+      smp(4, 102.204),
+      smp(1, 57.25), smp(1, 56.551), smp(1, 19.523),
+      smp(4, 110.284), smp(4, 20.091), smp(4, 74.018))
+    val eff = 19.523 / (4 * 20.091)
+    val reasons = Bench.adjudicationReasons(Seq(1, 4), eff, pinned = true,
+      samples = observed)
+    assert(reasons.exists(_.contains("uncorroborated 1-core")))
+    assert(reasons.exists(_.contains("uncorroborated 4-core")))
+    assert(!Bench.corroborated(observed, 1) && !Bench.corroborated(observed, 4))
+    // a genuinely quiet record (the committed r4 builder seconds, ±3%
+    // spread) passes every check
+    val quietRec = Seq(smp(1, 76.3), smp(1, 72.7), smp(1, 72.1), smp(1, 72.0),
+      smp(4, 18.4), smp(4, 18.3), smp(4, 18.35), smp(4, 18.6))
+    assert(Bench.adjudicationReasons(Seq(1, 4), 72.0 / (4 * 18.3), pinned = true,
+      samples = quietRec).isEmpty)
+    // superlinear stays invalid even when corroborated
+    assert(Bench.adjudicationReasons(Seq(1, 4), 1.03, pinned = true,
+      samples = quietRec).exists(_.contains("superlinear")))
+    // unpinned fallback stays invalid
+    assert(Bench.adjudicationReasons(Seq(1, 4), 0.8, pinned = false,
+      samples = quietRec).exists(_.contains("unpinned")))
+    // an arm with NO quiet run elects a noisy minimum → noise reason, not
+    // the corroboration reason
+    val noisyArm = quietRec.filter(_.cores == 1) ++
+      Seq(smp(4, 30.0, quiet = false), smp(4, 31.0, quiet = false))
+    val rs = Bench.adjudicationReasons(Seq(1, 4), 72.0 / (4 * 30.0),
+      pinned = true, samples = noisyArm)
+    assert(rs.exists(_.contains("4-core sample under host noise")))
+    assert(!rs.exists(_.contains("uncorroborated")))
+  }
+
+  test("sample json round-trips through the parser (the record is re-readable)") {
+    val orig = Bench.parseRuns(childOut, 1, 3)
+    // ArmSample.json adds the adjudicated "quiet" field and a "round";
+    // the scaling_run wire format is a strict subset — rebuild it and
+    // confirm the parse is loss-free over the shared fields
+    val rewired = orig.map { a =>
+      s"""{"metric":"scaling_run","cpus":${a.cores},"run":${a.run},""" +
+        s""""sec":${a.sec.get},""" +
+        s""""steal_frac":${a.stealFrac.map(_.toString).getOrElse("null")},""" +
+        s""""offarm_busy_frac":${a.offBusyFrac.map(_.toString).getOrElse("null")}}"""
+    }.mkString("\n")
+    assert(Bench.parseRuns(rewired, 1, 3) === orig)
+  }
+}
