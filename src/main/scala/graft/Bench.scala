@@ -206,9 +206,17 @@ object Bench {
     * "quiet"-labeled efficiency of 0.243), but genuinely quiet runs repeat
     * within ±3% on this host, so dispersion IS the contention signal: an
     * arm whose quiet runs disagree by more than this tolerance was not
-    * quiet, whatever the cpu fractions said.
+    * quiet, whatever the cpu fractions said. The tolerance equals the
+    * MEASURED quiet-repeatability, not a round number: a first cut at 10%
+    * admitted a steady-contention record (every sample "quiet", arms
+    * bouncing 66–161 s / 25–154 s, minima corroborated at 7.6%) that read
+    * efficiency 0.659 "valid" while the same build measures 0.983 on a
+    * quiet box — asymmetric DRAM contention inflates the wide arm more
+    * than the narrow one, so it deflates (never inflates) efficiency, and
+    * only the repeatability window catches it (regression-tested with the
+    * observed seconds in ScalingTelemetrySpec).
     */
-  val CorroborationTol = 0.10
+  val CorroborationTol = 0.03
 
   /** The quiet pool of an arm: its quiet successful runs, or every
     * successful run when no quiet one exists (the caller marks that case

@@ -321,4 +321,36 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       assert(p.contains("*(1)"), "no codegen span:\n" + p)
     }
   }
+
+  test("modality decode is a shuffle-free projection; near-dup exchanges " +
+      "never carry the raw payload bytes") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.BinaryType
+    // decode/feature-extract paths: partition-local by design — the 100 TB
+    // contract is that multi-KB payload columns are read and reduced in
+    // place, never moved by a shuffle
+    for (df <- Seq(
+        graft.functions.AudioOps.decodeMeta(
+          graft.model.Fixtures.audios(spark, 200L)).toDF(),
+        graft.functions.VideoOps.frameSampleStats(
+          graft.model.Fixtures.videos(spark, 50L)),
+        graft.functions.ImageOps.decodeMeta(
+          graft.model.Fixtures.images(spark, 200L)).toDF())) {
+      val p = planString(df)
+      assert(!p.contains("Exchange"), "decode path shuffles:\n" + p)
+    }
+    // banded near-dup paths DO shuffle — but only 8-byte prints and ids;
+    // a plan where an Exchange's output schema carries BinaryType would
+    // move whole payloads per candidate pair
+    for (df <- Seq(
+        TrainingOps.audioZcrNearDups(spark, 200L),
+        TrainingOps.phashNearDups(spark, 200L))) {
+      val plan = castToImpl(df).queryExecution.executedPlan
+      val exchanges = collectWithSubqueries(plan) { case e: Exchange => e }
+      assert(exchanges.nonEmpty, "expected the band self-join shuffle")
+      for (e <- exchanges; attr <- e.output)
+        assert(attr.dataType != BinaryType,
+          s"exchange carries raw bytes (${attr.name}):\n$e")
+    }
+  }
 }

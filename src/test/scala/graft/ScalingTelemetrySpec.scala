@@ -93,6 +93,34 @@ class ScalingTelemetrySpec extends AnyFunSuite {
     assert(!rs.exists(_.contains("uncorroborated")))
   }
 
+  test("adjudication: steady asymmetric DRAM contention — minima that " +
+      "corroborate at 7.6% but not at the measured ±3% — reads invalid") {
+    // Observed (full bench on a contended evening, every sample 'quiet' by
+    // cpu fractions): 1-core arm bounced 66-161 s, 4-core arm 25-154 s;
+    // the chosen minima corroborated under a 10% window and the record
+    // read efficiency 0.659 "valid" where the same build measures 0.983
+    // quiet. Exact seconds from that run — the case that sized
+    // CorroborationTol to the measured quiet-repeatability (±3%).
+    val observed = Seq(
+      smp(1, 101.404), smp(1, 110.913), smp(1, 143.148),
+      smp(4, 70.067), smp(4, 141.979), smp(4, 29.408),
+      smp(1, 124.734), smp(1, 94.375), smp(1, 118.663),
+      smp(4, 154.092), smp(4, 39.208), smp(4, 34.651),
+      smp(1, 80.479), smp(1, 78.924), smp(1, 87.151),
+      smp(4, 81.016), smp(4, 25.637), smp(4, 28.687),
+      smp(1, 160.532), smp(1, 71.237), smp(1, 66.214),
+      smp(4, 39.908), smp(4, 106.918), smp(4, 25.118))
+    val eff = 66.214 / (4 * 25.118)
+    val reasons = Bench.adjudicationReasons(Seq(1, 4), eff, pinned = true,
+      samples = observed)
+    // 1-core: 66.214 vs 71.237 = 7.6% apart → uncorroborated at 3%
+    assert(reasons.exists(_.contains("uncorroborated 1-core")))
+    // 4-core: 25.118 vs 25.637 = 2.1% → corroborated — but one
+    // uncorroborated arm is enough to invalidate the record
+    assert(Bench.corroborated(observed, 4))
+    assert(reasons.nonEmpty)
+  }
+
   test("sample json round-trips through the parser (the record is re-readable)") {
     val orig = Bench.parseRuns(childOut, 1, 3)
     // ArmSample.json adds the adjudicated "quiet" field and a "round";
