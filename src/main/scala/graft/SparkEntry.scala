@@ -39,6 +39,7 @@ object SparkEntry {
     "q_doc_tokens" -> ((s, d) => TrainingOps.tokenCounts(s, d)),
     "q_doc_langid" -> ((s, d) => TrainingOps.langId(s, d)),
     "q_doc_quality" -> ((s, d) => TrainingOps.qualityScores(s, d)),
+    "q_doc_repetition" -> ((s, d) => TrainingOps.repetitionStats(s, d)),
     "q_doc_simhash" -> ((s, d) => TrainingOps.simhash(s, d)),
     "q_doc_simhash_dups" -> ((s, d) => TrainingOps.simhashNearDups(s, d)),
     "q_doc_minhash" -> ((s, d) => TrainingOps.minhashSignatures(s, d)),
@@ -704,6 +705,30 @@ object SparkEntry {
           |     + (CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) > 0 THEN 1 ELSE 0 END)
           |     AS BIGINT) AS quality_score
           |FROM documents""".stripMargin,
+      "q_doc_repetition" ->
+        """WITH base AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+          |  FROM documents),
+          |stats AS (
+          |  SELECT doc_id,
+          |         CAST(len(l) AS BIGINT) AS n_tokens,
+          |         CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct_tokens,
+          |         list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1]) AS bigrams
+          |  FROM base),
+          |grams AS (
+          |  SELECT doc_id, unnest(bigrams) AS gram FROM stats),
+          |gstats AS (
+          |  SELECT doc_id, MAX(c) AS top_bigram_count,
+          |         COUNT(*) AS n_distinct_bigrams
+          |  FROM (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+          |  GROUP BY 1)
+          |SELECT s.doc_id, s.n_tokens, s.n_distinct_tokens,
+          |       CAST(COALESCE(g.n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams,
+          |       CAST(COALESCE(g.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+          |       ((s.n_tokens - s.n_distinct_tokens) * 2 > s.n_tokens
+          |        OR COALESCE(g.top_bigram_count, 0) * 10 > greatest(s.n_tokens - 1, 0)) AS is_repetitive
+          |FROM stats s LEFT JOIN gstats g USING (doc_id)""".stripMargin,
       "q_doc_simhash" ->
         s"""WITH tok AS (
            |  SELECT doc_id,

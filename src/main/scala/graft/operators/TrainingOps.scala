@@ -145,6 +145,56 @@ object TrainingOps {
           when(col("stopword_count") > 0, 1).otherwise(0))
           .cast("long").as("quality_score"))
 
+  /** Repetition quality signals (the Gopher repetition filters — Rae et
+    * al. 2021 appx A1.1, public method): duplicate-token mass and
+    * top-bigram mass, all integer. A doc is flagged `is_repetitive` when
+    * either (a) over half its tokens are repeats of an earlier token, or
+    * (b) its single most common bigram fills more than 10% of bigram
+    * slots — the signals that catch boilerplate/listing pages that
+    * length/punctuation checks ([[qualityScores]]) pass.
+    *
+    * Scale shape: bigrams form ROW-LOCALLY (a transform over the token
+    * array — nothing explodes until the per-(doc, gram) count), then two
+    * map-side-combined aggregations on uniform keys ((doc_id, gram),
+    * doc_id) and one doc_id join of two doc-sized frames. No token ever
+    * moves un-combined; at 100 TB this is two combine-heavy passes over
+    * token mass, no widening joins.
+    */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionStatsOf(docs(spark, sfDir))
+
+  /** [[repetitionStats]] over any (doc_id, text) corpus. */
+  def repetitionStatsOf(corpus: DataFrame): DataFrame = {
+    val base = corpus
+      .withColumn("toks", filter(split(col("text"), "\\s+"), t => t =!= ""))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long")
+          .as("n_distinct_tokens"),
+        // guard: Spark's sequence(0, -1) DESCENDS ([0,-1]) rather than
+        // returning empty, so < 2 tokens needs the explicit empty array
+        when(size(col("toks")) >= 2,
+          expr("transform(sequence(0, size(toks) - 2)," +
+            " i -> concat(toks[i], ' ', toks[i + 1]))"))
+          .otherwise(array().cast("array<string>")).as("bigrams"))
+    val gramStats = base
+      .select(col("doc_id"), explode(col("bigrams")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_bigram_count"),
+        count(lit(1)).as("n_distinct_bigrams"))
+    base.join(gramStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
+        // bigram slots clamp at 0: an empty doc must not flag via 0 > -1
+        ((col("n_tokens") - col("n_distinct_tokens")) * 2 > col("n_tokens") ||
+          coalesce(col("top_bigram_count"), lit(0L)) * 10 >
+            greatest(col("n_tokens") - 1, lit(0L))).as("is_repetitive"))
+  }
+
   /** 60-bit SimHash over whitespace tokens: per-bit majority vote of token
     * hashes, weighted by multiplicity.
     */
@@ -467,14 +517,16 @@ object TrainingOps {
     // with the large→small orientation this forces each component into one
     // star centered at its minimum (a leaf below another min would violate
     // orientation; a split component would violate component preservation)
-    def isStarForest(e: DataFrame): Boolean = {
-      val multiSrc = e.groupBy("src").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).limit(1).count() > 0
-      lazy val srcIsDst = e.join(
-        e.select(col("dst").as("__d")).distinct(),
-        col("src") === col("__d"), "left_semi").limit(1).count() > 0
-      !multiSrc && !srcIsDst
-    }
+    // both violations in ONE map-side-combined aggregation (a node with
+    // src-degree > 1, or a node that is both a src and a dst) — the check
+    // runs once per pass, so its job count is part of the pass cost
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(col("src").as("node"), lit(1L).as("s"), lit(0L).as("d"))
+        .unionByName(
+          e.select(col("dst").as("node"), lit(0L).as("s"), lit(1L).as("d")))
+        .groupBy("node").agg(sum("s").as("ns"), max("d").as("nd"))
+        .filter(col("ns") > 1 || (col("ns") === 1 && col("nd") === 1))
+        .limit(1).count() == 0
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionByName(
