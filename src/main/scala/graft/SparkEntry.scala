@@ -42,6 +42,7 @@ object SparkEntry {
     "q_doc_repetition" -> ((s, d) => TrainingOps.repetitionStats(s, d)),
     "q_doc_simhash" -> ((s, d) => TrainingOps.simhash(s, d)),
     "q_doc_simhash_dups" -> ((s, d) => TrainingOps.simhashNearDups(s, d)),
+    "q_doc_decontaminate" -> ((s, d) => TrainingOps.decontaminate(s, d)),
     "q_doc_minhash" -> ((s, d) => TrainingOps.minhashSignatures(s, d)),
     "q_doc_lsh_pairs" -> ((s, d) => TrainingOps.lshCandidatePairs(s, d)),
     "q_doc_jaccard_pairs" -> ((s, d) => TrainingOps.jaccardVerifiedPairs(s, d)),
@@ -780,6 +781,22 @@ object SparkEntry {
       "q_doc_minhash" ->
         s"""WITH $nearDupCtes
            |SELECT doc_id, seed, minhash FROM mh""".stripMargin,
+      "q_doc_decontaminate" ->
+        s"""WITH $nearDupCtes,
+           |plain AS (SELECT doc_id, shh FROM sh WHERE doc_id < 100000),
+           |bench AS (SELECT DISTINCT shh FROM plain WHERE doc_id % 97 = 0),
+           |train AS (SELECT doc_id, shh FROM plain WHERE doc_id % 97 <> 0),
+           |hits AS (
+           |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_shingles
+           |  FROM train t JOIN bench b ON b.shh = t.shh
+           |  GROUP BY 1),
+           |tot AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+           |  FROM train GROUP BY 1)
+           |SELECT tot.doc_id, tot.n_shingles,
+           |       CAST(COALESCE(h.n_hit_shingles, 0) AS BIGINT) AS n_hit_shingles,
+           |       (COALESCE(h.n_hit_shingles, 0) > 0) AS contaminated
+           |FROM tot LEFT JOIN hits h USING (doc_id)""".stripMargin,
       "q_doc_lsh_pairs" ->
         s"""WITH $sigCtes
            |SELECT doc_a, doc_b FROM pairs""".stripMargin,

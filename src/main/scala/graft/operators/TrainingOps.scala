@@ -339,6 +339,39 @@ object TrainingOps {
         .dropDuplicates("doc_id", "shh")
     }
 
+  /** Benchmark decontamination (the GPT-3-style n-gram overlap filter,
+    * public method — Brown et al. 2020 appendix C): flag every training
+    * doc that shares at least one word-3-gram shingle with a benchmark
+    * set, reporting the distinct-shingle hit count. The benchmark here is
+    * the deterministic `doc_id % 97 == 0` slice of the corpus (the
+    * pipeline shape is the deliverable; production swaps the slice for
+    * real eval-set text). Reuses the cached shingle table: plain docs are
+    * the `doc_id < 100000` rows of the near-dup corpus cache, so three
+    * driver-independent queries share one shingle build.
+    *
+    * Scale shape: benchmark shingle sets are MBs against a TB corpus, so
+    * the semi-join broadcasts (Catalyst sizes it from the pruned cache
+    * scan); if a giant benchmark ever exceeds the threshold the join
+    * degrades to a shuffle on the uniform 60-bit hash key, never a
+    * cartesian. Both per-doc aggregations combine map-side.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame =
+    decontaminateFrom(shingles(spark, sfDir).filter(col("doc_id") < 100000))
+
+  /** [[decontaminate]] over any distinct (doc_id, shh) shingle frame. */
+  def decontaminateFrom(sh: DataFrame): DataFrame = {
+    val benchSh = sh.filter(col("doc_id") % 97 === 0)
+      .select("shh").distinct()
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+    val hits = train.join(benchSh, Seq("shh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit_shingles"))
+    train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"),
+        (coalesce(col("n_hit_shingles"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Per-seed affine-mix constants for MinHash (universal-hash family over
     * the 30-bit truncation of the base shingle hash). Products stay under
     * 2^50 (A < 2^20, h' < 2^30) so the arithmetic is overflow-free in BOTH
