@@ -40,6 +40,7 @@ object SparkEntry {
     "q_doc_langid" -> ((s, d) => TrainingOps.langId(s, d)),
     "q_doc_quality" -> ((s, d) => TrainingOps.qualityScores(s, d)),
     "q_doc_repetition" -> ((s, d) => TrainingOps.repetitionStats(s, d)),
+    "q_doc_mixture_sample" -> ((s, d) => TrainingOps.mixtureSample(s, d)),
     "q_doc_simhash" -> ((s, d) => TrainingOps.simhash(s, d)),
     "q_doc_simhash_dups" -> ((s, d) => TrainingOps.simhashNearDups(s, d)),
     "q_doc_decontaminate" -> ((s, d) => TrainingOps.decontaminate(s, d)),
@@ -706,6 +707,17 @@ object SparkEntry {
           |     + (CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) > 0 THEN 1 ELSE 0 END)
           |     AS BIGINT) AS quality_score
           |FROM documents""".stripMargin,
+      "q_doc_mixture_sample" ->
+        s"""SELECT doc_id, lang,
+           |  ${h60("'sample:' || doc_id")} % 1000 AS bucket,
+           |  CAST(CASE WHEN lang = 'en' THEN 300
+           |            WHEN lang = 'zh' THEN 1000
+           |            ELSE 600 END AS BIGINT) AS rate_permille,
+           |  (${h60("'sample:' || doc_id")} % 1000
+           |   < CASE WHEN lang = 'en' THEN 300
+           |          WHEN lang = 'zh' THEN 1000
+           |          ELSE 600 END) AS sampled
+           |FROM documents""".stripMargin,
       "q_doc_repetition" ->
         """WITH base AS (
           |  SELECT doc_id,

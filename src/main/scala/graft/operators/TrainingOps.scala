@@ -195,6 +195,29 @@ object TrainingOps {
             greatest(col("n_tokens") - 1, lit(0L))).as("is_repetitive"))
   }
 
+  /** Deterministic mixture sampling (the per-language sampling stage of
+    * C4/ROOTS-style corpus assembly, public method): every doc lands in a
+    * salted-hash bucket of 1000 and is kept when bucket < its language's
+    * per-mille rate (en down-sampled to 300‰, zh kept whole, tail
+    * languages at 600‰ — the dials are the deliverable's shape, not its
+    * policy). Membership is a pure function of doc_id: re-runs, retries
+    * and different partitionings select the IDENTICAL subset — no RNG
+    * state, no `sampleBy` approximation; the salt prefix decouples the
+    * decision from every other hash use of doc_id.
+    *
+    * Scale shape: one scan, ZERO shuffle (row-local projection —
+    * plan-gated in PlanQualitySpec); at 100 TB sampling is scan-rate.
+    */
+  def mixtureSample(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(
+        col("doc_id"), col("lang"),
+        (hash60(concat(lit("sample:"), col("doc_id"))) % 1000).as("bucket"),
+        when(col("lang") === "en", 300L)
+          .when(col("lang") === "zh", 1000L)
+          .otherwise(600L).as("rate_permille"))
+      .withColumn("sampled", col("bucket") < col("rate_permille"))
+
   /** 60-bit SimHash over whitespace tokens: per-bit majority vote of token
     * hashes, weighted by multiplicity.
     */

@@ -33,6 +33,7 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
         TrainingOps.langId(spark, sf()),
         TrainingOps.fingerprints(spark, sf()),
         TrainingOps.qualityScores(spark, sf()),
+        TrainingOps.mixtureSample(spark, sf()),
         ScanOps.htmlClean(spark, sf()))) {
       val p = planString(df)
       assert(!p.contains("Exchange"), "unexpected shuffle:\n" + p)
