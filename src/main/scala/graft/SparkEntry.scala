@@ -70,6 +70,7 @@ object SparkEntry {
     "q_robots_parse" -> ((s, d) => ScanOps.robotsParse(s, d)),
     "q_fallback_chain" -> ((s, d) => ScanOps.fallbackChain(s, d)),
     "q_image_phash_dups" -> ((s, _) => TrainingOps.phashNearDups(s)),
+    "q_pair_joint_dups" -> ((s, _) => TrainingOps.jointImageCaptionDups(s)),
     "q_epoch_parse" -> ((s, d) => ScanOps.epochParse(s, d)),
     "q_html_clean" -> ((s, d) => ScanOps.htmlClean(s, d)),
     "q_section_assign" -> ((s, d) => ScanOps.sectionAssign(s, d)),
@@ -456,6 +457,32 @@ object SparkEntry {
            |SELECT image_a, image_b,
            |       CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming,
            |       bit_count(xor(ph_a, ph_b)) <= 6 AS is_dup
+           |FROM cand""".stripMargin,
+      "q_pair_joint_dups" ->
+        s"""WITH base AS (
+           |  SELECT image_id, phash & 1152921504606846975 AS ph,
+           |         CAST(('0x' || substr(md5(caption), 1, 15)) AS BIGINT) AS cap_fp
+           |  FROM read_parquet('$F/images/*.parquet')),
+           |twins AS (
+           |  SELECT image_id || '_d' AS image_id,
+           |         xor(ph, CAST(1 AS BIGINT) << CAST(((ph % 60) + 60) % 60 AS INT)) AS ph,
+           |         cap_fp
+           |  FROM base),
+           |allimg AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+           |bands AS (
+           |  SELECT image_id, ph, cap_fp, b AS band, (ph >> (b * 15)) & 32767 AS band_val
+           |  FROM allimg, generate_series(0, 3) AS g(b)),
+           |cand AS (
+           |  SELECT DISTINCT a.image_id AS image_a, b.image_id AS image_b,
+           |         a.ph AS ph_a, b.ph AS ph_b,
+           |         a.cap_fp AS cap_a, b.cap_fp AS cap_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.band_val = b.band_val
+           |   AND a.image_id < b.image_id)
+           |SELECT image_a, image_b,
+           |       CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming,
+           |       cap_a = cap_b AS caption_match,
+           |       (bit_count(xor(ph_a, ph_b)) <= 6 AND cap_a = cap_b) AS is_joint_dup
            |FROM cand""".stripMargin
     )
   }

@@ -311,6 +311,18 @@ object Fixtures {
       .toDF("image_id", "phash")
   }
 
+  /** (image_id, phash, caption) projection WITHOUT rendering pixels —
+    * identical values to [[images]] (pure functions of rowIdx). The
+    * columns the joint image+caption dedup needs; at scale this is
+    * parquet column pruning (bytes never read).
+    */
+  def imageMetas(spark: SparkSession, n: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(0, n).map(i => (f"img-$i%08d", mix(Seed, 33L, i), captionOf(i)))
+      .toDF("image_id", "phash", "caption")
+  }
+
   // ----------------------------------------------------------------- audio
 
   /** Square-wave sample for frame `i` of channel 0: +amp for the first

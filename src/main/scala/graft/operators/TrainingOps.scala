@@ -743,6 +743,45 @@ object TrainingOps {
       "image_a", "image_b", PhashBands, PhashBandBits, HammingDupMax)
   }
 
+  /** Joint image+caption dedup over the north-star (image, caption) pair
+    * table: a pair is a TRUE crawl duplicate only when BOTH modalities
+    * agree — near-identical pixels (phash Hamming ≤ [[HammingDupMax]], via
+    * the banded kernel) AND identical caption (60-bit md5 fingerprint
+    * equality). The conjunction is the policy a crawl pipeline ships:
+    * phash alone merges distinct items that band-collide; caption alone
+    * merges reposts with different images. The corpus carries re-encoded
+    * twins (one phash bit perturbed, caption kept — a re-encode does not
+    * change the caption), so the joint set is earned by both tests.
+    *
+    * Scale shape: identical to [[phashNearDups]] (banded self-join on
+    * 8-byte prints, exact verify on candidates) plus two uniform-key
+    * joins that attach 8-byte caption fingerprints to the candidate pairs
+    * — captions themselves never move, bytes never enter the plan.
+    */
+  def jointImageCaptionDups(spark: SparkSession, nImages: Long = 2000L)
+      : DataFrame = {
+    val base = graft.model.Fixtures.imageMetas(spark, nImages)
+      .select(col("image_id"),
+        col("phash").bitwiseAND(lit((1L << 60) - 1)).as("ph"),
+        hash60(col("caption")).as("cap_fp"))
+    val twins = base.select(
+      concat(col("image_id"), lit("_d")).as("image_id"),
+      col("ph").bitwiseXOR(
+        expr("shiftleft(1L, CAST(pmod(ph, 60) AS INT))")).as("ph"),
+      col("cap_fp"))
+    val corpus = base.unionByName(twins)
+    val caps = corpus.select(col("image_id"), col("cap_fp"))
+    bandedNearDups(corpus, "image_id", "ph",
+        "image_a", "image_b", PhashBands, PhashBandBits, HammingDupMax)
+      .join(caps.select(col("image_id").as("image_a"),
+        col("cap_fp").as("cap_a")), Seq("image_a"))
+      .join(caps.select(col("image_id").as("image_b"),
+        col("cap_fp").as("cap_b")), Seq("image_b"))
+      .select(col("image_a"), col("image_b"), col("hamming"),
+        (col("cap_a") === col("cap_b")).as("caption_match"),
+        (col("is_dup") && col("cap_a") === col("cap_b")).as("is_joint_dup"))
+  }
+
   val AudioHammingDupMax = 3 // < PhashBands ⇒ banding is LOSSLESS at radius
 
   /** Audio near-duplicate detection over the amplitude-invariant windowed
