@@ -225,27 +225,31 @@ object TrainingOps {
     simhashOf(docs(spark, sfDir))
 
   /** SimHash signatures for an arbitrary (doc_id, text) corpus — the
-    * computation behind [[simhash]] and [[simhashNearDups]]. All shuffle
-    * keys ((doc_id, b), doc_id) are uniform; the token×60 explode is the
-    * cost driver but stays map-side until the per-bit vote aggregation,
-    * which combines partially (sum).
+    * computation behind [[simhash]] and [[simhashNearDups]]. The 60
+    * per-bit vote sums are 60 COLUMNS of one map-side-combined aggregate,
+    * not 60 exploded rows: the earlier ×60 bit-explode materialized (and
+    * hash-aggregated) sixty rows per token and paid a second
+    * (doc_id, b) → doc_id shuffle; column-wise, each token row evaluates
+    * 60 codegen'd when-expressions into 60 long buffers and ONE uniform
+    * doc_id shuffle carries 60 longs per doc. The signature assembles from
+    * the vote columns row-locally.
     */
-  def simhashOf(corpus: DataFrame): DataFrame =
+  def simhashOf(corpus: DataFrame): DataFrame = {
+    val votes = (0 until 60).map(b =>
+      sum(when(expr(s"shiftright(th, $b) & 1") === 1, 1L).otherwise(-1L))
+        .as(s"__v$b"))
     corpus
       .select(col("doc_id"),
         explode(filter(split(col("text"), "\\s+"), t => t =!= ""))
           .as("token"))
       .withColumn("th", hash60(col("token")))
-      .select(col("doc_id"), col("th"),
-        explode(sequence(lit(0), lit(59))).as("b"))
-      .withColumn("vote",
-        when(expr("shiftright(th, CAST(b AS INT)) & 1") === 1, 1).otherwise(-1))
-      .groupBy("doc_id", "b")
-      .agg(sum("vote").as("vote_sum"))
       .groupBy("doc_id")
-      .agg(sum(when(col("vote_sum") > 0,
-          expr("shiftleft(1L, CAST(b AS INT))")).otherwise(0L))
-        .as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(b =>
+          when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
 
   /** The shared banding kernel behind every fingerprint near-dup operator
     * (text [[simhashNearDups]], image [[phashNearDups]], audio
