@@ -41,6 +41,7 @@ object SparkEntry {
     "q_doc_quality" -> ((s, d) => TrainingOps.qualityScores(s, d)),
     "q_doc_repetition" -> ((s, d) => TrainingOps.repetitionStats(s, d)),
     "q_doc_mixture_sample" -> ((s, d) => TrainingOps.mixtureSample(s, d)),
+    "q_doc_assemble" -> ((s, d) => TrainingOps.assembleCorpus(s, d)),
     "q_doc_simhash" -> ((s, d) => TrainingOps.simhash(s, d)),
     "q_doc_simhash_dups" -> ((s, d) => TrainingOps.simhashNearDups(s, d)),
     "q_doc_decontaminate" -> ((s, d) => TrainingOps.decontaminate(s, d)),
@@ -734,6 +735,74 @@ object SparkEntry {
           |     + (CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) > 0 THEN 1 ELSE 0 END)
           |     AS BIGINT) AS quality_score
           |FROM documents""".stripMargin,
+      "q_doc_assemble" ->
+        s"""WITH $nearDupCtes,
+           |plain AS (SELECT doc_id, shh FROM sh WHERE doc_id < 100000),
+           |bench AS (SELECT DISTINCT shh FROM plain WHERE doc_id % 97 = 0),
+           |train AS (SELECT doc_id, shh FROM plain WHERE doc_id % 97 <> 0),
+           |hits AS (
+           |  SELECT t.doc_id, COUNT(*) AS n_hit
+           |  FROM train t JOIN bench b ON b.shh = t.shh GROUP BY 1),
+           |contam AS (
+           |  SELECT td.doc_id, (COALESCE(h.n_hit, 0) > 0) AS contaminated
+           |  FROM (SELECT DISTINCT doc_id FROM train) td
+           |  LEFT JOIN hits h USING (doc_id)),
+           |rtok AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+           |  FROM documents),
+           |rstats AS (
+           |  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+           |         CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct_tokens,
+           |         list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1]) AS bigrams
+           |  FROM rtok),
+           |rgrams AS (SELECT doc_id, unnest(bigrams) AS gram FROM rstats),
+           |rg AS (
+           |  SELECT doc_id, MAX(c) AS top_bigram_count
+           |  FROM (SELECT doc_id, gram, COUNT(*) AS c FROM rgrams GROUP BY 1, 2)
+           |  GROUP BY 1),
+           |rep AS (
+           |  SELECT s.doc_id,
+           |         ((s.n_tokens - s.n_distinct_tokens) * 2 > s.n_tokens
+           |          OR COALESCE(g.top_bigram_count, 0) * 10 > greatest(s.n_tokens - 1, 0)) AS is_repetitive
+           |  FROM rstats s LEFT JOIN rg g USING (doc_id)),
+           |qual AS (
+           |  SELECT doc_id,
+           |         (CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END)
+           |       + (CASE WHEN len(regexp_extract_all(text, '[,.;:!?]')) * 100 <= length(text) * 10 THEN 1 ELSE 0 END)
+           |       + (CASE WHEN len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is)\\b')) > 0 THEN 1 ELSE 0 END) AS quality_score
+           |  FROM documents),
+           |keep AS (
+           |  SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id
+           |  FROM documents GROUP BY 1),
+           |flags AS (
+           |  SELECT d.doc_id,
+           |         d.doc_id % 97 = 0 AS is_benchmark,
+           |         q.quality_score >= 2 AS pass_quality,
+           |         NOT r.is_repetitive AS pass_repetition,
+           |         NOT COALESCE(c.contaminated, false) AS pass_decontaminate,
+           |         k.keeper_id = d.doc_id AS pass_dedup,
+           |         (${h60("'sample:' || d.doc_id")} % 1000
+           |          < CASE WHEN d.lang = 'en' THEN 300
+           |                 WHEN d.lang = 'zh' THEN 1000
+           |                 ELSE 600 END) AS pass_sample
+           |  FROM documents d
+           |  JOIN qual q USING (doc_id)
+           |  JOIN rep r USING (doc_id)
+           |  LEFT JOIN contam c USING (doc_id)
+           |  JOIN keep k ON k.text_hash = md5(d.text))
+           |SELECT doc_id, is_benchmark, pass_quality, pass_repetition,
+           |       pass_decontaminate, pass_dedup, pass_sample,
+           |       (NOT is_benchmark AND pass_quality AND pass_repetition
+           |        AND pass_decontaminate AND pass_dedup AND pass_sample) AS kept,
+           |       CASE WHEN is_benchmark THEN 'benchmark'
+           |            WHEN NOT pass_quality THEN 'quality'
+           |            WHEN NOT pass_repetition THEN 'repetition'
+           |            WHEN NOT pass_decontaminate THEN 'contaminated'
+           |            WHEN NOT pass_dedup THEN 'duplicate'
+           |            WHEN NOT pass_sample THEN 'sampled_out'
+           |            ELSE 'kept' END AS drop_reason
+           |FROM flags""".stripMargin,
       "q_doc_mixture_sample" ->
         s"""SELECT doc_id, lang,
            |  ${h60("'sample:' || doc_id")} % 1000 AS bucket,

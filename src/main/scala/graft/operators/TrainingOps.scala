@@ -399,6 +399,55 @@ object TrainingOps {
         (coalesce(col("n_hit_shingles"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** The training-corpus assembly pipeline composed end-to-end — the
+    * training-data analog of the crawl tick: one plan carries every doc
+    * through quality → repetition → decontamination → exact-dedup →
+    * mixture sampling and emits the per-stage verdicts, the FIRST failing
+    * stage as `drop_reason`, and the final `kept` flag. Stage semantics
+    * are the individual operators' (each separately oracled); this query
+    * is the INTEGRATION contract: five doc_id/text_hash-keyed uniform
+    * joins, no widening join anywhere, so the composed plan shuffles the
+    * same mass as its most expensive stage. Benchmark-slice docs
+    * (`doc_id % 97 == 0`) are never training candidates; a shingle-less
+    * doc (< 3 tokens) cannot be contaminated and resolves clean.
+    */
+  def assembleCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val qual = qualityScores(spark, sfDir).select("doc_id", "quality_score")
+    val rep = repetitionStats(spark, sfDir).select("doc_id", "is_repetitive")
+    val dec = decontaminate(spark, sfDir).select("doc_id", "contaminated")
+    val keepers = exactDedup(spark, sfDir).select("text_hash", "keeper_id")
+    val samp = mixtureSample(spark, sfDir).select("doc_id", "sampled")
+    val flags = d
+      .join(qual, Seq("doc_id"))
+      .join(rep, Seq("doc_id"))
+      .join(dec, Seq("doc_id"), "left")
+      .join(keepers, Seq("text_hash"))
+      .join(samp, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        (col("doc_id") % 97 === 0).as("is_benchmark"),
+        (col("quality_score") >= 2).as("pass_quality"),
+        (!col("is_repetitive")).as("pass_repetition"),
+        (!coalesce(col("contaminated"), lit(false))).as("pass_decontaminate"),
+        (col("keeper_id") === col("doc_id")).as("pass_dedup"),
+        col("sampled").as("pass_sample"))
+    flags
+      .withColumn("kept",
+        !col("is_benchmark") && col("pass_quality") &&
+          col("pass_repetition") && col("pass_decontaminate") &&
+          col("pass_dedup") && col("pass_sample"))
+      .withColumn("drop_reason",
+        when(col("is_benchmark"), "benchmark")
+          .when(!col("pass_quality"), "quality")
+          .when(!col("pass_repetition"), "repetition")
+          .when(!col("pass_decontaminate"), "contaminated")
+          .when(!col("pass_dedup"), "duplicate")
+          .when(!col("pass_sample"), "sampled_out")
+          .otherwise("kept"))
+  }
+
   /** Per-seed affine-mix constants for MinHash (universal-hash family over
     * the 30-bit truncation of the base shingle hash). Products stay under
     * 2^50 (A < 2^20, h' < 2^30) so the arithmetic is overflow-free in BOTH
