@@ -48,6 +48,7 @@ object SparkEntry {
     "q_doc_minhash" -> ((s, d) => TrainingOps.minhashSignatures(s, d)),
     "q_doc_lsh_pairs" -> ((s, d) => TrainingOps.lshCandidatePairs(s, d)),
     "q_doc_jaccard_pairs" -> ((s, d) => TrainingOps.jaccardVerifiedPairs(s, d)),
+    "q_doc_incremental_dedup" -> ((s, d) => TrainingOps.incrementalDedup(s, d)),
     "q_doc_dup_clusters" -> ((s, d) => TrainingOps.dupClusters(s, d)),
     "q_emb_topk" -> ((s, d) => TrainingOps.bruteForceTopK(s, d)),
     "q_emb_lsh_buckets" -> ((s, d) => TrainingOps.lshBuckets(s, d)),
@@ -72,6 +73,7 @@ object SparkEntry {
     "q_fallback_chain" -> ((s, d) => ScanOps.fallbackChain(s, d)),
     "q_image_phash_dups" -> ((s, _) => TrainingOps.phashNearDups(s)),
     "q_pair_joint_dups" -> ((s, _) => TrainingOps.jointImageCaptionDups(s)),
+    "q_pair_assemble" -> ((s, _) => TrainingOps.assemblePairs(s)),
     "q_epoch_parse" -> ((s, d) => ScanOps.epochParse(s, d)),
     "q_html_clean" -> ((s, d) => ScanOps.htmlClean(s, d)),
     "q_section_assign" -> ((s, d) => ScanOps.sectionAssign(s, d)),
@@ -484,7 +486,44 @@ object SparkEntry {
            |       CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming,
            |       cap_a = cap_b AS caption_match,
            |       (bit_count(xor(ph_a, ph_b)) <= 6 AND cap_a = cap_b) AS is_joint_dup
-           |FROM cand""".stripMargin
+           |FROM cand""".stripMargin,
+      // decoded dims stated ANALYTICALLY (= declared w, h): every fixture
+      // image decodes losslessly to its declared size, so pass_decode is
+      // TRUE here — while the Spark side computes it from a REAL decode
+      // (a decoder bug cannot hash-match). Same philosophy as q_audio_meta.
+      "q_pair_assemble" ->
+        s"""WITH base AS (
+           |  SELECT image_id, w, h, phash & 1152921504606846975 AS ph,
+           |         CAST(('0x' || substr(md5(caption), 1, 15)) AS BIGINT) AS cap_fp
+           |  FROM read_parquet('$F/images/*.parquet')),
+           |twins AS (
+           |  SELECT image_id || '_d' AS image_id, w, h,
+           |         xor(ph, CAST(1 AS BIGINT) << CAST(((ph % 60) + 60) % 60 AS INT)) AS ph,
+           |         cap_fp
+           |  FROM base),
+           |allimg AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+           |bands AS (
+           |  SELECT image_id, ph, cap_fp, b AS band, (ph >> (b * 15)) & 32767 AS band_val
+           |  FROM allimg, generate_series(0, 3) AS g(b)),
+           |dupped AS (
+           |  SELECT DISTINCT b.image_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.band_val = b.band_val
+           |   AND a.image_id < b.image_id
+           |  WHERE bit_count(xor(a.ph, b.ph)) <= 6 AND a.cap_fp = b.cap_fp),
+           |flags AS (
+           |  SELECT i.image_id, i.w, i.h,
+           |         TRUE AS pass_decode,
+           |         (i.w >= 32 AND i.h >= 32) AS pass_dims,
+           |         (d.image_id IS NULL) AS pass_dedup
+           |  FROM allimg i LEFT JOIN dupped d ON d.image_id = i.image_id)
+           |SELECT image_id, w, h, pass_decode, pass_dims, pass_dedup,
+           |       (pass_decode AND pass_dims AND pass_dedup) AS kept,
+           |       CASE WHEN NOT pass_decode THEN 'decode'
+           |            WHEN NOT pass_dims THEN 'dims'
+           |            WHEN NOT pass_dedup THEN 'duplicate'
+           |            ELSE 'kept' END AS drop_reason
+           |FROM flags""".stripMargin
     )
   }
 
@@ -926,6 +965,55 @@ object SparkEntry {
            |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
            |JOIN sizes za ON za.doc_id = p.doc_a
            |JOIN sizes zb ON zb.doc_id = p.doc_b""".stripMargin,
+      "q_doc_incremental_dedup" ->
+        s"""WITH $sigCtes,
+           |bsig AS (
+           |  SELECT band, band_sig, doc_id AS batch_id FROM sigs
+           |  WHERE doc_id >= 100000 AND doc_id % 10 = 7),
+           |isig AS (
+           |  SELECT band, band_sig, doc_id AS corpus_id FROM sigs
+           |  WHERE NOT (doc_id >= 100000 AND doc_id % 10 = 7)),
+           |cand AS (
+           |  SELECT DISTINCT b.batch_id, i.corpus_id
+           |  FROM bsig b JOIN isig i
+           |    ON i.band = b.band AND i.band_sig = b.band_sig),
+           |bsh AS (
+           |  SELECT doc_id AS batch_id, shh FROM sh
+           |  WHERE doc_id >= 100000 AND doc_id % 10 = 7),
+           |ish AS (
+           |  SELECT doc_id AS corpus_id, shh FROM sh
+           |  WHERE NOT (doc_id >= 100000 AND doc_id % 10 = 7)),
+           |inter AS (
+           |  SELECT c.batch_id, c.corpus_id, CAST(COUNT(*) AS BIGINT) AS inter
+           |  FROM cand c
+           |  JOIN bsh ON bsh.batch_id = c.batch_id
+           |  JOIN ish ON ish.corpus_id = c.corpus_id AND ish.shh = bsh.shh
+           |  GROUP BY 1, 2),
+           |bsz AS (SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS sz FROM bsh GROUP BY 1),
+           |isz AS (SELECT corpus_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ish GROUP BY 1),
+           |v AS (
+           |  SELECT c.batch_id, c.corpus_id,
+           |         (COALESCE(i.inter, 0) * 10 >=
+           |          (zb.sz + zi.sz - COALESCE(i.inter, 0)) * 6) AS is_dup
+           |  FROM cand c
+           |  LEFT JOIN inter i ON i.batch_id = c.batch_id AND i.corpus_id = c.corpus_id
+           |  JOIN bsz zb ON zb.batch_id = c.batch_id
+           |  JOIN isz zi ON zi.corpus_id = c.corpus_id),
+           |agg AS (
+           |  SELECT batch_id,
+           |         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           |         CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_matches,
+           |         MIN(CASE WHEN is_dup THEN corpus_id END) AS corpus_match
+           |  FROM v GROUP BY 1),
+           |bdocs AS (
+           |  SELECT doc_id FROM corpus
+           |  WHERE doc_id >= 100000 AND doc_id % 10 = 7)
+           |SELECT d.doc_id,
+           |       CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+           |       CAST(COALESCE(a.n_dup_matches, 0) AS BIGINT) AS n_dup_matches,
+           |       CAST(COALESCE(a.corpus_match, -1) AS BIGINT) AS corpus_match,
+           |       (COALESCE(a.n_dup_matches, 0) = 0) AS admit
+           |FROM bdocs d LEFT JOIN agg a ON a.batch_id = d.doc_id""".stripMargin,
       "q_doc_dup_clusters" ->
         s"""WITH RECURSIVE $sigCtes,
            |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1),

@@ -568,6 +568,110 @@ object TrainingOps {
           (col("size_a") + col("size_b") - col("inter")) * 6).as("is_dup"))
   }
 
+  // ========================== incremental dedup (new batch vs index) ===
+
+  /** Which corpus docs play "today's increment" in the fixture: the
+    * synthetic twins whose base doc_id ends in 7 — in story terms, the
+    * tick fetched lightly-edited re-posts of pages the corpus already
+    * holds (plus whatever genuinely-new pages band-collide). ~5% of the
+    * corpus; everything else is the persisted index.
+    */
+  val IncrementalBatchMod = 10L
+  private def isIncrementalBatch: Column =
+    col("doc_id") >= 100000 &&
+      pmod(col("doc_id"), lit(IncrementalBatchMod)) === 7
+  /** (band, band_sig VARCHAR ~25ch, doc_id) ≈ 50 B/row conservative. */
+  val IncrSigRowBytes = 50L
+
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalDedup(spark, sfDir, DefaultCosineMaxBroadcastBytes)
+
+  /** Incremental near-dup admission: dedup ONE new crawl batch against
+    * the persisted corpus index WITHOUT touching corpus×corpus pairs —
+    * the operation a 100 TB pipeline actually runs daily. The bootstrap
+    * form ([[lshCandidatePairs]] → [[jaccardVerifiedPairs]]) self-joins
+    * the whole signature table: correct for the one-time backfill,
+    * absurd for a daily increment that is 0.1% of the corpus. Here the
+    * corpus side is READ, NEVER REBUILT — band signatures and shingles
+    * come from the persisted minhash/shingle parquet (the cache IS the
+    * index; in production it is the bucket-partitioned index table a
+    * backfill wrote once) — and the only pair generation is
+    * increment ⋈ index on (band, band_sig):
+    *
+    *  - per-bucket candidate mass is LINEAR in bucket size (× the
+    *    increment's hits), not the bootstrap's quadratic s(s-1)/2 — the
+    *    hot-bucket guard is unnecessary on this path;
+    *  - the increment side is the small side: below `maxBroadcastBytes`
+    *    it broadcasts into the index scan (zero index shuffle — the
+    *    100 TB plan); above, the join shuffles on the uniform
+    *    (band, band_sig) key — never a cartesian (same size-dispatch
+    *    shape as [[cosineNearDups]], plan-gated both ways);
+    *  - the exact-Jaccard confirm joins shingles for CANDIDATES only,
+    *    keyed by doc id — the Bloom-then-confirm discipline again.
+    *
+    * Emits one row per batch doc: candidate/verified-match counts, the
+    * smallest matching corpus doc (−1 when none — the doc is genuinely
+    * new), and `admit` (no verified corpus duplicate). Restricted to
+    * batch×index pairs this computes EXACTLY the bootstrap's verdicts
+    * (same bands, same threshold — equality property-tested in
+    * IncrementalDedupSpec).
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String,
+      maxBroadcastBytes: Long): DataFrame = {
+    val verdicts = incrementalPairVerdicts(spark, sfDir, maxBroadcastBytes)
+    val agg = verdicts.groupBy("batch_id").agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_matches"),
+      min(when(col("is_dup"), col("corpus_id"))).as("corpus_match"))
+    // every batch doc gets a verdict — zero-candidate docs (genuinely new
+    // content, or < 3 tokens hence unshingleable) admit
+    nearDupCorpus(spark, sfDir).filter(isIncrementalBatch).select("doc_id")
+      .join(agg, col("doc_id") === col("batch_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),
+        coalesce(col("corpus_match"), lit(-1L)).as("corpus_match"),
+        (coalesce(col("n_dup_matches"), lit(0L)) === 0).as("admit"))
+  }
+
+  /** Per-pair batch×index verdicts — [[incrementalDedup]]'s core, exposed
+    * so IncrementalDedupSpec can state the equality law against the
+    * bootstrap ([[jaccardVerifiedPairs]]) pair-for-pair.
+    */
+  def incrementalPairVerdicts(spark: SparkSession, sfDir: String,
+      maxBroadcastBytes: Long = DefaultCosineMaxBroadcastBytes): DataFrame = {
+    val sigs = lshBandSignatures(spark, sfDir)
+    val batchSigs = sigs.filter(isIncrementalBatch)
+      .select(col("band"), col("band_sig"), col("doc_id").as("batch_id"))
+    val indexSigs = sigs.filter(!isIncrementalBatch)
+      .select(col("band"), col("band_sig"), col("doc_id").as("corpus_id"))
+    // one cheap count over the cached signature parquet sizes the dispatch
+    val batchBytes = batchSigs.count() * IncrSigRowBytes
+    val probeSide =
+      if (batchBytes <= maxBroadcastBytes) broadcast(batchSigs)
+      else batchSigs.hint("shuffle_hash")
+    val cand = indexSigs.join(probeSide, Seq("band", "band_sig"))
+      .select("batch_id", "corpus_id").distinct()
+    val sh = shingles(spark, sfDir)
+    val bsh = sh.filter(isIncrementalBatch)
+      .select(col("doc_id").as("batch_id"), col("shh"))
+    val ish = sh.filter(!isIncrementalBatch)
+      .select(col("doc_id").as("corpus_id"), col("shh"))
+    val inter = cand
+      .join(bsh, Seq("batch_id"))
+      .join(ish, Seq("corpus_id", "shh"))
+      .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("inter"))
+    val bsz = bsh.groupBy("batch_id").agg(count(lit(1)).as("size_b"))
+    val isz = ish.groupBy("corpus_id").agg(count(lit(1)).as("size_i"))
+    cand
+      .join(inter, Seq("batch_id", "corpus_id"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(bsz, Seq("batch_id"))
+      .join(isz, Seq("corpus_id"))
+      .withColumn("is_dup", col("inter") * 10 >=
+        (col("size_b") + col("size_i") - col("inter")) * 6)
+  }
+
   /** Connected components over the verified near-dup pair graph —
     * the step a dedup pipeline actually ships: pairs → clusters → ONE
     * keeper per cluster (min doc_id). Runs the large-star/small-star
@@ -833,6 +937,65 @@ object TrainingOps {
       .select(col("image_a"), col("image_b"), col("hamming"),
         (col("cap_a") === col("cap_b")).as("caption_match"),
         (col("is_dup") && col("cap_a") === col("cap_b")).as("is_joint_dup"))
+  }
+
+  /** The pair-table corpus assembly — the image+caption analog of
+    * [[assembleCorpus]] over the north-star (image, caption) table: one
+    * plan carries every pair through the stages a multimodal training
+    * pipeline gates on and emits per-stage verdicts, the FIRST failing
+    * stage as `drop_reason`, and the final `kept` flag:
+    *
+    *  - decode — the bytes DECODE (real JVM decode, partition-local) and
+    *    the decoded dimensions equal the declared (w, h). The DuckDB
+    *    oracle states the decoded dims ANALYTICALLY from the fixture
+    *    parameters (the audio-oracle philosophy), so a decoder bug can
+    *    never hash-match;
+    *  - dims — w ≥ 32 and h ≥ 32 (thumbnails are not training images);
+    *  - dedup — no JOINT image+caption duplicate with a smaller image_id
+    *    ([[jointImageCaptionDups]] policy: phash Hamming ≤ 6 AND caption
+    *    fingerprint equality; first-wins keeper, the crawl tick's claim
+    *    rule applied to content).
+    *
+    * The corpus is the image table plus a re-encoded twin per image (same
+    * bytes/caption/dims, one perturbed phash bit), so the dedup stage has
+    * true positives that are EARNED by the conjunction, not by id echo.
+    *
+    * Scale shape: decode is row-local (one scan, no shuffle — bytes never
+    * cross a stage boundary); the dedup verdict joins an 8-byte-key
+    * distinct-dup set back onto metadata rows; the composed plan shuffles
+    * only the banded-join mass of its dedup stage.
+    */
+  def assemblePairs(spark: SparkSession, nImages: Long = 2000L): DataFrame = {
+    import spark.implicits._
+    val mask = (1L << 60) - 1
+    val base = graft.model.Fixtures.images(spark, nImages)
+    val twins = base.map { d =>
+      val ph = d.phash & mask
+      d.copy(image_id = d.image_id + "_d",
+        phash = ph ^ (1L << (ph % 60).toInt))
+    }
+    val meta = graft.functions.ImageOps.decodeMeta(base.union(twins)).toDF()
+      .select(col("image_id"), col("w"), col("h"),
+        col("decoded_w"), col("decoded_h"))
+    // non-keepers: pairs are emitted image_a < image_b, so the image_b
+    // side of every joint dup has a smaller duplicate partner
+    val dupped = jointImageCaptionDups(spark, nImages)
+      .filter(col("is_joint_dup"))
+      .select(col("image_b").as("image_id")).distinct()
+      .withColumn("__dup", lit(true))
+    meta.join(dupped, Seq("image_id"), "left")
+      .select(col("image_id"), col("w"), col("h"),
+        (col("decoded_w") === col("w") && col("decoded_h") === col("h"))
+          .as("pass_decode"),
+        (col("w") >= 32 && col("h") >= 32).as("pass_dims"),
+        (!coalesce(col("__dup"), lit(false))).as("pass_dedup"))
+      .withColumn("kept",
+        col("pass_decode") && col("pass_dims") && col("pass_dedup"))
+      .withColumn("drop_reason",
+        when(!col("pass_decode"), "decode")
+          .when(!col("pass_dims"), "dims")
+          .when(!col("pass_dedup"), "duplicate")
+          .otherwise("kept"))
   }
 
   val AudioHammingDupMax = 3 // < PhashBands ⇒ banding is LOSSLESS at radius

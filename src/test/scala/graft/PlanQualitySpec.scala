@@ -285,6 +285,25 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(a === b, "dispatch paths disagree")
   }
 
+  test("incremental dedup: batch probe broadcasts into the index by " +
+      "default; gate at 0 forces a shuffle join on the band key; " +
+      "never a cartesian") {
+    // the 100 TB contract: the corpus index is only ever equi-joined on
+    // (band, band_sig) — broadcast of the (small) increment side below
+    // the gate, shuffle on the uniform band key above it
+    val p = planString(TrainingOps.incrementalPairVerdicts(spark, sf()))
+    assert(p.contains("BroadcastHashJoin [band"),
+      "default path does not broadcast the batch probe:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    val pf = planString(
+      TrainingOps.incrementalPairVerdicts(spark, sf(), maxBroadcastBytes = 0L))
+    assert(!pf.contains("BroadcastHashJoin [band"),
+      "batch probe still broadcast with the gate at 0:\n" + pf)
+    assert(pf.contains("ShuffledHashJoin [band"),
+      "forced path is not a shuffle-hash join on the band key:\n" + pf)
+    assert(!pf.contains("CartesianProduct"), pf)
+  }
+
   test("tick seen-probe dispatch: co-partitioned path has no driver-collected " +
       "segment broadcast; broadcast path has no RDD zip") {
     import spark.implicits._
