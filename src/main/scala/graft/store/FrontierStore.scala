@@ -443,6 +443,64 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
     paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
   }
 
+  // ------------------------------------------------- incremental reads
+
+  /** Manifests strictly after `from` on the chain ending at `to` —
+    * the window an incremental consumer reads. `from = -1` means from
+    * the beginning; any other `from` must be an ancestor of `to` (a
+    * checkpoint naming a snapshot off this chain is a consumer bug —
+    * throw, don't silently return wrong deltas).
+    */
+  private def chainWindow(from: Int, to: Int): Seq[Manifest] = {
+    val c = chain(to)
+    require(from == -1 || c.exists(_.snapshotId == from),
+      s"snapshot $from is not an ancestor of snapshot $to")
+    c.filter(_.snapshotId > from)
+  }
+
+  /** Incremental article consumption (the Iceberg incremental-read
+    * pattern): rows appended by snapshots in (from, to] — exactly what a
+    * downstream pipeline (corpus assembly, [[graft.operators.TrainingOps
+    * .incrementalDedup]]-style admission) reads after checkpointing
+    * snapshot `from`. ZERO history rescan: the file set comes straight
+    * off the manifest chain, so at 10^10-URL scale the consumer's cost is
+    * the window's own data, not the table's. Compaction snapshots append
+    * no articles, so windows cross compaction boundaries safely.
+    *
+    * Law (FrontierStoreSpec): articles(to) ≡ articles(from) ⊎
+    * articlesBetween(from, to), a disjoint union.
+    */
+  def articlesBetween(spark: SparkSession, from: Int,
+      to: Option[Int] = None): DataFrame = {
+    val id = to.orElse(snapshotIds().lastOption)
+      .getOrElse(throw new IllegalStateException("empty store"))
+    val paths = chainWindow(from, id).flatMap(_.articlesPath)
+      .map(p => root.resolve(p).toString)
+    if (paths.isEmpty) articles(spark, Some(id)).limit(0) // schema-only read
+    else paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+  }
+
+  /** URLs ADDED to the seen set in (from, to]. Compaction baselines are
+    * EXCLUDED: a baseline re-lists prior history without adding any URL,
+    * so including it would double-report everything before the boundary.
+    * Law (FrontierStoreSpec): seen(to) ≡ seen(from) ⊎
+    * seenAddedBetween(from, to) as sets, across compactions.
+    */
+  def seenAddedBetween(spark: SparkSession, from: Int,
+      to: Option[Int] = None): DataFrame = {
+    val id = to.orElse(snapshotIds().lastOption)
+      .getOrElse(throw new IllegalStateException("empty store"))
+    val paths = chainWindow(from, id)
+      .filter(_.kind == KindDelta).flatMap(_.seenDeltaPath)
+      .map(p => root.resolve(p).toString)
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], seenSchema)
+    else
+      paths.map(p => spark.read.parquet(p).select("canonical_url"))
+        .reduce(_ unionByName _)
+  }
+
   def delete(): Unit =
     if (Files.exists(root))
       Files.walk(root).sorted(Comparator.reverseOrder[Path]())

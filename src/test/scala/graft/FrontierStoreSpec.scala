@@ -271,6 +271,56 @@ class FrontierStoreSpec extends SparkTestBase {
     assert(store.articles(spark).count() > 0)
   }
 
+  test("incremental reads: (from, to] windows partition history exactly, " +
+      "across compaction boundaries") {
+    import spark.implicits._
+    val dir = "target/test-store-incr"
+    new FrontierStore(dir).delete()
+    val store = new FrontierStore(dir).init()
+    store.initSeen(spark,
+      Fixtures.urlSeenSeed(spark, nSources, Fixtures.DefaultPreSeen)
+        .toDF().select("canonical_url"))
+    val sources = Fixtures.sourceSpecs(nSources).toDF()
+    val robots = Fixtures.robots(nSources).toDF()
+    for (tick <- 0 until 4) {
+      val listings = Fixtures.listItemsAt(spark, nSources, itemsPerSource, tick).toDF()
+      val pages = Fixtures.pageStore(spark, nSources, maxTick = tick).toDF()
+      val t = CrawlTick.runTick(spark, listings, sources,
+        store.seen(spark), robots, pages)
+      store.commit(spark, t.emitted, t.stats, fetchEpoch = tick.toLong)
+      t.cleanup()
+      if (tick == 1) store.compact(spark) // boundary INSIDE the window
+    }
+    val ids = store.snapshotIds()
+    val from = ids(1) // snapshot of tick 0 (after initSeen's snapshot 0)
+    val to = ids.last
+    def urlSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("canonical_url").collect().map(_.getString(0)).toSet
+    // articles law: articles(to) = articles(from) ⊎ articlesBetween
+    val aFrom = urlSet(store.articles(spark, Some(from)))
+    val aTo = urlSet(store.articles(spark, Some(to)))
+    val aWin = urlSet(store.articlesBetween(spark, from, Some(to)))
+    assert(aWin.nonEmpty && (aFrom intersect aWin).isEmpty,
+      "incremental article window overlaps the checkpoint prefix")
+    assert((aFrom union aWin) === aTo, "articles window law broken")
+    // seen law: seen(to) = seen(from) ⊎ seenAddedBetween — the compaction
+    // baseline inside the window must NOT re-report pre-from history
+    val sFrom = urlSet(store.seen(spark, Some(from)))
+    val sTo = urlSet(store.seen(spark, Some(to)))
+    val sWin = urlSet(store.seenAddedBetween(spark, from, Some(to)))
+    assert(sWin.nonEmpty && (sFrom intersect sWin).isEmpty,
+      "seen window re-reports history (compaction baseline leaked in)")
+    assert((sFrom union sWin) === sTo, "seen window law broken")
+    // full-history window ≡ the plain reads; empty window ≡ empty
+    assert(urlSet(store.articlesBetween(spark, -1, Some(to))) === aTo)
+    assert(store.articlesBetween(spark, to, Some(to)).count() === 0L)
+    assert(store.seenAddedBetween(spark, to, Some(to)).count() === 0L)
+    // a checkpoint not on the chain is a consumer bug — loud, not wrong
+    intercept[IllegalArgumentException] {
+      store.articlesBetween(spark, 999, Some(to))
+    }
+  }
+
   test("ten-tick soak on the Bloom probe path: per-tick emit set ≡ exact path, " +
       "compaction keeps reads bounded") {
     import spark.implicits._
