@@ -206,6 +206,19 @@ class StreamingFrontierSpec extends SparkTestBase {
     // articles never contain a canonical URL twice (exactly-once sink)
     val arts = store.articles(spark).select("canonical_url")
     assert(arts.count() === arts.distinct().count())
+
+    // downstream incremental consumption off the STREAMED chain: a
+    // consumer checkpointed at the first snapshot reads exactly the later
+    // micro-batches — nothing twice, nothing missed (the streaming sink
+    // and the Iceberg-style incremental read compose)
+    val first = store.articles(spark, Some(snapsAfter3.head))
+      .select("canonical_url").collect().map(_.getString(0)).toSet
+    val win = store.articlesBetween(spark, snapsAfter3.head)
+      .select("canonical_url").collect().map(_.getString(0)).toSet
+    assert((first intersect win).isEmpty, "incremental window re-read a batch")
+    assert((first union win) === expectedAll, "incremental window missed rows")
+    assert(store.seenAddedBetween(spark, snapsAfter3.head)
+      .collect().map(_.getString(0)).toSet === (expectedAll -- first))
   }
 
   test("composed streaming tick: dedup → politeness → store in ONE query " +
