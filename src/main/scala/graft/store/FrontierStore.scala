@@ -83,7 +83,7 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
 
   // ------------------------------------------------------------- manifests
 
-  import FrontierStore.{Manifest, KindDelta, KindCompaction}
+  import FrontierStore.{Manifest, KindDelta, KindCompaction, KindRetraction}
 
   private def manifestPath(id: Int): Path =
     snapsDir.resolve(f"snap-$id%05d.json")
@@ -324,6 +324,56 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
       None, Some(seenRel), Some(bloomRel), None, segCounts, 0L, 0L, 0L))
   }
 
+  /** Commit a seen-set RETRACTION snapshot — recrawl/refresh: "treat these
+    * URLs as unseen again". This is the operation the cuckoo-filter family
+    * exists for ([[graft.seen.CuckooFilter.delete]] removes exactly; Bloom
+    * cannot clear shared bits), and the one the pure delta/OR-merge chain
+    * could not express before.
+    *
+    * Store semantics: retraction is a LOGICAL event on the snapshot chain —
+    * [[seen]] resolves last-event-wins per URL, so exact membership is
+    * correct immediately and time-travel still reproduces any past state.
+    * The Bloom prefilter is deliberately left a ONE-SIDED superset: a
+    * retracted URL still probes maybe-seen, pays one exact confirm-join
+    * lookup, and is correctly re-admitted — the error direction never
+    * drops a crawl. The next [[compact]] rebuilds filters from the
+    * RESOLVED set, restoring the design FPP (a cuckoo-backed segment
+    * store would instead tighten in place via
+    * [[graft.seen.UrlSeen.deleteFromCuckooSegments]]).
+    *
+    * Only currently-seen URLs are recorded — retracting an unseen URL is a
+    * no-op — keeping the cuckoo delete-only-present contract honest for
+    * any mirroring filter store. Lineage: per-segment retraction counts
+    * land in the manifest like add deltas.
+    */
+  def retract(spark: SparkSession, urls: DataFrame): Manifest = {
+    val latestId = snapshotIds().lastOption
+      .getOrElse(throw new IllegalStateException("empty store"))
+    val id = latestId + 1
+    val actual = urls.select("canonical_url").distinct()
+      .join(seen(spark, Some(latestId)), Seq("canonical_url"), "left_semi")
+      .withColumn("seg", segOf(col("canonical_url")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = actual.count()
+    val (rel, counts) =
+      if (n == 0L) (None, Map.empty[Int, Long])
+      else {
+        val r = s"data/seen/snap-$id" // same layout/namespace as add deltas
+        actual.repartition(col("seg"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("seg")
+          .parquet(root.resolve(r).toString)
+        val c = spark.read.parquet(root.resolve(r).toString)
+          .groupBy("seg").count().collect()
+          .map(row => row.getInt(0) -> row.getLong(1)).toMap
+        (Some(r), c)
+      }
+    actual.unpersist(blocking = false)
+    writeManifest(Manifest(id, latestId, KindRetraction,
+      manifest(latestId).fetchEpoch, currentBloomItems(latestId),
+      None, rel, None, None, counts, 0L, 0L, 0L))
+  }
+
   /** Fold the current seen-delta chain into one baseline snapshot.
     * After this, seen()/segments() read exactly one delta regardless of how
     * many ticks preceded — the frontier's read cost stops growing with
@@ -363,19 +413,42 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
   /** URL-seen state as of snapshot `asOf` (default: latest): union of the
     * seen deltas back to the nearest compaction baseline. One column
     * `canonical_url`.
+    *
+    * When the chain window carries RETRACTION snapshots ([[retract]]),
+    * membership resolves LAST-EVENT-WINS per URL (add at snapshot 5,
+    * retract at 7, re-add at 9 ⇒ seen): one aggregate over the window's
+    * event rows, keyed by the uniform url column. Retraction-free chains —
+    * the steady state, and always the state right after a [[compact]] —
+    * keep the plain zero-shuffle union fast path.
     */
   def seen(spark: SparkSession, asOf: Option[Int] = None): DataFrame = {
     val id = asOf.orElse(snapshotIds().lastOption)
       .getOrElse(throw new IllegalStateException("empty store"))
-    val paths = seenDeltaPaths(id)
-    if (paths.isEmpty)
+    val ms = seenChain(id).filter(_.seenDeltaPath.nonEmpty)
+    if (ms.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         seenSchema)
-    else
+    else if (!ms.exists(_.kind == KindRetraction))
       // one read per snapshot dir, unioned: each dir is its own partitioned
       // root (seg=N subdirs), so a single multi-path read would mis-infer
-      paths.map(p => spark.read.parquet(p).select("canonical_url"))
+      ms.map(m => spark.read
+          .parquet(root.resolve(m.seenDeltaPath.get).toString)
+          .select("canonical_url"))
         .reduce(_ unionByName _)
+    else {
+      val events = ms.map { m =>
+        spark.read.parquet(root.resolve(m.seenDeltaPath.get).toString)
+          .select(col("canonical_url"),
+            lit(m.snapshotId).as("__snap"),
+            lit(m.kind != KindRetraction).as("__add"))
+      }.reduce(_ unionByName _)
+      // max(struct) orders by snapshot id first — one snapshot is either
+      // an add or a retraction, never both, so the order is total
+      events.groupBy("canonical_url")
+        .agg(max(struct(col("__snap"), col("__add"))).as("__last"))
+        .filter(col("__last").getField("__add"))
+        .select("canonical_url")
+    }
   }
 
   /** Absolute seen-delta paths backing [[seen]] — exposed so tests can
@@ -483,15 +556,28 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
   /** URLs ADDED to the seen set in (from, to]. Compaction baselines are
     * EXCLUDED: a baseline re-lists prior history without adding any URL,
     * so including it would double-report everything before the boundary.
-    * Law (FrontierStoreSpec): seen(to) ≡ seen(from) ⊎
-    * seenAddedBetween(from, to) as sets, across compactions.
+    * Law (FrontierStoreSpec): for a retraction-free window, seen(to) ≡
+    * seen(from) ⊎ seenAddedBetween(from, to) as sets, across compactions;
+    * with retractions in the window the consumer subtracts
+    * [[seenRetractedBetween]] (event streams, not a set law).
     */
   def seenAddedBetween(spark: SparkSession, from: Int,
-      to: Option[Int] = None): DataFrame = {
+      to: Option[Int] = None): DataFrame =
+    seenEventsBetween(spark, from, to, KindDelta)
+
+  /** URLs RETRACTED in (from, to] — the companion event stream to
+    * [[seenAddedBetween]] for consumers tracking recrawl eligibility.
+    */
+  def seenRetractedBetween(spark: SparkSession, from: Int,
+      to: Option[Int] = None): DataFrame =
+    seenEventsBetween(spark, from, to, KindRetraction)
+
+  private def seenEventsBetween(spark: SparkSession, from: Int,
+      to: Option[Int], kind: String): DataFrame = {
     val id = to.orElse(snapshotIds().lastOption)
       .getOrElse(throw new IllegalStateException("empty store"))
     val paths = chainWindow(from, id)
-      .filter(_.kind == KindDelta).flatMap(_.seenDeltaPath)
+      .filter(_.kind == kind).flatMap(_.seenDeltaPath)
       .map(p => root.resolve(p).toString)
     if (paths.isEmpty)
       spark.createDataFrame(
@@ -510,11 +596,12 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
 object FrontierStore {
   val KindDelta = "delta"
   val KindCompaction = "compaction"
+  val KindRetraction = "retraction" // seen-set retraction (recrawl/refresh)
 
   final case class Manifest(
       snapshotId: Int,
       parentId: Int, // -1 for first
-      kind: String, // delta | compaction
+      kind: String, // delta | compaction | retraction
       fetchEpoch: Long,
       // expectedItemsPerSegment this snapshot's blooms were built with;
       // 0 = the store's constructor default (pre-r4 manifests)

@@ -271,6 +271,75 @@ class FrontierStoreSpec extends SparkTestBase {
     assert(store.articles(spark).count() > 0)
   }
 
+  test("retraction: recrawl-this-URL — last-event-wins seen, superset Bloom " +
+      "still yields exact probes, compaction rebuilds tight") {
+    import spark.implicits._
+    val dir = "target/test-store-retract"
+    new FrontierStore(dir).delete()
+    val store = new FrontierStore(dir).init()
+    store.initSeen(spark,
+      Fixtures.urlSeenSeed(spark, nSources, Fixtures.DefaultPreSeen)
+        .toDF().select("canonical_url"))
+    val (l0, sources, robots, pages) = fixtures(0)
+    val t = CrawlTick.runTick(spark, l0.toDF(), sources.toDF(),
+      store.seen(spark), robots.toDF(), pages.toDF())
+    store.commit(spark, t.emitted, t.stats, fetchEpoch = 0L)
+    t.cleanup()
+
+    def urlSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("canonical_url").collect().map(_.getString(0)).toSet
+    val before = urlSet(store.seen(spark))
+    val victims = before.take(3)
+    val victimsDf = victims.toSeq.toDF("canonical_url")
+
+    // retract: seen loses exactly the victims; manifest records the event
+    val mR = store.retract(spark, victimsDf)
+    assert(mR.kind === FrontierStore.KindRetraction)
+    assert(mR.segmentCounts.values.sum === 3L)
+    assert(urlSet(store.seen(spark)) === before -- victims)
+    // time-travel still reproduces the pre-retraction state
+    assert(urlSet(store.seen(spark, Some(mR.parentId))) === before)
+    // retracting an unseen URL is a no-op snapshot
+    val mNoop = store.retract(spark, Seq("https://nowhere.example/x")
+      .toDF("canonical_url"))
+    assert(mNoop.seenDeltaPath.isEmpty &&
+      urlSet(store.seen(spark)) === before -- victims)
+
+    // the superset Bloom + exact confirm re-admits EXACTLY the victims:
+    // probe the full pre-retraction seen set as candidates
+    val unseenNow = graft.seen.UrlSeen.filterUnseen(
+      before.toSeq.toDF("canonical_url"), store.segments(spark),
+      store.seen(spark), "canonical_url", 16)
+    assert(urlSet(unseenNow) === victims, "retracted URLs not re-admitted")
+
+    // re-add (the recrawl tick's commit): last-event-wins restores them
+    val readd = victims.toSeq.toDF("canonical_url")
+      .withColumn("source", lit("recrawl")).withColumn("language", lit("und"))
+    store.commit(spark, readd,
+      Seq(("recrawl", 3L, 0L, 0L)).toDF("source", "new_articles", "skipped", "errors"),
+      fetchEpoch = 1L)
+    assert(urlSet(store.seen(spark)) === before)
+    // ...and a second retraction of a re-added URL wins again (a→r→a→r)
+    store.retract(spark, victims.take(1).toSeq.toDF("canonical_url"))
+    assert(urlSet(store.seen(spark)) === before -- victims.take(1))
+
+    // compaction folds the event chain into one resolved baseline whose
+    // blooms are REBUILT tight (no retracted key left in the filter)
+    val mC = store.compact(spark)
+    assert(urlSet(store.seen(spark)) === before -- victims.take(1))
+    val merged = store.segments(spark)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bloom"))
+      .sortBy(_._1)
+    val rebuilt = graft.seen.UrlSeen.buildSegments(
+        store.seen(spark), "canonical_url", 16, mC.bloomItems, 1e-6)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bloom"))
+      .sortBy(_._1)
+    merged.zip(rebuilt).foreach { case ((s, a), (_, b)) =>
+      assert(java.util.Arrays.equals(a, b),
+        s"segment $s not rebuilt from the resolved set")
+    }
+  }
+
   test("incremental reads: (from, to] windows partition history exactly, " +
       "across compaction boundaries") {
     import spark.implicits._
