@@ -145,6 +145,35 @@ object Scheduler {
     df.repartition(nPartitions, col(hostCol))
       .sortWithinPartitions(col(hostCol), desc(priorityCol))
 
+  /** Refresh/recrawl policy — the reference's cron-driven re-scan of known
+    * pages, expressed as data: given the crawled-article history (must
+    * carry canonical_url, source, fetch_epoch — the tick's emit schema /
+    * `FrontierStore.articles`) and a per-source refresh interval table,
+    * emit the URLs whose LATEST fetch is stale at `nowEpoch`. The output
+    * feeds [[graft.store.FrontierStore.retract]], which makes them
+    * crawlable again (last-event-wins seen resolution) — together they
+    * close the crawl → age → retract → recrawl loop.
+    *
+    * Scale shape: one max-struct aggregate on the uniform url key (a URL
+    * fetched k times keeps only its latest row — map-side combined), then
+    * a broadcast join against the tiny per-source interval dim. No window,
+    * no self-join; at 10^10 article rows this is one shuffle of
+    * (url, epoch, source) triples.
+    */
+  def recrawlDue(articles: DataFrame, intervals: DataFrame,
+      nowEpoch: Long): DataFrame = {
+    val last = articles
+      .groupBy("canonical_url")
+      .agg(max(struct(col("fetch_epoch"), col("source"))).as("__l"))
+      .select(col("canonical_url"),
+        col("__l").getField("fetch_epoch").as("last_fetch_epoch"),
+        col("__l").getField("source").as("source"))
+    last.join(broadcast(intervals), Seq("source"))
+      .filter(lit(nowEpoch) - col("last_fetch_epoch") >=
+        col("refresh_interval"))
+      .select("canonical_url", "source", "last_fetch_epoch")
+  }
+
   /** Robots gate: longest-prefix rule per (host, path). Rules tables are
     * tiny (one row per host×prefix) → broadcast; match = prefix test,
     * longest matching prefix wins; default allow when no rule matches.

@@ -139,4 +139,21 @@ class PolitenessSpec extends SparkTestBase {
     assert(got("/private/open/y") === ((true, 50)))
     assert(got("/anything") === ((true, 0)))
   }
+
+  test("recrawlDue: latest fetch per URL vs per-source refresh interval") {
+    import spark.implicits._
+    val articles = Seq(
+      ("u1", "s1", 0L), ("u1", "s1", 5L), // refetched: latest epoch wins
+      ("u2", "s1", 1L),
+      ("u3", "s2", 8L),
+      ("u4", "s9", 0L) // source with NO refresh policy: never due
+    ).toDF("canonical_url", "source", "fetch_epoch")
+    val intervals = Seq(("s1", 10L), ("s2", 3L))
+      .toDF("source", "refresh_interval")
+    val due = Scheduler.recrawlDue(articles, intervals, nowEpoch = 12L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // u1: 12-5=7 < 10 fresh; u2: 12-1=11 ≥ 10 due; u3: 12-8=4 ≥ 3 due
+    assert(due === Set(("u2", "s1", 1L), ("u3", "s2", 8L)))
+  }
 }
