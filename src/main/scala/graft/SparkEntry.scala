@@ -33,6 +33,7 @@ object SparkEntry {
     "q_salted_host_rank" -> ((s, d) => CrawlOps.saltedHostRank(s, d)),
     "q_robots_gate" -> ((s, d) => CrawlOps.robotsGate(s, d)),
     "q_opic_priority" -> ((s, d) => CrawlOps.opicPriority(s, d)),
+    "q_recrawl_due" -> ((s, d) => CrawlOps.recrawlDue(s, d)),
     // --- training-data pipeline surface (dedup / similarity / text) ---
     "q_doc_exact_dedup" -> ((s, d) => TrainingOps.exactDedup(s, d)),
     "q_doc_fingerprints" -> ((s, d) => TrainingOps.fingerprints(s, d)),
@@ -265,7 +266,24 @@ object SparkEntry {
           |SELECT child, host, cash, boost, cash + boost AS priority,
           |       CAST(ROW_NUMBER() OVER (PARTITION BY host
           |            ORDER BY cash + boost DESC, child ASC) AS BIGINT) AS host_rank
-          |FROM sc""".stripMargin
+          |FROM sc""".stripMargin,
+      "q_recrawl_due" ->
+        """WITH a AS (
+          |  SELECT 'u' || CAST(event_id % 3000 AS VARCHAR) AS canonical_url,
+          |         's' || CAST((event_id % 3000) % 7 AS VARCHAR) AS source,
+          |         event_id AS fetch_epoch
+          |  FROM events),
+          |last AS (
+          |  SELECT canonical_url, source,
+          |         MAX(fetch_epoch) AS last_fetch_epoch
+          |  FROM a GROUP BY 1, 2),
+          |iv AS (
+          |  SELECT DISTINCT source,
+          |         2000 + CAST(substr(source, 2) AS BIGINT) * 500 AS refresh_interval
+          |  FROM a)
+          |SELECT l.canonical_url, l.source, l.last_fetch_epoch
+          |FROM last l JOIN iv USING (source)
+          |WHERE 10000 - l.last_fetch_epoch >= iv.refresh_interval""".stripMargin
     ) ++ trainingOracles ++ scanOracles ++ fixtureOracles
   }
 

@@ -156,6 +156,30 @@ object CrawlOps {
       .select(col("dup_link").as("link"), col("source"), col("event_id"))
   }
 
+  /** Oracled harness for [[graft.politeness.Scheduler.recrawlDue]] (the
+    * refresh-crawl policy that feeds FrontierStore.retract): a
+    * deterministic article history derived from the events table — each
+    * URL refetched ~3× (event_id folded mod 3000), source a pure function
+    * of the URL, per-source refresh intervals spanning the due boundary at
+    * the fixed evaluation epoch — so stale-set membership is decided by
+    * the latest-fetch aggregate, and the DuckDB oracle checks it exactly.
+    */
+  def recrawlDue(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val articles = ev.select(
+      concat(lit("u"), pmod(col("event_id"), lit(3000L)).cast("string"))
+        .as("canonical_url"),
+      concat(lit("s"),
+        pmod(pmod(col("event_id"), lit(3000L)), lit(7L)).cast("string"))
+        .as("source"),
+      col("event_id").as("fetch_epoch"))
+    val intervals = articles.select("source").distinct()
+      .withColumn("refresh_interval",
+        lit(2000L) + substring(col("source"), 2, 10).cast("long") * 500L)
+    graft.politeness.Scheduler.recrawlDue(articles, intervals,
+      nowEpoch = 10000L)
+  }
+
   /** A1/A3 — per-source stats: counts + active days + skipped-like counter.
     * Reference: scrapers/base_scraper.py:31; utils/bigquery_client.py:393-405.
     */
