@@ -16,7 +16,8 @@ import graft.store.FrontierStore
   *   target/scala-2.13/newscrawlerspark_2.13-0.1.0.jar \
   *   <storeDir> [nSources] [nTicks] [--salted] [--compact-every=K] \
   *   [--listings=<parquet>] [--pages=<parquet>] [--sources=<parquet>] \
-  *   [--robots=<parquet>] [--exact-probe]
+  *   [--robots=<parquet>] [--exact-probe] \
+  *   [--recrawl-every=K] [--refresh-interval=N]
   * }}}
   *
   * Each invocation RESUMES from the store's latest snapshot (north rule:
@@ -42,6 +43,14 @@ import graft.store.FrontierStore
   *
   * One JSON metrics line per tick on stdout (snapshot id, rows, dedup
   * counters, wall seconds) — the structured-metrics contract.
+  *
+  * `--recrawl-every=K` closes the refresh loop: every K ticks the loop
+  * retracts the URLs whose latest fetch is older than
+  * `--refresh-interval=N` ticks (Scheduler.recrawlDue →
+  * FrontierStore.retract), so when a stale URL reappears in a later
+  * listing it is crawled AGAIN — the reference's periodic re-scan of
+  * known pages, expressed as snapshot events. Runs before any compaction
+  * in the same tick so the fold resolves the retraction immediately.
   */
 object FrontierMain {
 
@@ -58,6 +67,9 @@ object FrontierMain {
     val salted = args.contains("--salted")
     val exactProbe = args.contains("--exact-probe")
     val compactEvery = flag(args, "compact-every").map(_.toInt).getOrElse(0)
+    val recrawlEvery = flag(args, "recrawl-every").map(_.toInt).getOrElse(0)
+    val refreshInterval = flag(args, "refresh-interval").map(_.toLong)
+      .getOrElse(4L)
     val listingsPath = flag(args, "listings")
     val pagesPath = flag(args, "pages")
     val sourcesPath = flag(args, "sources")
@@ -113,6 +125,20 @@ object FrontierMain {
       val sec = (System.nanoTime() - t0) / 1e9
       println(
         s"""{"tick":$tick,"snapshot":${m.snapshotId},"new_articles":${m.newArticles},"skipped":${m.skipped},"errors":${m.errors},"segments":${m.segmentCounts.size},"probe":"${if (exactProbe) "exact" else "bloom"}","sec":${f"$sec%.2f"}}""")
+      if (recrawlEvery > 0 && (tick + 1) % recrawlEvery == 0) {
+        import org.apache.spark.sql.functions.{col, lit}
+        // age basis = the committing TICK (crawl_tick), not the per-host
+        // politeness slot the rows' own fetch_epoch column carries
+        val arts = store.articlesWithTick(spark)
+          .select(col("canonical_url"), col("source"),
+            col("crawl_tick").as("fetch_epoch"))
+        val intervals = arts.select("source").distinct()
+          .withColumn("refresh_interval", lit(refreshInterval))
+        val due = graft.politeness.Scheduler.recrawlDue(
+          arts, intervals, nowEpoch = tick.toLong)
+        val r = store.retract(spark, due)
+        println(s"""{"recrawl_at_tick":$tick,"snapshot":${r.snapshotId},"retracted":${r.segmentCounts.values.sum}}""")
+      }
       if (compactEvery > 0 && (tick + 1) % compactEvery == 0) {
         val c = store.compact(spark)
         println(s"""{"compaction":${c.snapshotId},"folded_deltas":true}""")

@@ -516,6 +516,25 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
     paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
   }
 
+  /** [[articles]] annotated with the committing snapshot's `fetch_epoch`
+    * (the TICK) as `crawl_tick` — the age basis for refresh policies. The
+    * rows' own `fetch_epoch` column is the per-host politeness SLOT within
+    * a tick (spacing, not age); confusing the two made an early refresh
+    * loop retract everything. Zero extra I/O: the tick is a manifest
+    * literal stamped onto each snapshot's scan.
+    */
+  def articlesWithTick(spark: SparkSession,
+      asOf: Option[Int] = None): DataFrame = {
+    val id = asOf.orElse(snapshotIds().lastOption)
+      .getOrElse(throw new IllegalStateException("empty store"))
+    val ms = chain(id).filter(_.articlesPath.nonEmpty)
+    require(ms.nonEmpty, "no article snapshots")
+    ms.map(m => spark.read
+        .parquet(root.resolve(m.articlesPath.get).toString)
+        .withColumn("crawl_tick", lit(m.fetchEpoch)))
+      .reduce(_ unionByName _)
+  }
+
   // ------------------------------------------------- incremental reads
 
   /** Manifests strictly after `from` on the chain ending at `to` —

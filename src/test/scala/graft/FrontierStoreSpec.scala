@@ -380,6 +380,16 @@ class FrontierStoreSpec extends SparkTestBase {
     assert(sWin.nonEmpty && (sFrom intersect sWin).isEmpty,
       "seen window re-reports history (compaction baseline leaked in)")
     assert((sFrom union sWin) === sTo, "seen window law broken")
+    // articlesWithTick stamps each row with its committing snapshot's
+    // TICK (the refresh-policy age basis — NOT the politeness slot)
+    val byTick = store.articlesWithTick(spark)
+      .groupBy("crawl_tick").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byTick.keySet === Set(0L, 1L, 2L, 3L))
+    ids.map(store.manifest).filter(_.articlesPath.nonEmpty).foreach { m =>
+      assert(byTick(m.fetchEpoch) === m.newArticles,
+        s"tick ${m.fetchEpoch} row count != manifest")
+    }
     // full-history window ≡ the plain reads; empty window ≡ empty
     assert(urlSet(store.articlesBetween(spark, -1, Some(to))) === aTo)
     assert(store.articlesBetween(spark, to, Some(to)).count() === 0L)
