@@ -73,6 +73,7 @@ object SparkEntry {
     "q_robots_parse" -> ((s, d) => ScanOps.robotsParse(s, d)),
     "q_fallback_chain" -> ((s, d) => ScanOps.fallbackChain(s, d)),
     "q_image_phash_dups" -> ((s, _) => TrainingOps.phashNearDups(s)),
+    "q_image_hamming_topk" -> ((s, _) => TrainingOps.imageHammingTopK(s)),
     "q_pair_joint_dups" -> ((s, _) => TrainingOps.jointImageCaptionDups(s)),
     "q_pair_assemble" -> ((s, _) => TrainingOps.assemblePairs(s)),
     "q_epoch_parse" -> ((s, d) => ScanOps.epochParse(s, d)),
@@ -505,6 +506,30 @@ object SparkEntry {
            |       cap_a = cap_b AS caption_match,
            |       (bit_count(xor(ph_a, ph_b)) <= 6 AND cap_a = cap_b) AS is_joint_dup
            |FROM cand""".stripMargin,
+      "q_image_hamming_topk" ->
+        s"""WITH base AS (
+           |  SELECT CAST(substr(image_id, 5, 8) AS BIGINT) AS num,
+           |         phash & 1152921504606846975 AS ph
+           |  FROM read_parquet('$F/images/*.parquet')),
+           |bands AS (
+           |  SELECT num, ph, b AS band, (ph >> (b * 5)) & 31 AS band_val
+           |  FROM base, generate_series(0, 11) AS g(b)),
+           |cand AS (
+           |  SELECT DISTINCT q.num AS query_id, q.ph AS qph,
+           |         c.num AS neighbor_id, c.ph AS nph
+           |  FROM bands q JOIN bands c
+           |    ON c.band = q.band AND c.band_val = q.band_val
+           |  WHERE q.num < 8 AND c.num >= 8),
+           |scored AS (
+           |  SELECT query_id, neighbor_id,
+           |         CAST(bit_count(xor(qph, nph)) AS BIGINT) AS hamming
+           |  FROM cand)
+           |SELECT query_id, neighbor_id, hamming,
+           |       CAST(rnk AS BIGINT) AS rank
+           |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |        ORDER BY hamming ASC, neighbor_id ASC) AS rnk
+           |      FROM scored)
+           |WHERE rnk <= 10""".stripMargin,
       // decoded dims stated ANALYTICALLY (= declared w, h): every fixture
       // image decodes losslessly to its declared size, so pass_decode is
       // TRUE here — while the Spark side computes it from a REAL decode

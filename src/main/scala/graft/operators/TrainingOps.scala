@@ -900,6 +900,50 @@ object TrainingOps {
       "image_a", "image_b", PhashBands, PhashBandBits, HammingDupMax)
   }
 
+  /** Image similarity SEARCH — top-k nearest by phash Hamming distance:
+    * the retrieval counterpart of [[phashNearDups]] (dedup asks "who is
+    * within radius r", retrieval asks "who are my k closest"). Banding is
+    * re-dialed for recall: 12 × 5-bit bands (a pair within Hamming ≤ 11
+    * shares a band by pigeonhole; a random corpus pair collides with
+    * p ≈ 0.32, so each query ranks a ~⅓-corpus candidate set instead of
+    * the dup dial's near-empty one). Candidates carry (id, 8-byte print)
+    * only; the exact bit_count verify and the TWO-STAGE partial top-k
+    * ([[topKPerQuery]], similarity = 60 − Hamming so the shared
+    * desc-order kernel applies) run on candidates only. Disclosed
+    * approximation: a true neighbor sharing NO band is unreachable —
+    * beyond Hamming 11 that happens with p ≈ (1−2^−5·…)… measured small
+    * at this dial; the DuckDB oracle mirrors the banded candidate set
+    * exactly, so correctness is exact w.r.t. the declared algorithm.
+    */
+  val ImgTopKBands = 12
+  val ImgTopKBandBits = 5
+  def imageHammingTopK(spark: SparkSession, nImages: Long = 2000L,
+      k: Int = 10): DataFrame = {
+    val base = graft.model.Fixtures.imagePhashes(spark, nImages)
+      .select(substring(col("image_id"), 5, 8).cast("long").as("num"),
+        col("phash").bitwiseAND(lit((1L << 60) - 1)).as("ph"))
+    val bands = base
+      .select(col("num"), col("ph"),
+        explode(sequence(lit(0), lit(ImgTopKBands - 1))).as("band"))
+      .withColumn("band_val",
+        expr(s"shiftright(ph, CAST(band * $ImgTopKBandBits AS INT))" +
+          s" & ${(1 << ImgTopKBandBits) - 1}"))
+    val qs = bands.filter(col("num") < NQueryVecs)
+      .select(col("num").as("query_id"), col("ph").as("qph"),
+        col("band"), col("band_val"))
+    val cs = bands.filter(col("num") >= NQueryVecs)
+      .select(col("num").as("neighbor_id"), col("ph").as("nph"),
+        col("band").as("band_b"), col("band_val").as("val_b"))
+    val scored = qs.join(cs, col("band") === col("band_b") &&
+        col("band_val") === col("val_b"))
+      .select("query_id", "qph", "neighbor_id", "nph").distinct()
+      .withColumn("dot",
+        lit(60L) - expr("CAST(bit_count(qph ^ nph) AS BIGINT)"))
+    topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(60L) - col("dot")).as("hamming"), col("rank"))
+  }
+
   /** Joint image+caption dedup over the north-star (image, caption) pair
     * table: a pair is a TRUE crawl duplicate only when BOTH modalities
     * agree — near-identical pixels (phash Hamming ≤ [[HammingDupMax]], via
