@@ -56,7 +56,8 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
         TrainingOps.bruteForceTopK(spark, sf()),
         TrainingOps.lshBucketTopK(spark, sf()),
         TrainingOps.ivfTopK(spark, sf()),
-        TrainingOps.pqTopK(spark, sf()))) {
+        TrainingOps.pqTopK(spark, sf()),
+        TrainingOps.imageHammingTopK(spark))) {
       val p = planString(df)
       // the partial stage partitions by (query_id, __subq); a regression back
       // to one global window would drop the __subq key from every Window node
