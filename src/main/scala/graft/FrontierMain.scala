@@ -17,7 +17,8 @@ import graft.store.FrontierStore
   *   <storeDir> [nSources] [nTicks] [--salted] [--compact-every=K] \
   *   [--listings=<parquet>] [--pages=<parquet>] [--sources=<parquet>] \
   *   [--robots=<parquet>] [--exact-probe] \
-  *   [--recrawl-every=K] [--refresh-interval=N]
+  *   [--recrawl-every=K] [--refresh-interval=N] \
+  *   [--check-invariants] [--images=<parquet>]
   * }}}
   *
   * Each invocation RESUMES from the store's latest snapshot (north rule:
@@ -70,6 +71,8 @@ object FrontierMain {
     val recrawlEvery = flag(args, "recrawl-every").map(_.toInt).getOrElse(0)
     val refreshInterval = flag(args, "refresh-interval").map(_.toLong)
       .getOrElse(4L)
+    val checkInvariants = args.contains("--check-invariants")
+    val imagesPath = flag(args, "images")
     val listingsPath = flag(args, "listings")
     val pagesPath = flag(args, "pages")
     val sourcesPath = flag(args, "sources")
@@ -119,12 +122,36 @@ object FrontierMain {
           store.segments(spark), store.seen(spark), store.nSegments)
       val t = CrawlTick.runTick(spark, listings, sources, probe,
         robots, pages, salted)
-      val m = store.commit(spark, t.emitted, t.stats, fetchEpoch = tick.toLong,
+      // per-row invariant enforcement AT the sink (north rule: pairs are
+      // written WITH the invariant): caption equality vs the image table;
+      // violating rows are excluded from the commit and counted. The PSNR
+      // leg needs reference bytes, which exist only where a reference
+      // render does (ImageInvariantsSpec) — the caption gate is the
+      // store-path contract.
+      import org.apache.spark.sql.functions.col
+      val (emitRows, nViolations, invRelease) =
+        if (!checkInvariants)
+          (t.emitted, 0L, () => ())
+        else {
+          val imgs = imagesPath.map(spark.read.parquet(_))
+            .getOrElse(Fixtures.images(spark, 2000L).toDF())
+          val checked = graft.functions.ImageOps
+            .withInvariants(t.emitted, imgs)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val bad = checked.filter(!col("caption_ok")).count()
+          (checked.filter(col("caption_ok"))
+              .select(t.emitted.columns.map(col): _*), bad,
+            () => { checked.unpersist(blocking = false); () })
+        }
+      val m = store.commit(spark, emitRows, t.stats, fetchEpoch = tick.toLong,
         errors = Some(t.errors))
+      invRelease()
       t.cleanup() // release the tick's cached intermediates (ADVICE r1)
       val sec = (System.nanoTime() - t0) / 1e9
+      val invJson =
+        if (checkInvariants) s""","invariant_violations":$nViolations""" else ""
       println(
-        s"""{"tick":$tick,"snapshot":${m.snapshotId},"new_articles":${m.newArticles},"skipped":${m.skipped},"errors":${m.errors},"segments":${m.segmentCounts.size},"probe":"${if (exactProbe) "exact" else "bloom"}","sec":${f"$sec%.2f"}}""")
+        s"""{"tick":$tick,"snapshot":${m.snapshotId},"new_articles":${m.newArticles},"skipped":${m.skipped},"errors":${m.errors},"segments":${m.segmentCounts.size},"probe":"${if (exactProbe) "exact" else "bloom"}"$invJson,"sec":${f"$sec%.2f"}}""")
       if (recrawlEvery > 0 && (tick + 1) % recrawlEvery == 0) {
         import org.apache.spark.sql.functions.{col, lit}
         // age basis = the committing TICK (crawl_tick), not the per-host

@@ -106,4 +106,31 @@ class ImageInvariantsSpec extends SparkTestBase {
       "payload PSNR below invariant")
     checked.unpersist()
   }
+
+  test("sink invariant gate FIRES: planted caption mismatch and corrupted " +
+      "payload are flagged, clean rows pass") {
+    import spark.implicits._
+    val docs = Fixtures.images(spark, 4L).collect()
+    val images = Fixtures.images(spark, 4L).toDF()
+    val emitted = Seq(
+      (docs(0).image_id, docs(0).caption), // clean
+      (docs(1).image_id, "WRONG CAPTION"), // planted caption violation
+      (docs(2).image_id, docs(2).caption)  // clean caption, corrupted ref
+    ).toDF("image_id", "caption")
+    // refs: image 2's reference is a DIFFERENT picture at the same dims —
+    // the PSNR leg must catch a payload swap the metadata can't see
+    val refs = docs.take(3).map { d =>
+      val refImg =
+        if (d.image_id == docs(2).image_id)
+          Fixtures.renderImage(d.image_id + "swapped", d.w, d.h)
+        else Fixtures.renderImage(d.image_id, d.w, d.h)
+      (d.image_id, Fixtures.encode(refImg, "png"))
+    }.toSeq.toDF("image_id", "ref_bytes")
+    val out = ImageOps.withInvariants(emitted, images, Some(refs))
+      .select("image_id", "caption_ok", "psnr_ok").collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(out(docs(0).image_id) === ((true, true)))
+    assert(out(docs(1).image_id)._1 === false, "caption violation missed")
+    assert(out(docs(2).image_id) === ((true, false)), "payload swap missed")
+  }
 }
