@@ -944,6 +944,30 @@ object TrainingOps {
         (lit(60L) - col("dot")).as("hamming"), col("rank"))
   }
 
+  /** recall@k of the banded image top-k vs exact brute-force Hamming —
+    * the retrieval dial's honesty metric (reported by Bench). Brute force
+    * here is the 8-query × corpus product, fine at any fixture size since
+    * the query side is constant.
+    */
+  def imageHammingRecallAtK(spark: SparkSession,
+      nImages: Long = 2000L): Double = {
+    val base = graft.model.Fixtures.imagePhashes(spark, nImages)
+      .select(substring(col("image_id"), 5, 8).cast("long").as("num"),
+        col("phash").bitwiseAND(lit((1L << 60) - 1)).as("ph"))
+    val qs = broadcast(base.filter(col("num") < NQueryVecs)
+      .select(col("num").as("query_id"), col("ph").as("qph")))
+    val cs = base.filter(col("num") >= NQueryVecs)
+      .select(col("num").as("neighbor_id"), col("ph").as("nph"))
+    val bf = topKPerQuery(qs.join(cs).withColumn("dot",
+        lit(60L) - expr("CAST(bit_count(qph ^ nph) AS BIGINT)")), TopK)
+      .select("query_id", "neighbor_id")
+    val banded = imageHammingTopK(spark, nImages)
+      .select("query_id", "neighbor_id")
+    val hit = bf.join(banded, Seq("query_id", "neighbor_id")).count()
+    val total = bf.count()
+    if (total == 0) 1.0 else hit.toDouble / total
+  }
+
   /** Joint image+caption dedup over the north-star (image, caption) pair
     * table: a pair is a TRUE crawl duplicate only when BOTH modalities
     * agree — near-identical pixels (phash Hamming ≤ [[HammingDupMax]], via
