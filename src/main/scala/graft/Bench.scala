@@ -595,8 +595,11 @@ object Bench {
     // ...and the full stack with the exact top-R refine pass behind it
     val ivfPqRerankRecall =
       graft.operators.TrainingOps.ivfPqRerankRecallAtK(spark, sfDir)
-    // image-modality retrieval (12×5-bit banded Hamming top-k) vs exact
-    val imgRecall = graft.operators.TrainingOps.imageHammingRecallAtK(spark)
+    // image-modality retrieval (12×5-bit banded Hamming top-k) vs exact,
+    // across the Hamming-1 multi-probe dial (1/3/6 probes per band) — the
+    // image sibling of the LSH curve; headline = the default exact dial
+    val imgCurve = graft.operators.TrainingOps.imageHammingRecallCurve(spark)
+    val imgRecall = imgCurve.head._2
 
     // Scaling arms (north rule: throughput efficiency ≥ 0.8 from N to 4N
     // cores) — driver-reproducible in ONE run, but each arm in its OWN
@@ -632,8 +635,11 @@ object Bench {
     val annCurveJson = annCurve.map { case (p, r, c) =>
       s"""{"probes":$p,"recall":${f"$r%.3f"},"candidates":$c}"""
     }.mkString("[", ",", "]")
+    val imgCurveJson = imgCurve.map { case (p, r, c) =>
+      s"""{"probes":$p,"recall":${f"$r%.3f"},"candidates":$c}"""
+    }.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","cpus":$cpus,"frontier_n":$frontierN,"frontier_scheduled_rows":$frontierRows,"frontier_urls_per_sec":$urlsPerSec,"frontier_runs_sec":[${f"$run1Sec%.3f"},${f"$run2Sec%.3f"}],"frontier_stages":${jmap(stages)},"ann_recall_at_10":${f"$annRecall%.3f"},"ann_ivf_recall_at_10":${f"$ivfRecall%.3f"},"ann_ivf_recall_clustered":${f"$ivfRecallC%.3f"},"ann_ivf_kmeans_recall_at_10":${f"$ivfKmRecall%.3f"},"ann_ivf_kmeans_recall_clustered":${f"$ivfKmRecallC%.3f"},"ann_pq_recall_at_10":${f"$pqRecall%.3f"},"ann_pq_rerank_recall_at_10":${f"$pqRerankRecall%.3f"},"ann_ivfpq_recall_at_10":${f"$ivfPqRecall%.3f"},"ann_ivfpq_rerank_recall_at_10":${f"$ivfPqRerankRecall%.3f"},"ann_image_recall_at_10":${f"$imgRecall%.3f"},"ann_recall_curve":$annCurveJson,"scaling":$scalingJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","cpus":$cpus,"frontier_n":$frontierN,"frontier_scheduled_rows":$frontierRows,"frontier_urls_per_sec":$urlsPerSec,"frontier_runs_sec":[${f"$run1Sec%.3f"},${f"$run2Sec%.3f"}],"frontier_stages":${jmap(stages)},"ann_recall_at_10":${f"$annRecall%.3f"},"ann_ivf_recall_at_10":${f"$ivfRecall%.3f"},"ann_ivf_recall_clustered":${f"$ivfRecallC%.3f"},"ann_ivf_kmeans_recall_at_10":${f"$ivfKmRecall%.3f"},"ann_ivf_kmeans_recall_clustered":${f"$ivfKmRecallC%.3f"},"ann_pq_recall_at_10":${f"$pqRecall%.3f"},"ann_pq_rerank_recall_at_10":${f"$pqRerankRecall%.3f"},"ann_ivfpq_recall_at_10":${f"$ivfPqRecall%.3f"},"ann_ivfpq_rerank_recall_at_10":${f"$ivfPqRerankRecall%.3f"},"ann_image_recall_at_10":${f"$imgRecall%.3f"},"ann_recall_curve":$annCurveJson,"ann_image_recall_curve":$imgCurveJson,"scaling":$scalingJson}"""
     // build.sbt sets outputStrategy := StdoutOutput, so this line reaches
     // the driver's stdout tail UNPREFIXED (sbt's "[info] " wrapper broke
     // the driver's parse in rounds 1-2); the file copy stays as the

@@ -74,6 +74,8 @@ object SparkEntry {
     "q_fallback_chain" -> ((s, d) => ScanOps.fallbackChain(s, d)),
     "q_image_phash_dups" -> ((s, _) => TrainingOps.phashNearDups(s)),
     "q_image_hamming_topk" -> ((s, _) => TrainingOps.imageHammingTopK(s)),
+    "q_image_topk_multiprobe" ->
+      ((s, _) => TrainingOps.imageHammingTopK(s, probesPerBand = 6)),
     "q_pair_joint_dups" -> ((s, _) => TrainingOps.jointImageCaptionDups(s)),
     "q_pair_assemble" -> ((s, _) => TrainingOps.assemblePairs(s)),
     "q_epoch_parse" -> ((s, d) => ScanOps.epochParse(s, d)),
@@ -520,6 +522,41 @@ object SparkEntry {
            |  FROM bands q JOIN bands c
            |    ON c.band = q.band AND c.band_val = q.band_val
            |  WHERE q.num < 8 AND c.num >= 8),
+           |scored AS (
+           |  SELECT query_id, neighbor_id,
+           |         CAST(bit_count(xor(qph, nph)) AS BIGINT) AS hamming
+           |  FROM cand)
+           |SELECT query_id, neighbor_id, hamming,
+           |       CAST(rnk AS BIGINT) AS rank
+           |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |        ORDER BY hamming ASC, neighbor_id ASC) AS rnk
+           |      FROM scored)
+           |WHERE rnk <= 10""".stripMargin,
+      // multi-probe dial at 6 probes/band: each query band additionally
+      // probes its 5 Hamming-1 neighbors in 5-bit band space — the
+      // pigeonhole reach extends from radius 11 to 23. The oracle mirrors
+      // the probe explode exactly (flip 0 = exact, flip f = bit f-1).
+      "q_image_topk_multiprobe" ->
+        s"""WITH base AS (
+           |  SELECT CAST(substr(image_id, 5, 8) AS BIGINT) AS num,
+           |         phash & 1152921504606846975 AS ph
+           |  FROM read_parquet('$F/images/*.parquet')),
+           |bands AS (
+           |  SELECT num, ph, b AS band, (ph >> (b * 5)) & 31 AS band_val
+           |  FROM base, generate_series(0, 11) AS g(b)),
+           |qprobe AS (
+           |  SELECT num, ph, band,
+           |         CASE WHEN f = 0 THEN band_val
+           |              ELSE xor(band_val, CAST(1 AS BIGINT) << (f - 1))
+           |         END AS band_val
+           |  FROM bands, generate_series(0, 5) AS gf(f)
+           |  WHERE num < 8),
+           |cand AS (
+           |  SELECT DISTINCT q.num AS query_id, q.ph AS qph,
+           |         c.num AS neighbor_id, c.ph AS nph
+           |  FROM qprobe q JOIN bands c
+           |    ON c.band = q.band AND c.band_val = q.band_val
+           |  WHERE c.num >= 8),
            |scored AS (
            |  SELECT query_id, neighbor_id,
            |         CAST(bit_count(xor(qph, nph)) AS BIGINT) AS hamming

@@ -914,11 +914,43 @@ object TrainingOps {
     * beyond Hamming 11 that happens with p ≈ (1−2^−5·…)… measured small
     * at this dial; the DuckDB oracle mirrors the banded candidate set
     * exactly, so correctness is exact w.r.t. the declared algorithm.
+    * probesPerBand (default 1 = exact banding) is the recall dial — see
+    * [[imageHammingCandidates]]; the measured recall/cost curve is
+    * [[imageHammingRecallCurve]], recorded in the bench JSON.
     */
   val ImgTopKBands = 12
   val ImgTopKBandBits = 5
   def imageHammingTopK(spark: SparkSession, nImages: Long = 2000L,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, probesPerBand: Int = 1): DataFrame = {
+    val scored = imageHammingCandidates(spark, nImages, probesPerBand)
+      .withColumn("dot",
+        lit(60L) - expr("CAST(bit_count(qph ^ nph) AS BIGINT)"))
+    topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(60L) - col("dot")).as("hamming"), col("rank"))
+  }
+
+  /** The banded candidate set of [[imageHammingTopK]], exposed (like
+    * [[lshCandidates]]) so the recall curve can report candidates-examined
+    * alongside recall.
+    *
+    * Multi-probe (query side only, the [[lshCandidates]] shape on 5-bit
+    * bands): each query band probes its exact value (flip 0) plus up to 5
+    * Hamming-1 neighbors in band space (flip f ⇒ bit f−1 toggled), so
+    * probesPerBand ∈ 1..6 is THE recall dial. At 6 probes the pigeonhole
+    * reach extends from radius 11 to 23: a neighbor is unreachable only if
+    * EVERY one of the 12 bands differs in ≥ 2 bits, i.e. Hamming ≥ 24
+    * (guarantee tested in BandedNearDupsSpec). Cost is probe-count × the
+    * per-band lookup — the corpus side stays at 12 stored bands/image and
+    * is NEVER rescanned; at 100 TB the probe explode multiplies only the
+    * (tiny) query side of the band-key shuffle.
+    */
+  def imageHammingCandidates(spark: SparkSession, nImages: Long,
+      probesPerBand: Int): DataFrame = {
+    require(probesPerBand >= 1 && probesPerBand <= ImgTopKBandBits + 1,
+      s"probesPerBand must be in 1..${ImgTopKBandBits + 1} (exact + up to " +
+        s"$ImgTopKBandBits Hamming-1 flips of a $ImgTopKBandBits-bit " +
+        s"band), got $probesPerBand")
     val base = graft.model.Fixtures.imagePhashes(spark, nImages)
       .select(substring(col("image_id"), 5, 8).cast("long").as("num"),
         col("phash").bitwiseAND(lit((1L << 60) - 1)).as("ph"))
@@ -930,42 +962,49 @@ object TrainingOps {
           s" & ${(1 << ImgTopKBandBits) - 1}"))
     val qs = bands.filter(col("num") < NQueryVecs)
       .select(col("num").as("query_id"), col("ph").as("qph"),
-        col("band"), col("band_val"))
+        col("band"), col("band_val"),
+        explode(sequence(lit(0), lit(probesPerBand - 1))).as("flip"))
+      .withColumn("band_val",
+        expr("CAST(band_val ^ (CASE WHEN flip = 0 THEN 0 " +
+          "ELSE shiftleft(1, CAST(flip - 1 AS INT)) END) AS BIGINT)"))
+      .drop("flip")
     val cs = bands.filter(col("num") >= NQueryVecs)
       .select(col("num").as("neighbor_id"), col("ph").as("nph"),
         col("band").as("band_b"), col("band_val").as("val_b"))
-    val scored = qs.join(cs, col("band") === col("band_b") &&
+    qs.join(cs, col("band") === col("band_b") &&
         col("band_val") === col("val_b"))
       .select("query_id", "qph", "neighbor_id", "nph").distinct()
-      .withColumn("dot",
-        lit(60L) - expr("CAST(bit_count(qph ^ nph) AS BIGINT)"))
-    topKPerQuery(scored, k)
-      .select(col("query_id"), col("neighbor_id"),
-        (lit(60L) - col("dot")).as("hamming"), col("rank"))
   }
 
-  /** recall@k of the banded image top-k vs exact brute-force Hamming —
-    * the retrieval dial's honesty metric (reported by Bench). Brute force
-    * here is the 8-query × corpus product, fine at any fixture size since
-    * the query side is constant.
+  /** Recall@k vs probe count for the image Hamming top-k — the image
+    * sibling of [[lshRecallCurve]]: (probes, recall, candidatePairs) per
+    * point against exact brute force, candidate sets monotone in probes.
     */
-  def imageHammingRecallAtK(spark: SparkSession,
-      nImages: Long = 2000L): Double = {
+  def imageHammingRecallCurve(spark: SparkSession, nImages: Long = 2000L,
+      probes: Seq[Int] = Seq(1, 3, 6)): Seq[(Int, Double, Long)] = {
     val base = graft.model.Fixtures.imagePhashes(spark, nImages)
       .select(substring(col("image_id"), 5, 8).cast("long").as("num"),
         col("phash").bitwiseAND(lit((1L << 60) - 1)).as("ph"))
-    val qs = broadcast(base.filter(col("num") < NQueryVecs)
+    val qsB = broadcast(base.filter(col("num") < NQueryVecs)
       .select(col("num").as("query_id"), col("ph").as("qph")))
     val cs = base.filter(col("num") >= NQueryVecs)
       .select(col("num").as("neighbor_id"), col("ph").as("nph"))
-    val bf = topKPerQuery(qs.join(cs).withColumn("dot",
+    val bf = topKPerQuery(qsB.join(cs).withColumn("dot",
         lit(60L) - expr("CAST(bit_count(qph ^ nph) AS BIGINT)")), TopK)
-      .select("query_id", "neighbor_id")
-    val banded = imageHammingTopK(spark, nImages)
-      .select("query_id", "neighbor_id")
-    val hit = bf.join(banded, Seq("query_id", "neighbor_id")).count()
+      .select("query_id", "neighbor_id").persist()
     val total = bf.count()
-    if (total == 0) 1.0 else hit.toDouble / total
+    val curve = probes.map { p =>
+      val cands = imageHammingCandidates(spark, nImages, p).persist()
+      val nCands = cands.count()
+      val got = topKPerQuery(cands.withColumn("dot",
+          lit(60L) - expr("CAST(bit_count(qph ^ nph) AS BIGINT)")), TopK)
+        .select("query_id", "neighbor_id")
+      val hit = bf.join(got, Seq("query_id", "neighbor_id")).count()
+      cands.unpersist()
+      (p, if (total == 0) 1.0 else hit.toDouble / total, nCands)
+    }
+    bf.unpersist()
+    curve
   }
 
   /** Joint image+caption dedup over the north-star (image, caption) pair

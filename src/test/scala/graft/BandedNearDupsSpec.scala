@@ -122,4 +122,49 @@ class BandedNearDupsSpec extends SparkTestBase {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"mean recall@10 $mean below gate (per-query $recalls)")
   }
+
+  test("image multi-probe: candidates(p) is EXACTLY the pairs whose " +
+      "closest band is within Hamming p-ish reach; supersets and recall " +
+      "are monotone in probes") {
+    val n = 500L
+    // full characterization straight from the dial's geometry: at 1 probe
+    // a pair is a candidate iff SOME band matches exactly (min band
+    // distance 0); at 6 probes iff some band differs by ≤ 1 bit. Compute
+    // both truths on the driver from the fixture prints and compare sets.
+    val ph = graft.model.Fixtures.imagePhashes(spark, n).collect()
+      .map(r => (r.getString(0).substring(4, 12).toLong,
+        r.getLong(1) & ((1L << 60) - 1))).toMap
+    def minBandDist(a: Long, b: Long): Int =
+      (0 until TrainingOps.ImgTopKBands).map { bd =>
+        java.lang.Long.bitCount(((a ^ b) >>> (bd * TrainingOps.ImgTopKBandBits))
+          & ((1L << TrainingOps.ImgTopKBandBits) - 1))
+      }.min
+    def expected(maxBandDist: Int): Set[(Long, Long)] =
+      (for {
+        q <- 0L until 8L
+        c <- ph.keys if c >= 8L
+        if minBandDist(ph(q), ph(c)) <= maxBandDist
+      } yield (q, c)).toSet
+    def got(probes: Int): Set[(Long, Long)] =
+      TrainingOps.imageHammingCandidates(spark, n, probes).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val g1 = got(1)
+    val g6 = got(6)
+    assert(g1 === expected(0), "probes=1 must be exactly the shared-band pairs")
+    assert(g6 === expected(1), "probes=6 must be exactly the min-band-dist<=1 pairs")
+    assert(g1.subsetOf(g6), "probe sets must be monotone")
+    // pigeonhole at the wide dial: EVERY pair within Hamming 23 must be
+    // reachable (12 bands all >= 2 dirty bits forces distance >= 24)
+    for { q <- 0L until 8L; c <- ph.keys if c >= 8L } {
+      val d = java.lang.Long.bitCount(ph(q) ^ ph(c))
+      if (d <= 23) assert(g6.contains((q, c)),
+        s"pair ($q,$c) at Hamming $d escaped the 6-probe dial")
+    }
+    // the recall curve is monotone in probes (superset candidates + the
+    // deterministic order mean a found true neighbor is never lost)
+    val curve = TrainingOps.imageHammingRecallCurve(spark, n)
+    assert(curve.map(_._1) === Seq(1, 3, 6))
+    assert(curve.sliding(2).forall { case Seq(a, b) =>
+      a._2 <= b._2 && a._3 <= b._3 }, s"curve not monotone: $curve")
+  }
 }
