@@ -351,6 +351,73 @@ object StreamingFrontier {
         col("w.end").as("window_end"),
         col("host"), col("urls_scheduled"), col("sources_est"))
 
+  /** A URL-seen event: either an occurrence (a candidate listing row,
+    * retract=false) or a RETRACTION (retract=true — the refresh-crawl
+    * policy decided this URL is stale and may be re-claimed). The
+    * streaming form of [[graft.store.FrontierStore.retract]]'s
+    * last-event-wins snapshots.
+    */
+  final case class UrlEvent(canonical_url: String, source: String,
+      item_idx: Int, url_hash: Long, seg: Long, retract: Boolean)
+
+  /** Lift a candidate stream plus a retraction stream (CANONICAL urls —
+    * e.g. `Scheduler.recrawlDue`'s stale set, already canonical; they are
+    * NOT re-canonicalized here) into one [[UrlEvent]] stream for
+    * [[dedupWithRetraction]].
+    */
+  def urlEvents(cands: Dataset[Candidate], retractions: Dataset[String])
+      : Dataset[UrlEvent] = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val occ = cands.toDF().withColumn("retract", lit(false))
+    val ret = retractions.toDF("canonical_url")
+      .withColumn("source", lit(""))
+      .withColumn("item_idx", lit(0))
+      .withColumn("url_hash", xxhash64(col("canonical_url")))
+      .withColumn("seg", lit(0L))
+      .withColumn("retract", lit(true))
+    occ.unionByName(ret).as[UrlEvent]
+  }
+
+  /** [[dedupStream]] with seen-set RETRACTION — the streaming closure of
+    * the batch refresh loop (FrontierMain --recrawl-every: crawl → age →
+    * `FrontierStore.retract` → recrawl): a retraction event REMOVES the
+    * URL's claim state, so its next occurrence re-emits (a refresh fetch),
+    * exactly like the store's last-event-wins `seen()` resolution across
+    * a retraction snapshot.
+    *
+    * Within one micro-batch a URL's retractions apply BEFORE its
+    * occurrences (the batch loop's retract-snapshot-then-next-tick order),
+    * so retract+occurrence in the same batch re-claims deterministically;
+    * retracting a never-seen URL is a no-op. Equivalence with the batch
+    * store chain (commit → retract → commit) is asserted in
+    * StreamingFrontierSpec.
+    *
+    * Scale: identical to [[dedupStream]] — one state row per LIVE claim
+    * (retraction removes the row, so a heavily-refreshed frontier's state
+    * tracks live URLs, not event history), per-batch work ∝ the batch.
+    */
+  def dedupWithRetraction(events: Dataset[UrlEvent]): Dataset[Candidate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.canonical_url)
+      .flatMapGroupsWithState[UrlClaim, Candidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[UrlEvent], state: GroupState[UrlClaim]) =>
+          val evs = rows.toVector
+          if (evs.exists(_.retract) && state.exists) state.remove()
+          val occs = evs.filterNot(_.retract)
+          if (occs.isEmpty || state.exists) Iterator.empty
+          else {
+            val first = occs.minBy(e => (e.source, e.item_idx))
+            state.update(UrlClaim(first.source, first.item_idx))
+            Iterator.single(Candidate(first.canonical_url, first.source,
+              first.item_idx, first.url_hash, first.seg))
+          }
+      }
+  }
+
   def dedupStream(cands: Dataset[Candidate]): Dataset[Candidate] = {
     val spark = cands.sparkSession
     import spark.implicits._

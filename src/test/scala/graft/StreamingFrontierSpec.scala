@@ -465,6 +465,71 @@ class StreamingFrontierSpec extends SparkTestBase {
       "streamed (host_rank, fetch_epoch) ≠ batch scheduler over the chain")
   }
 
+  test("streaming retraction: a retracted URL re-claims on its next " +
+      "occurrence, ≡ the store's retract → recrawl chain") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val nSources = 6
+    val listings = Fixtures.listItemsAt(spark, nSources, 16, tick = 0)
+      .collect().toSeq
+    val all = listings
+      .map(li => graft.functions.UrlCanonicalizer.canonicalize(li.url))
+      .distinct
+
+    val occ = MemoryStream[ListItem]
+    val ret = MemoryStream[String]
+    val q = StreamingFrontier.dedupWithRetraction(
+        StreamingFrontier.urlEvents(
+          StreamingFrontier.candidates(occ.toDS(), nSegments = 8),
+          ret.toDS()))
+      .writeStream.format("memory").queryName("retract_out")
+      .outputMode("append").start()
+    def counts(): Map[String, Int] =
+      spark.table("retract_out").select("canonical_url").as[String]
+        .collect().groupBy(identity).view.mapValues(_.length).toMap
+
+    // batch 0: first sighting claims everything once
+    occ.addData(listings); q.processAllAvailable()
+    assert(counts() === all.map(_ -> 1).toMap)
+
+    // batch 1: retract victims, plus a never-seen URL (must be a no-op)
+    val victims = all.take(4).toSet
+    ret.addData(victims.toSeq :+ "https://nowhere.example/x": _*)
+    q.processAllAvailable()
+    assert(counts().values.sum === all.size,
+      "a retraction batch must emit nothing")
+
+    // batch 2: identical re-listing → EXACTLY the victims re-emit
+    occ.addData(listings); q.processAllAvailable()
+    assert(counts() === all.map(u =>
+      u -> (if (victims(u)) 2 else 1)).toMap)
+
+    // same-batch retract + occurrence: retraction applies FIRST, so the
+    // occurrence re-claims in that very batch
+    val u = victims.head
+    val uListing = listings.find(li =>
+      graft.functions.UrlCanonicalizer.canonicalize(li.url) == u).get
+    ret.addData(u); occ.addData(uListing); q.processAllAvailable()
+    assert(counts()(u) === 3, "same-batch retract+occurrence must re-claim")
+    q.stop()
+
+    // equivalence with the batch store chain: seed seen with the claimed
+    // set, retract the same victims — the store's unseen probe over the
+    // re-listing is exactly the stream's batch-2 re-emit set
+    val dir = "target/test-stream-retract-store"
+    new graft.store.FrontierStore(dir).delete()
+    val store = new graft.store.FrontierStore(dir).init()
+    store.initSeen(spark, all.toDF("canonical_url"))
+    store.retract(spark, victims.toSeq.toDF("canonical_url"))
+    val unseen = graft.seen.UrlSeen.filterUnseen(
+        all.toDF("canonical_url"), store.segments(spark),
+        store.seen(spark), "canonical_url", 16)
+      .select("canonical_url").as[String].collect().toSet
+    assert(unseen === victims,
+      "stream re-claims must equal the batch retract→probe chain")
+  }
+
   test("state updates scale with NEW urls per batch, under RocksDB state store") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
