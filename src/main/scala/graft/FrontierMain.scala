@@ -45,6 +45,10 @@ import graft.store.FrontierStore
   * One JSON metrics line per tick on stdout (snapshot id, rows, dedup
   * counters, wall seconds) — the structured-metrics contract.
   *
+  * `--compact-every=K` runs BOTH maintenance actions every K ticks: the
+  * seen-chain fold (`compact`) and the article small-file rewrite
+  * (`compactArticles`, file-set lineage in the manifest and on stdout).
+  *
   * `--recrawl-every=K` closes the refresh loop: every K ticks the loop
   * retracts the URLs whose latest fetch is older than
   * `--refresh-interval=N` ticks (Scheduler.recrawlDue →
@@ -169,6 +173,14 @@ object FrontierMain {
       if (compactEvery > 0 && (tick + 1) % compactEvery == 0) {
         val c = store.compact(spark)
         println(s"""{"compaction":${c.snapshotId},"folded_deltas":true}""")
+        // fold the article small files on the same cadence (the Iceberg
+        // rewrite_data_files maintenance action); lineage = file sets
+        val hasArticles = store.latest().map(_.snapshotId)
+          .exists(id => store.articleChain(id).exists(_.articlesPath.nonEmpty))
+        if (hasArticles) {
+          val a = store.compactArticles(spark)
+          println(s"""{"article_compaction":${a.snapshotId},"files_rewritten":${a.filesRewritten},"files_added":${a.filesAdded}}""")
+        }
       }
     }
     spark.stop()

@@ -83,7 +83,8 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
 
   // ------------------------------------------------------------- manifests
 
-  import FrontierStore.{Manifest, KindDelta, KindCompaction, KindRetraction}
+  import FrontierStore.{Manifest, KindDelta, KindCompaction, KindRetraction,
+    KindArticleCompaction}
 
   private def manifestPath(id: Int): Path =
     snapsDir.resolve(f"snap-$id%05d.json")
@@ -103,6 +104,8 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
        |  "bloom_path": ${optStr(m.bloomPath)},
        |  "errors_path": ${optStr(m.errorsPath)},
        |  "segment_counts": $segs,
+       |  "files_rewritten": ${m.filesRewritten},
+       |  "files_added": ${m.filesAdded},
        |  "metrics": {"new_articles": ${m.newArticles}, "skipped": ${m.skipped}, "errors": ${m.errors}}
        |}""".stripMargin
   }
@@ -121,8 +124,10 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
     val segs = """"(\d+)"\s*:\s*(\d+)""".r.findAllMatchIn(segBlock)
       .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
     // optional (absent in pre-r4 manifests): 0 = "constructor default"
-    val bloomItems = s""""bloom_items_per_segment"\\s*:\\s*(-?\\d+)""".r
-      .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
+    def numOpt(key: String): Long =
+      s""""$key"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toLong).getOrElse(0L)
+    val bloomItems = numOpt("bloom_items_per_segment")
     Manifest(
       snapshotId = num("snapshot_id").toInt,
       parentId = num("parent_id").toInt,
@@ -136,7 +141,9 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
       segmentCounts = segs,
       newArticles = num("new_articles"),
       skipped = num("skipped"),
-      errors = num("errors"))
+      errors = num("errors"),
+      filesRewritten = numOpt("files_rewritten"),
+      filesAdded = numOpt("files_added"))
   }
 
   def snapshotIds(): Seq[Int] =
@@ -177,6 +184,25 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
       val m = manifest(cur)
       out = m :: out
       if (m.kind == KindCompaction) done = true
+      cur = m.parentId
+    }
+    out
+  }
+
+  /** The chain suffix that carries the complete ARTICLE table as of `id`:
+    * walk back only until an article-compaction baseline (inclusive) —
+    * everything older is folded into its rewrite. The article sibling of
+    * [[seenChain]]: after [[compactArticles]] an article read opens
+    * O(post-compaction ticks) parquet roots, not O(history).
+    */
+  def articleChain(id: Int): Seq[Manifest] = {
+    var cur = id
+    var out = List.empty[Manifest]
+    var done = false
+    while (cur >= 0 && !done) {
+      val m = manifest(cur)
+      out = m :: out
+      if (m.kind == KindArticleCompaction) done = true
       cur = m.parentId
     }
     out
@@ -405,6 +431,56 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
       None, Some(seenRel), Some(bloomRel), None, segCounts, 0L, 0L, 0L))
   }
 
+  /** Article small-file compaction — the Iceberg `rewrite_data_files`
+    * action for the article table. A long-lived crawl commits one small
+    * parquet dir per tick, so after 10^4 ticks every article read opens
+    * 10^4 roots of tick-sized files; this folds the article chain into ONE
+    * baseline snapshot (kind=article_compaction) laid out for readers: one
+    * file per `dt` partition (repartition by dt), sorted within partitions
+    * by (source, language) for row-group skipping. [[articleChain]] stops
+    * here, so read cost becomes O(post-compaction ticks).
+    *
+    * Rewrite semantics, matching Iceberg's:
+    *  - each row's ORIGINAL committing tick is materialized as a
+    *    `crawl_tick` column at rewrite time (via [[articlesWithTick]]), so
+    *    refresh-policy age bases survive the fold exactly;
+    *  - the manifest records the FILE SETS of the commit — parquet files
+    *    folded (`files_rewritten`) and written (`files_added`) — the
+    *    rewrite's lineage;
+    *  - incremental consumers skip it ([[articlesBetween]]): a rewrite
+    *    appends no logical rows;
+    *  - time-travel to pre-compaction snapshots still reads the original
+    *    delta files — a rewrite commit REFERENCES new files, it deletes
+    *    nothing (file removal is a separate expire-snapshots concern,
+    *    deliberately not implemented: the manifest chain is the GC root
+    *    set an expirer would walk).
+    */
+  def compactArticles(spark: SparkSession): Manifest = {
+    val latestId = snapshotIds().lastOption
+      .getOrElse(throw new IllegalStateException("empty store"))
+    val folded = articleChain(latestId).filter(_.articlesPath.nonEmpty)
+    require(folded.nonEmpty, "no article snapshots to compact")
+    val id = latestId + 1
+    val rel = s"data/articles/snap-$id"
+    articlesWithTick(spark, Some(latestId))
+      .repartition(col("dt"))
+      .sortWithinPartitions("source", "language")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("dt")
+      .parquet(root.resolve(rel).toString)
+    val rewritten = folded.map(m => parquetFileCount(m.articlesPath.get)).sum
+    val parentEpoch = manifest(latestId).fetchEpoch
+    writeManifest(Manifest(id, latestId, KindArticleCompaction, parentEpoch,
+      currentBloomItems(latestId), Some(rel), None, None, None,
+      Map.empty, 0L, 0L, 0L,
+      filesRewritten = rewritten, filesAdded = parquetFileCount(rel)))
+  }
+
+  /** Parquet data files under a store-relative path (manifest lineage). */
+  private def parquetFileCount(rel: String): Long =
+    Files.walk(root.resolve(rel)).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet")).toLong
+
   // ----------------------------------------------------------------- reads
 
   private val seenSchema = StructType(Seq(
@@ -505,15 +581,21 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
   }
 
   /** Articles as of snapshot `asOf` (default: latest) — time-travel read.
-    * Walks the FULL chain (compaction does not fold article history).
+    * Walks the chain back to the nearest article-compaction baseline
+    * ([[articleChain]]); seen-compaction and retraction snapshots carry no
+    * articles and pass through. A baseline's files carry the materialized
+    * `crawl_tick` column ([[compactArticles]]) — dropped here so the
+    * schema matches delta-only reads.
     */
   def articles(spark: SparkSession, asOf: Option[Int] = None): DataFrame = {
     val id = asOf.orElse(snapshotIds().lastOption)
       .getOrElse(throw new IllegalStateException("empty store"))
-    val paths = chain(id).flatMap(_.articlesPath)
-      .map(p => root.resolve(p).toString)
-    require(paths.nonEmpty, "no article snapshots")
-    paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+    val ms = articleChain(id).filter(_.articlesPath.nonEmpty)
+    require(ms.nonEmpty, "no article snapshots")
+    ms.map { m =>
+      val df = spark.read.parquet(root.resolve(m.articlesPath.get).toString)
+      if (m.kind == KindArticleCompaction) df.drop("crawl_tick") else df
+    }.reduce(_ unionByName _)
   }
 
   /** [[articles]] annotated with the committing snapshot's `fetch_epoch`
@@ -527,12 +609,16 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
       asOf: Option[Int] = None): DataFrame = {
     val id = asOf.orElse(snapshotIds().lastOption)
       .getOrElse(throw new IllegalStateException("empty store"))
-    val ms = chain(id).filter(_.articlesPath.nonEmpty)
+    val ms = articleChain(id).filter(_.articlesPath.nonEmpty)
     require(ms.nonEmpty, "no article snapshots")
-    ms.map(m => spark.read
-        .parquet(root.resolve(m.articlesPath.get).toString)
-        .withColumn("crawl_tick", lit(m.fetchEpoch)))
-      .reduce(_ unionByName _)
+    ms.map { m =>
+      val df = spark.read.parquet(root.resolve(m.articlesPath.get).toString)
+      // an article-compaction baseline already carries each row's ORIGINAL
+      // committing tick, materialized at rewrite time — stamping the
+      // baseline's own epoch here would reset every folded row's age
+      if (m.kind == KindArticleCompaction) df
+      else df.withColumn("crawl_tick", lit(m.fetchEpoch))
+    }.reduce(_ unionByName _)
   }
 
   // ------------------------------------------------- incremental reads
@@ -561,12 +647,20 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
     *
     * Law (FrontierStoreSpec): articles(to) ≡ articles(from) ⊎
     * articlesBetween(from, to), a disjoint union.
+    *
+    * Article-compaction snapshots are EXCLUDED (the Iceberg rule:
+    * incremental consumption reads only appends — a rewrite re-lists
+    * prior history without adding a logical row); the folded deltas'
+    * manifests and files stay on the parent chain, so a window that
+    * crosses an article-compaction boundary still reads exactly its own
+    * appends.
     */
   def articlesBetween(spark: SparkSession, from: Int,
       to: Option[Int] = None): DataFrame = {
     val id = to.orElse(snapshotIds().lastOption)
       .getOrElse(throw new IllegalStateException("empty store"))
-    val paths = chainWindow(from, id).flatMap(_.articlesPath)
+    val paths = chainWindow(from, id)
+      .filter(_.kind != KindArticleCompaction).flatMap(_.articlesPath)
       .map(p => root.resolve(p).toString)
     if (paths.isEmpty) articles(spark, Some(id)).limit(0) // schema-only read
     else paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
@@ -616,11 +710,12 @@ object FrontierStore {
   val KindDelta = "delta"
   val KindCompaction = "compaction"
   val KindRetraction = "retraction" // seen-set retraction (recrawl/refresh)
+  val KindArticleCompaction = "article_compaction" // small-file rewrite
 
   final case class Manifest(
       snapshotId: Int,
       parentId: Int, // -1 for first
-      kind: String, // delta | compaction | retraction
+      kind: String, // delta | compaction | retraction | article_compaction
       fetchEpoch: Long,
       // expectedItemsPerSegment this snapshot's blooms were built with;
       // 0 = the store's constructor default (pre-r4 manifests)
@@ -632,5 +727,9 @@ object FrontierStore {
       // lineage: frontier segment id -> rows added to seen in this snapshot
       segmentCounts: Map[Int, Long],
       // the tick's A1/A2 metrics
-      newArticles: Long, skipped: Long, errors: Long)
+      newArticles: Long, skipped: Long, errors: Long,
+      // file-set lineage of an article_compaction (Iceberg rewrite commits
+      // record replaced and added data files): parquet files folded vs
+      // written. 0/0 on every other kind.
+      filesRewritten: Long = 0L, filesAdded: Long = 0L)
 }

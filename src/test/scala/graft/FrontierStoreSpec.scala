@@ -466,4 +466,75 @@ class FrontierStoreSpec extends SparkTestBase {
     assert(dts.toSeq === Seq("2025-01-01"))
     assert(Seq("source", "language").forall(df.columns.contains))
   }
+
+  test("article compaction: the rewrite folds the chain into one baseline — " +
+      "content and per-row ticks exact, reads bounded, windows skip it") {
+    import spark.implicits._
+    val dir = "target/test-store-artcompact"
+    new FrontierStore(dir).delete()
+    val store = new FrontierStore(dir).init()
+    store.initSeen(spark,
+      Fixtures.urlSeenSeed(spark, nSources, Fixtures.DefaultPreSeen)
+        .toDF().select("canonical_url"))
+    val sources = Fixtures.sourceSpecs(nSources).toDF()
+    val robots = Fixtures.robots(nSources).toDF()
+    def tick(t: Int): Unit = {
+      val listings =
+        Fixtures.listItemsAt(spark, nSources, itemsPerSource, t).toDF()
+      val pages = Fixtures.pageStore(spark, nSources, maxTick = t).toDF()
+      val r = CrawlTick.runTick(spark, listings, sources,
+        store.seen(spark), robots, pages)
+      store.commit(spark, r.emitted, r.stats, fetchEpoch = t.toLong)
+      r.cleanup()
+    }
+    def keyed(df: org.apache.spark.sql.DataFrame): Set[(String, String, Long)] =
+      df.select("canonical_url", "source", "crawl_tick").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    def urlSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("canonical_url").collect().map(_.getString(0)).toSet
+    def articleRoots(id: Int): Int =
+      store.articleChain(id).count(_.articlesPath.nonEmpty)
+
+    (0 until 3).foreach(tick)
+    val preId = store.snapshotIds().last
+    val before = keyed(store.articlesWithTick(spark))
+    assert(before.map(_._3) === Set(0L, 1L, 2L))
+    assert(articleRoots(preId) === 3)
+
+    val m = store.compactArticles(spark)
+    assert(m.kind === FrontierStore.KindArticleCompaction)
+    // file-set lineage: the rewrite records what it folded and wrote, and
+    // actually SHRINKS the file count (one file per dt partition)
+    assert(m.filesAdded > 0L && m.filesRewritten > m.filesAdded,
+      s"rewrite lineage: folded ${m.filesRewritten} → ${m.filesAdded}")
+    assert(articleRoots(store.snapshotIds().last) === 1,
+      "article read must open exactly the baseline")
+    // the fold preserves rows AND each row's original committing tick
+    assert(keyed(store.articlesWithTick(spark)) === before)
+    // the plain read drops the materialized tick column (delta schema)
+    assert(!store.articles(spark).columns.contains("crawl_tick"))
+    assert(urlSet(store.articles(spark)) === before.map(_._1))
+    // time-travel to a pre-compaction snapshot reads the original deltas
+    assert(keyed(store.articlesWithTick(spark, Some(preId))) === before)
+
+    // post-compaction ticks append beside the baseline
+    (3 until 5).foreach(tick)
+    val lastId = store.snapshotIds().last
+    assert(articleRoots(lastId) === 3) // baseline + 2 deltas
+    val after = keyed(store.articlesWithTick(spark))
+    assert(before.subsetOf(after) && after.map(_._3) === (0L to 4L).toSet)
+
+    // incremental window crossing the rewrite boundary: appends only —
+    // the baseline re-lists history and must NOT be re-reported
+    val winUrls = urlSet(store.articlesBetween(spark, preId, Some(lastId)))
+    val preUrls = urlSet(store.articles(spark, Some(preId)))
+    assert(winUrls.nonEmpty && (preUrls intersect winUrls).isEmpty,
+      "article window re-reported rewritten history")
+    assert((preUrls union winUrls) === urlSet(store.articles(spark)))
+
+    // a second compaction folds baseline + deltas; ticks still exact
+    store.compactArticles(spark)
+    assert(keyed(store.articlesWithTick(spark)) === after)
+    assert(articleRoots(store.snapshotIds().last) === 1)
+  }
 }
