@@ -481,6 +481,84 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
     Files.walk(root.resolve(rel)).iterator().asScala
       .count(_.getFileName.toString.endsWith(".parquet")).toLong
 
+  // ------------------------------------------------------------ snapshot GC
+
+  private def gcPath = root.resolve("gc.json")
+
+  /** The GC horizon: the oldest snapshot id whose reads are still backed by
+    * data files. -1 until [[expireSnapshots]] has run. Time-travel below
+    * the horizon throws (loud, never silently partial).
+    */
+  def gcHorizon(): Int =
+    if (!Files.exists(gcPath)) -1
+    else """"horizon"\s*:\s*(-?\d+)""".r
+      .findFirstMatchIn(Files.readString(gcPath))
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException("malformed gc.json"))
+
+  private def checkGc(id: Int): Int = {
+    val h = gcHorizon()
+    require(id >= h,
+      s"snapshot $id is below the GC horizon $h: its data files were " +
+        "expired (expireSnapshots); time-travel that far back is gone")
+    id
+  }
+
+  final case class ExpireStats(horizon: Int, dirsDeleted: Int,
+      filesDeleted: Long, bytesFreed: Long)
+
+  /** Iceberg `expire_snapshots`: delete the DATA files that no retained
+    * snapshot (id ≥ `retainFrom`) can reach, freeing what [[compact]] /
+    * [[compactArticles]] made redundant. The reachable set is the union of
+    * every retained snapshot's read closure — its [[articleChain]] article
+    * dirs, its [[seenChain]] seen-delta + bloom dirs, and its full-chain
+    * error dirs (error lineage is never expired: tiny, and the C5 audit
+    * record) — so without a compaction in front of the horizon nothing is
+    * reclaimable, by construction.
+    *
+    * Divergence from Iceberg, deliberate: the expired snapshots' MANIFESTS
+    * (small JSON) are kept — parent-pointer walks and the lineage audit
+    * trail stay intact; only data is reclaimed. The horizon lands in
+    * `gc.json`; any read (time-travel, incremental window) that would
+    * touch expired data throws IllegalArgumentException instead of
+    * returning a partial result.
+    */
+  def expireSnapshots(retainFrom: Int): ExpireStats = {
+    val ids = snapshotIds()
+    require(ids.nonEmpty, "empty store")
+    require(ids.contains(retainFrom),
+      s"retainFrom $retainFrom is not a snapshot id")
+    require(retainFrom >= gcHorizon(),
+      s"retainFrom $retainFrom below current horizon ${gcHorizon()}")
+    val retained = ids.filter(_ >= retainFrom)
+    val reachable: Set[String] = retained.flatMap { id =>
+      articleChain(id).flatMap(_.articlesPath) ++
+        seenChain(id).flatMap(m => m.seenDeltaPath ++ m.bloomPath) ++
+        chain(id).flatMap(_.errorsPath)
+    }.toSet
+    val live = ids.map(manifest)
+    val allData: Seq[String] = live.flatMap(m =>
+      m.articlesPath ++ m.seenDeltaPath ++ m.bloomPath ++ m.errorsPath)
+    var dirs = 0
+    var files = 0L
+    var bytes = 0L
+    allData.filterNot(reachable).foreach { rel =>
+      val dir = root.resolve(rel)
+      if (Files.exists(dir)) {
+        Files.walk(dir).iterator().asScala.filter(Files.isRegularFile(_))
+          .foreach { p => files += 1; bytes += Files.size(p) }
+        Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        dirs += 1
+      }
+    }
+    val tmp = Files.createTempFile(root, ".gc", ".tmp")
+    Files.writeString(tmp, s"""{"horizon": $retainFrom}""")
+    Files.move(tmp, gcPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    ExpireStats(retainFrom, dirs, files, bytes)
+  }
+
   // ----------------------------------------------------------------- reads
 
   private val seenSchema = StructType(Seq(
@@ -498,8 +576,8 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
     * keep the plain zero-shuffle union fast path.
     */
   def seen(spark: SparkSession, asOf: Option[Int] = None): DataFrame = {
-    val id = asOf.orElse(snapshotIds().lastOption)
-      .getOrElse(throw new IllegalStateException("empty store"))
+    val id = checkGc(asOf.orElse(snapshotIds().lastOption)
+      .getOrElse(throw new IllegalStateException("empty store")))
     val ms = seenChain(id).filter(_.seenDeltaPath.nonEmpty)
     if (ms.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -540,8 +618,8 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
     * small binary rows; no URL is rehashed.
     */
   def segments(spark: SparkSession, asOf: Option[Int] = None): DataFrame = {
-    val id = asOf.orElse(snapshotIds().lastOption)
-      .getOrElse(throw new IllegalStateException("empty store"))
+    val id = checkGc(asOf.orElse(snapshotIds().lastOption)
+      .getOrElse(throw new IllegalStateException("empty store")))
     val paths = seenChain(id).flatMap(_.bloomPath)
       .map(p => root.resolve(p).toString)
     val bloomSchema = StructType(Seq(
@@ -565,8 +643,8 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
     * Empty DataFrame when no tick captured failures.
     */
   def errors(spark: SparkSession, asOf: Option[Int] = None): DataFrame = {
-    val id = asOf.orElse(snapshotIds().lastOption)
-      .getOrElse(throw new IllegalStateException("empty store"))
+    val id = checkGc(asOf.orElse(snapshotIds().lastOption)
+      .getOrElse(throw new IllegalStateException("empty store")))
     val paths = chain(id).flatMap(_.errorsPath)
       .map(p => root.resolve(p).toString)
     val errSchema = StructType(Seq(
@@ -588,8 +666,8 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
     * schema matches delta-only reads.
     */
   def articles(spark: SparkSession, asOf: Option[Int] = None): DataFrame = {
-    val id = asOf.orElse(snapshotIds().lastOption)
-      .getOrElse(throw new IllegalStateException("empty store"))
+    val id = checkGc(asOf.orElse(snapshotIds().lastOption)
+      .getOrElse(throw new IllegalStateException("empty store")))
     val ms = articleChain(id).filter(_.articlesPath.nonEmpty)
     require(ms.nonEmpty, "no article snapshots")
     ms.map { m =>
@@ -607,8 +685,8 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
     */
   def articlesWithTick(spark: SparkSession,
       asOf: Option[Int] = None): DataFrame = {
-    val id = asOf.orElse(snapshotIds().lastOption)
-      .getOrElse(throw new IllegalStateException("empty store"))
+    val id = checkGc(asOf.orElse(snapshotIds().lastOption)
+      .getOrElse(throw new IllegalStateException("empty store")))
     val ms = articleChain(id).filter(_.articlesPath.nonEmpty)
     require(ms.nonEmpty, "no article snapshots")
     ms.map { m =>
@@ -630,6 +708,12 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
     * throw, don't silently return wrong deltas).
     */
   private def chainWindow(from: Int, to: Int): Seq[Manifest] = {
+    // a window reads the files of snapshots > from; all must be at or
+    // above the GC horizon — a consumer checkpointed before it lost its
+    // increments to expireSnapshots and must resync, loudly
+    require(from >= gcHorizon() - 1,
+      s"window start $from predates the GC horizon ${gcHorizon()}: " +
+        "the increments were expired; resync from a full read")
     val c = chain(to)
     require(from == -1 || c.exists(_.snapshotId == from),
       s"snapshot $from is not an ancestor of snapshot $to")

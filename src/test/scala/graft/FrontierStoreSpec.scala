@@ -537,4 +537,82 @@ class FrontierStoreSpec extends SparkTestBase {
     assert(keyed(store.articlesWithTick(spark)) === after)
     assert(articleRoots(store.snapshotIds().last) === 1)
   }
+
+  test("expire-snapshots: unreachable data files are reclaimed, retained " +
+      "reads identical, expired time-travel and stale windows throw") {
+    import spark.implicits._
+    val dir = "target/test-store-expire"
+    new FrontierStore(dir).delete()
+    val store = new FrontierStore(dir).init()
+    store.initSeen(spark,
+      Fixtures.urlSeenSeed(spark, nSources, Fixtures.DefaultPreSeen)
+        .toDF().select("canonical_url"))
+    val sources = Fixtures.sourceSpecs(nSources).toDF()
+    val robots = Fixtures.robots(nSources).toDF()
+    for (t <- 0 until 3) {
+      val listings =
+        Fixtures.listItemsAt(spark, nSources, itemsPerSource, t).toDF()
+      val pages = Fixtures.pageStore(spark, nSources, maxTick = t).toDF()
+      val r = CrawlTick.runTick(spark, listings, sources,
+        store.seen(spark), robots, pages)
+      store.commit(spark, r.emitted, r.stats, fetchEpoch = t.toLong)
+      r.cleanup()
+    }
+    // nothing is reclaimable before a compaction: every retained chain
+    // still reaches every delta
+    assert(store.gcHorizon() === -1)
+    val none = store.expireSnapshots(store.snapshotIds().last)
+    assert(none.dirsDeleted === 0 && none.bytesFreed === 0L,
+      "expire must free nothing without a compaction in front of it")
+
+    store.compact(spark)
+    store.compactArticles(spark)
+    val horizon = store.snapshotIds().last
+    def urlSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("canonical_url").collect().map(_.getString(0)).toSet
+    val seenBefore = urlSet(store.seen(spark))
+    val artsBefore = store.articlesWithTick(spark)
+      .select("canonical_url", "crawl_tick").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val segsBefore = store.segments(spark).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bloom").toSeq).toMap
+
+    val stats = store.expireSnapshots(horizon)
+    assert(stats.dirsDeleted > 0 && stats.filesDeleted > 0 &&
+      stats.bytesFreed > 0L, s"compacted deltas should be reclaimed: $stats")
+    assert(store.gcHorizon() === horizon)
+    // retained reads are bit-for-bit what they were
+    assert(urlSet(store.seen(spark)) === seenBefore)
+    assert(store.articlesWithTick(spark)
+      .select("canonical_url", "crawl_tick").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet === artsBefore)
+    assert(store.segments(spark).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bloom").toSeq)
+      .toMap === segsBefore)
+    // manifests survive as the audit trail even below the horizon
+    assert(store.snapshotIds().size >= 5)
+    // expired time-travel is loud, not partial
+    intercept[IllegalArgumentException] { store.articles(spark, Some(1)) }
+    intercept[IllegalArgumentException] { store.seen(spark, Some(1)) }
+    // a consumer checkpointed below the horizon must resync
+    intercept[IllegalArgumentException] {
+      store.articlesBetween(spark, 0, Some(horizon))
+    }
+    // idempotent re-run; horizon can only advance
+    val again = store.expireSnapshots(horizon)
+    assert(again.dirsDeleted === 0 && again.bytesFreed === 0L)
+    intercept[IllegalArgumentException] { store.expireSnapshots(0) }
+
+    // the store keeps working past the horizon: tick, window, compact
+    val listings =
+      Fixtures.listItemsAt(spark, nSources, itemsPerSource, 3).toDF()
+    val pages = Fixtures.pageStore(spark, nSources, maxTick = 3).toDF()
+    val r = CrawlTick.runTick(spark, listings, sources,
+      store.seen(spark), robots, pages)
+    store.commit(spark, r.emitted, r.stats, fetchEpoch = 3L)
+    r.cleanup()
+    val win = urlSet(store.articlesBetween(spark, horizon))
+    assert(win.nonEmpty && (win intersect artsBefore.map(_._1)).isEmpty)
+    assert(urlSet(store.seen(spark)) === (seenBefore union win))
+  }
 }
