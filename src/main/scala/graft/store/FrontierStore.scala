@@ -451,9 +451,8 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
     *    appends no logical rows;
     *  - time-travel to pre-compaction snapshots still reads the original
     *    delta files — a rewrite commit REFERENCES new files, it deletes
-    *    nothing (file removal is a separate expire-snapshots concern,
-    *    deliberately not implemented: the manifest chain is the GC root
-    *    set an expirer would walk).
+    *    nothing; file removal is the separate [[expireSnapshots]] pass,
+    *    which walks the manifest chain as its GC root set.
     */
   def compactArticles(spark: SparkSession): Manifest = {
     val latestId = snapshotIds().lastOption
@@ -557,6 +556,62 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
     Files.move(tmp, gcPath, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
     ExpireStats(retainFrom, dirs, files, bytes)
+  }
+
+  final case class OrphanStats(dirsDeleted: Int, filesDeleted: Long,
+      bytesFreed: Long, skippedRecent: Int)
+
+  /** Iceberg `remove_orphan_files`: delete data directories under
+    * `data/<table>/snap-*` that NO manifest references — the debris of a
+    * crashed commit, which writes its parquet before the manifest
+    * ATOMIC_MOVE lands (the commit point). Also sweeps stale `.snap-*.tmp`
+    * manifest temp files.
+    *
+    * The grace window (`olderThanMs`, Iceberg's `older_than`) is what makes
+    * this safe against IN-FLIGHT commits: a concurrent writer's data dirs
+    * are indistinguishable from crash debris until its manifest lands, so
+    * only trees whose NEWEST file is older than the window are removed.
+    * Complements [[expireSnapshots]], which is reachability-driven from
+    * retained manifests; this pass is the inverse — it only ever touches
+    * paths no manifest (retained or expired) mentions at all, so the two
+    * passes can never disagree about a file.
+    */
+  def removeOrphanFiles(olderThanMs: Long = 24L * 3600 * 1000): OrphanStats = {
+    val referenced: Set[Path] = snapshotIds().map(manifest).flatMap(m =>
+      m.articlesPath ++ m.seenDeltaPath ++ m.bloomPath ++ m.errorsPath)
+      .map(rel => root.resolve(rel).toAbsolutePath.normalize).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var dirs = 0
+    var files = 0L
+    var bytes = 0L
+    var skipped = 0
+    def newestMtime(tree: Path): Long =
+      Files.walk(tree).iterator().asScala
+        .map(p => Files.getLastModifiedTime(p).toMillis).max
+    for {
+      table <- Seq("articles", "seen", "bloom", "errors")
+      tableDir = dataDir.resolve(table)
+      if Files.isDirectory(tableDir)
+      snap <- Files.list(tableDir).iterator().asScala.toSeq
+      if Files.isDirectory(snap)
+      if !referenced.contains(snap.toAbsolutePath.normalize)
+    } {
+      if (newestMtime(snap) > cutoff) skipped += 1
+      else {
+        Files.walk(snap).iterator().asScala.filter(Files.isRegularFile(_))
+          .foreach { p => files += 1; bytes += Files.size(p) }
+        Files.walk(snap).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        dirs += 1
+      }
+    }
+    Files.list(snapsDir).iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.endsWith(".tmp"))
+      .foreach { p =>
+        if (Files.getLastModifiedTime(p).toMillis > cutoff) skipped += 1
+        else { files += 1; bytes += Files.size(p); Files.delete(p) }
+      }
+    OrphanStats(dirs, files, bytes, skipped)
   }
 
   // ----------------------------------------------------------------- reads

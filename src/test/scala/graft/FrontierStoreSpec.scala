@@ -615,4 +615,81 @@ class FrontierStoreSpec extends SparkTestBase {
     assert(win.nonEmpty && (win intersect artsBefore.map(_._1)).isEmpty)
     assert(urlSet(store.seen(spark)) === (seenBefore union win))
   }
+
+  test("remove-orphan-files: unreferenced crash debris older than the " +
+      "grace window is swept, in-flight trees and referenced dirs are not") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    val dir = "target/test-store-orphans"
+    new FrontierStore(dir).delete()
+    val store = new FrontierStore(dir).init()
+    store.initSeen(spark,
+      Fixtures.urlSeenSeed(spark, nSources, Fixtures.DefaultPreSeen)
+        .toDF().select("canonical_url"))
+    val sources = Fixtures.sourceSpecs(nSources).toDF()
+    val robots = Fixtures.robots(nSources).toDF()
+    for (t <- 0 until 2) {
+      val listings =
+        Fixtures.listItemsAt(spark, nSources, itemsPerSource, t).toDF()
+      val pages = Fixtures.pageStore(spark, nSources, maxTick = t).toDF()
+      val r = CrawlTick.runTick(spark, listings, sources,
+        store.seen(spark), robots, pages)
+      store.commit(spark, r.emitted, r.stats, fetchEpoch = t.toLong)
+      r.cleanup()
+    }
+    def urlSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("canonical_url").collect().map(_.getString(0)).toSet
+    val seenBefore = urlSet(store.seen(spark))
+    val artsBefore = urlSet(store.articles(spark))
+
+    val root = Paths.get(dir)
+    val old = FileTime.fromMillis(System.currentTimeMillis() - 7200_000L)
+    def plant(rel: String, stale: Boolean): java.nio.file.Path = {
+      val d = root.resolve(rel)
+      Files.createDirectories(d)
+      val f = d.resolve("part-00000.parquet")
+      Files.write(f, Array.fill[Byte](64)(1))
+      if (stale) { Files.setLastModifiedTime(d, old)
+        Files.setLastModifiedTime(f, old) }
+      d
+    }
+    // crash debris: data written, manifest never landed
+    val staleSeen = plant("data/seen/snap-90", stale = true)
+    val staleArts = plant("data/articles/snap-91", stale = true)
+    // an in-flight commit: same shape, fresh mtime
+    val inflight = plant("data/bloom/snap-92", stale = false)
+    // a crashed manifest temp file
+    val tmpManifest = root.resolve("snapshots/.snap-93.tmp")
+    Files.writeString(tmpManifest, "{}")
+    Files.setLastModifiedTime(tmpManifest, old)
+
+    val stats = store.removeOrphanFiles(olderThanMs = 3600_000L)
+    assert(stats.dirsDeleted === 2 && stats.skippedRecent === 1,
+      s"stale orphans swept, in-flight skipped: $stats")
+    assert(stats.filesDeleted === 3 && stats.bytesFreed > 0L) // 2 parquet + tmp
+    assert(!Files.exists(staleSeen) && !Files.exists(staleArts) &&
+      !Files.exists(tmpManifest))
+    assert(Files.exists(inflight), "fresh tree must survive the grace window")
+    // referenced data untouched; reads identical
+    assert(urlSet(store.seen(spark)) === seenBefore)
+    assert(urlSet(store.articles(spark)) === artsBefore)
+    // grace 0 sweeps the remaining orphan; referenced dirs still untouched
+    val rest = store.removeOrphanFiles(olderThanMs = 0L)
+    assert(rest.dirsDeleted === 1 && !Files.exists(inflight))
+    assert(urlSet(store.seen(spark)) === seenBefore)
+    assert(urlSet(store.articles(spark)) === artsBefore)
+    // idempotent on a clean store
+    val none = store.removeOrphanFiles(olderThanMs = 0L)
+    assert(none.dirsDeleted === 0 && none.filesDeleted === 0L)
+    // the store keeps working: another tick commits and reads back
+    val listings =
+      Fixtures.listItemsAt(spark, nSources, itemsPerSource, 2).toDF()
+    val pages = Fixtures.pageStore(spark, nSources, maxTick = 2).toDF()
+    val r = CrawlTick.runTick(spark, listings, sources,
+      store.seen(spark), robots, pages)
+    store.commit(spark, r.emitted, r.stats, fetchEpoch = 2L)
+    r.cleanup()
+    assert(urlSet(store.articles(spark)).size > artsBefore.size)
+  }
 }
