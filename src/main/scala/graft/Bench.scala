@@ -198,6 +198,24 @@ object Bench {
   val MinRounds = 2
   val MaxRounds = 6
 
+  /** Wall-clock budget for the whole adaptive-arms phase, seconds
+    * (override: SPARK_GRAFT_SCALING_BUDGET_SEC). The adaptive widening is
+    * open-ended by design — a noisy box keeps earning rounds — but each
+    * round costs minutes (a pinned 1-core child pays Spark startup + 3
+    * timed runs at 1 core), so an hour-long bench is possible exactly when
+    * the environment is too noisy for the extra rounds to help (measured:
+    * a driver-adjacent box burned 51 min of rounds without corroborating).
+    * When the budget is hit, sampling STOPS and the record adjudicates
+    * from what was collected — an uncorroborated minimum then marks the
+    * record invalid with the stated reason, which is the honest outcome:
+    * more waiting was not going to buy a quiet window, and the bench's
+    * other headline rows still land inside the driver's round budget.
+    * Round 1 always completes (no samples at all is strictly worse).
+    */
+  def ArmsBudgetSec: Double =
+    sys.env.get("SPARK_GRAFT_SCALING_BUDGET_SEC").map(_.toDouble)
+      .getOrElse(1500.0)
+
   /** A chosen arm minimum must be CORROBORATED: a second quiet run of the
     * same arm within this fraction of it. /proc/stat steal + off-arm busy
     * cannot see memory-bandwidth contention (measured: a concurrent 4-core
@@ -376,24 +394,32 @@ object Bench {
     }
     var round = 0
     var settled = false
-    while (round < MaxRounds && !settled) {
+    val phaseT0 = System.nanoTime()
+    def phaseElapsed: Double = (System.nanoTime() - phaseT0) / 1e9
+    var budgetHit = false
+    while (round < MaxRounds && !settled && !budgetHit) {
       round += 1
       armCores.foreach { cores =>
-        val armSet = ((nCpusTotal - cores) until nCpusTotal).toSet
-        val before = readCpuJiffies()
-        val (sec, out) = childArm(cores)
-        val after = readCpuJiffies()
-        val perRun = parseRuns(out, cores, round)
-        if (perRun.nonEmpty) samples ++= perRun
-        else {
-          // whole-child fallback bracket (old-protocol child or unparsable
-          // output): one sample, run 0, parent-side noise
-          val (steal, offBusy) = (before, after) match {
-            case (Some(b), Some(a)) => cpuNoise(b, a, armSet)
-            case _ => (None, None)
+        // round 1 always runs both arms; later spawns respect the budget
+        if (round == 1 || phaseElapsed < ArmsBudgetSec) {
+          val armSet = ((nCpusTotal - cores) until nCpusTotal).toSet
+          val before = readCpuJiffies()
+          val (sec, out) = childArm(cores)
+          val after = readCpuJiffies()
+          val perRun = parseRuns(out, cores, round)
+          if (perRun.nonEmpty) samples ++= perRun
+          else {
+            // whole-child fallback bracket (old-protocol child or unparsable
+            // output): one sample, run 0, parent-side noise
+            val (steal, offBusy) = (before, after) match {
+              case (Some(b), Some(a)) => cpuNoise(b, a, armSet)
+              case _ => (None, None)
+            }
+            samples += ArmSample(cores, round, 0, sec, steal, offBusy)
           }
-          samples += ArmSample(cores, round, 0, sec, steal, offBusy)
-        }
+          System.err.println(f"[bench] arms round $round cpus=$cores " +
+            f"best=${sec.getOrElse(-1.0)}%.2fs elapsed=${phaseElapsed}%.0fs")
+        } else budgetHit = true
       }
       if (round >= MinRounds) {
         val quietCovered = armCores.forall(c => corroborated(samples.toSeq, c))
@@ -403,6 +429,12 @@ object Bench {
           case _ => false
         }
         settled = quietCovered && effSane
+      }
+      if (!settled && phaseElapsed >= ArmsBudgetSec) {
+        budgetHit = true
+        System.err.println(f"[bench] arms budget ($ArmsBudgetSec%.0fs) hit " +
+          f"after round $round uncorroborated — stopping; the record " +
+          "adjudicates from the samples collected")
       }
     }
     // Per-arm choice prefers the best QUIET sample: /proc/stat noise only

@@ -18,7 +18,8 @@ import graft.store.FrontierStore
   *   [--listings=<parquet>] [--pages=<parquet>] [--sources=<parquet>] \
   *   [--robots=<parquet>] [--exact-probe] \
   *   [--recrawl-every=K] [--refresh-interval=N] \
-  *   [--check-invariants] [--images=<parquet>]
+  *   [--check-invariants] [--images=<parquet>] \
+  *   [--expire-every=K] [--retain-last=R] [--gc-orphans=graceMinutes]
   * }}}
   *
   * Each invocation RESUMES from the store's latest snapshot (north rule:
@@ -56,6 +57,16 @@ import graft.store.FrontierStore
   * listing it is crawled AGAIN — the reference's periodic re-scan of
   * known pages, expressed as snapshot events. Runs before any compaction
   * in the same tick so the fold resolves the retraction immediately.
+  *
+  * `--expire-every=K` runs snapshot expiration every K ticks (after any
+  * compaction on the same tick, so the fold's redundant deltas are
+  * immediately reclaimable): `--retain-last=R` (default 4) keeps the last
+  * R snapshots' read closures; everything older loses its data files but
+  * keeps its manifest (the lineage audit trail). `--gc-orphans=M` sweeps
+  * crash debris no manifest references, older than M minutes, once at the
+  * end of the run. Together with `--compact-every` this is the full
+  * Iceberg maintenance cycle (rewrite_data_files / expire_snapshots /
+  * remove_orphan_files) driven from the spark-submit lifecycle entrypoint.
   */
 object FrontierMain {
 
@@ -75,6 +86,9 @@ object FrontierMain {
     val recrawlEvery = flag(args, "recrawl-every").map(_.toInt).getOrElse(0)
     val refreshInterval = flag(args, "refresh-interval").map(_.toLong)
       .getOrElse(4L)
+    val expireEvery = flag(args, "expire-every").map(_.toInt).getOrElse(0)
+    val retainLast = flag(args, "retain-last").map(_.toInt).getOrElse(4)
+    val gcOrphansMin = flag(args, "gc-orphans").map(_.toLong)
     val checkInvariants = args.contains("--check-invariants")
     val imagesPath = flag(args, "images")
     val listingsPath = flag(args, "listings")
@@ -182,6 +196,18 @@ object FrontierMain {
           println(s"""{"article_compaction":${a.snapshotId},"files_rewritten":${a.filesRewritten},"files_added":${a.filesAdded}}""")
         }
       }
+      if (expireEvery > 0 && (tick + 1) % expireEvery == 0) {
+        val ids = store.snapshotIds()
+        val retainFrom = ids.takeRight(retainLast.max(1)).head
+        if (retainFrom > store.gcHorizon()) {
+          val e = store.expireSnapshots(retainFrom)
+          println(s"""{"expire_at_tick":$tick,"horizon":${e.horizon},"data_dirs_deleted":${e.dirsDeleted},"files_deleted":${e.filesDeleted},"bytes_freed":${e.bytesFreed}}""")
+        }
+      }
+    }
+    gcOrphansMin.foreach { min =>
+      val o = store.removeOrphanFiles(olderThanMs = min * 60_000L)
+      println(s"""{"orphan_sweep":true,"dirs_deleted":${o.dirsDeleted},"files_deleted":${o.filesDeleted},"bytes_freed":${o.bytesFreed},"skipped_recent":${o.skippedRecent}}""")
     }
     spark.stop()
   }

@@ -719,6 +719,16 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
     * articles and pass through. A baseline's files carry the materialized
     * `crawl_tick` column ([[compactArticles]]) — dropped here so the
     * schema matches delta-only reads.
+    *
+    * Schema evolution (Iceberg add-column semantics): the read resolves the
+    * UNION schema across the chain's snapshots — a column added by a later
+    * tick reads as NULL on rows committed before it (and a dropped one as
+    * NULL on rows after), with no rewrite of old files. Time-travel to a
+    * pre-evolution snapshot reads only that chain's files, so it keeps the
+    * old schema exactly; [[compactArticles]] materializes the union schema
+    * into its baseline, like an Iceberg rewrite. Type changes are NOT
+    * schema evolution here — incompatible column types fail the union
+    * loudly rather than coerce silently.
     */
   def articles(spark: SparkSession, asOf: Option[Int] = None): DataFrame = {
     val id = checkGc(asOf.orElse(snapshotIds().lastOption)
@@ -728,7 +738,7 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
     ms.map { m =>
       val df = spark.read.parquet(root.resolve(m.articlesPath.get).toString)
       if (m.kind == KindArticleCompaction) df.drop("crawl_tick") else df
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** [[articles]] annotated with the committing snapshot's `fetch_epoch`
@@ -751,7 +761,7 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
       // baseline's own epoch here would reset every folded row's age
       if (m.kind == KindArticleCompaction) df
       else df.withColumn("crawl_tick", lit(m.fetchEpoch))
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   // ------------------------------------------------- incremental reads
@@ -802,7 +812,8 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
       .filter(_.kind != KindArticleCompaction).flatMap(_.articlesPath)
       .map(p => root.resolve(p).toString)
     if (paths.isEmpty) articles(spark, Some(id)).limit(0) // schema-only read
-    else paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+    else paths.map(p => spark.read.parquet(p))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** URLs ADDED to the seen set in (from, to]. Compaction baselines are

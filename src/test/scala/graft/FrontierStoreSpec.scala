@@ -692,4 +692,64 @@ class FrontierStoreSpec extends SparkTestBase {
     r.cleanup()
     assert(urlSet(store.articles(spark)).size > artsBefore.size)
   }
+
+  test("schema evolution: a column added by a later tick reads as null on " +
+      "older rows, pre-evolution time-travel keeps the old schema, and the " +
+      "article rewrite materializes the union schema") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val dir = "target/test-store-evolve"
+    new FrontierStore(dir).delete()
+    val store = new FrontierStore(dir).init()
+    store.initSeen(spark,
+      Fixtures.urlSeenSeed(spark, nSources, Fixtures.DefaultPreSeen)
+        .toDF().select("canonical_url"))
+    val sources = Fixtures.sourceSpecs(nSources).toDF()
+    val robots = Fixtures.robots(nSources).toDF()
+    def tick(t: Int, evolve: Boolean): Unit = {
+      val listings =
+        Fixtures.listItemsAt(spark, nSources, itemsPerSource, t).toDF()
+      val pages = Fixtures.pageStore(spark, nSources, maxTick = t).toDF()
+      val r = CrawlTick.runTick(spark, listings, sources,
+        store.seen(spark), robots, pages)
+      val emitted =
+        if (evolve) r.emitted.withColumn("crawler_version", lit("v2"))
+        else r.emitted
+      store.commit(spark, emitted, r.stats, fetchEpoch = t.toLong)
+      r.cleanup()
+    }
+    tick(0, evolve = false)
+    val preEvolution = store.snapshotIds().last
+    tick(1, evolve = true) // the add-column DDL, expressed by the writer
+
+    // union schema: old rows null, new rows stamped
+    val all = store.articles(spark)
+    assert(all.columns.contains("crawler_version"))
+    val byTick = store.articlesWithTick(spark)
+      .groupBy(col("crawl_tick"))
+      .agg(org.apache.spark.sql.functions
+        .count(col("crawler_version")).as("versioned"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byTick(0L)._1 === 0L && byTick(0L)._2 > 0L,
+      "pre-evolution rows must read the added column as null")
+    assert(byTick(1L)._1 === byTick(1L)._2 && byTick(1L)._2 > 0L,
+      "post-evolution rows carry the column")
+
+    // time-travel below the evolution point keeps the OLD schema exactly
+    assert(!store.articles(spark, Some(preEvolution)).columns
+      .contains("crawler_version"))
+    // incremental windows evolve the same way
+    assert(store.articlesBetween(spark, preEvolution).columns
+      .contains("crawler_version"))
+
+    // the rewrite materializes the union schema; values survive the fold
+    val before = all.select("canonical_url", "crawler_version").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    store.compactArticles(spark)
+    val folded = store.articles(spark)
+      .select("canonical_url", "crawler_version").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(folded === before)
+  }
 }
