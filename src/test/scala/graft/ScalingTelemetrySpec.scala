@@ -134,4 +134,36 @@ class ScalingTelemetrySpec extends AnyFunSuite {
     }.mkString("\n")
     assert(Bench.parseRuns(rewired, 1, 3) === orig)
   }
+
+  test("benchNoise: suite-phase bracket separates external busy from own " +
+      "cpu; degrades to nulls without /proc/stat") {
+    // two cpus, per-cpu deltas (user 300, nice 0, system 100, idle 400,
+    // iowait 0, irq 0, softirq 0, steal 10): total 810, idle 400, steal 10
+    val before = Map(
+      0 -> Array[Long](100, 0, 100, 800, 0, 0, 0, 0),
+      1 -> Array[Long](100, 0, 100, 800, 0, 0, 0, 0))
+    val after = Map(
+      0 -> Array[Long](400, 0, 200, 1200, 0, 0, 0, 10),
+      1 -> Array[Long](400, 0, 200, 1200, 0, 0, 0, 10))
+    val wall = 10.0
+    val nCpus = Runtime.getRuntime.availableProcessors
+    // own cpu chosen to be exactly 25% of the machine over the bracket
+    val own1 = (0.25 * nCpus * wall * 1e9).toLong
+    val n = Bench.benchNoise(Some(before), Some(after), 0L, own1, wall)
+    assert(n.stealFrac.exists(s => math.abs(s - 10.0 / 810) < 1e-9))
+    val busy = (810.0 - 400) / 810
+    assert(n.busyFrac.exists(b => math.abs(b - busy) < 1e-9))
+    assert(math.abs(n.ownCpuFrac - 0.25) < 1e-9)
+    assert(n.externalBusyFrac.exists(e => math.abs(e - (busy - 0.25)) < 1e-9))
+    // own cpu exceeding measured busy (clock skew) clamps at zero
+    val full = Bench.benchNoise(Some(before), Some(after), 0L,
+      (2.0 * nCpus * wall * 1e9).toLong, wall)
+    assert(full.externalBusyFrac.contains(0.0))
+    // no /proc/stat (non-linux): fractions null, json still well-formed
+    val bare = Bench.benchNoise(None, None, 0L, own1, wall)
+    assert(bare.stealFrac.isEmpty && bare.busyFrac.isEmpty &&
+      bare.externalBusyFrac.isEmpty)
+    assert(bare.json.contains("\"steal_frac\":null"))
+    assert(n.json.contains("\"external_busy_frac\":"))
+  }
 }
