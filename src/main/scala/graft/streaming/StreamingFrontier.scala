@@ -418,6 +418,33 @@ object StreamingFrontier {
       }
   }
 
+  /** The streaming refresh loop COMPOSED: listings and retractions enter
+    * one query (stream-stream union via [[urlEvents]]), flow through the
+    * retraction-aware stateful dedup and into the stateful per-host
+    * pacing — crawl → retract → recrawl and politeness in a single
+    * always-on plan, where [[composedTick]] covers the retraction-free
+    * tick. The output is sink-ready for [[sinkScheduledToStore]].
+    *
+    * The property this composition adds over its parts: a REFRESH fetch is
+    * paced like any other fetch. A retracted URL's re-emit flows into the
+    * same host counter state, so its host_rank CONTINUES the host's
+    * sequence (and its fetch_epoch follows the shared budget) — refresh
+    * crawling cannot bypass politeness, exactly like the batch loop where
+    * recrawled URLs re-enter the next tick's scheduler
+    * (FrontierMain --recrawl-every). Asserted per-row in
+    * StreamingFrontierSpec.
+    *
+    * Scale: state = one row per LIVE claim + one counter per host, both
+    * inherited unchanged from the composed operators; the union adds no
+    * state of its own.
+    */
+  def composedTickWithRefresh(listings: Dataset[graft.model.ListItem],
+      retractions: Dataset[String], nSegments: Int, budgetPerEpoch: Long)
+      : Dataset[Scheduled] =
+    politenessStream(dedupWithRetraction(
+      urlEvents(candidates(listings, nSegments), retractions)),
+      budgetPerEpoch)
+
   def dedupStream(cands: Dataset[Candidate]): Dataset[Candidate] = {
     val spark = cands.sparkSession
     import spark.implicits._

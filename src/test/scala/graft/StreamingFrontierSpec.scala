@@ -581,4 +581,64 @@ class StreamingFrontierSpec extends SparkTestBase {
       else spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("composed refresh tick: retraction flows through dedup into pacing " +
+      "in ONE query, and a refresh fetch is paced like any other fetch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val nSources = 6
+    val budget = 2L
+    val listings = Fixtures.listItemsAt(spark, nSources, 16, tick = 0)
+      .collect().toSeq
+    val all = listings
+      .map(li => graft.functions.UrlCanonicalizer.canonicalize(li.url))
+      .distinct
+
+    val occ = MemoryStream[ListItem]
+    val ret = MemoryStream[String]
+    val q = StreamingFrontier.composedTickWithRefresh(
+        occ.toDS(), ret.toDS(), nSegments = 8, budgetPerEpoch = budget)
+      .writeStream.format("memory").queryName("refresh_tick_out")
+      .outputMode("append").start()
+    def rows(): Seq[(String, String, Long, Long)] =
+      spark.table("refresh_tick_out")
+        .select("host", "canonical_url", "host_rank", "fetch_epoch")
+        .collect().map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+
+    // batch 0: every URL claimed once; per host, ranks contiguous from 1
+    // and epochs follow the shared budget
+    occ.addData(listings); q.processAllAvailable()
+    val r0 = rows()
+    assert(r0.map(_._2).toSet === all.toSet)
+    val rankMax0 = r0.groupBy(_._1).map { case (h, rs) =>
+      assert(rs.map(_._3).sorted === (1L to rs.size).toVector,
+        s"host $h ranks must be contiguous from 1")
+      h -> rs.size.toLong
+    }
+    assert(r0.forall { case (_, _, rank, epoch) =>
+      epoch == (rank - 1) / budget })
+
+    // batch 1: a pure retraction batch schedules nothing
+    val victims = all.take(5).toSet
+    ret.addData(victims.toSeq: _*); q.processAllAvailable()
+    assert(rows().size === r0.size)
+
+    // batch 2: identical re-listing → EXACTLY the victims re-emit, and
+    // each victim's host_rank CONTINUES its host's sequence (the refresh
+    // fetch consumes the same politeness budget — no bypass)
+    occ.addData(listings); q.processAllAvailable()
+    val r2 = rows().diff(r0)
+    assert(r2.map(_._2).toSet === victims)
+    r2.groupBy(_._1).foreach { case (h, rs) =>
+      val prev = rankMax0(h)
+      assert(rs.map(_._3).sorted === (prev + 1 to prev + rs.size).toVector,
+        s"host $h refresh ranks must continue from $prev")
+    }
+    assert(r2.forall { case (_, _, rank, epoch) =>
+      epoch == (rank - 1) / budget },
+      "refresh fetch epochs follow the shared budget")
+    q.stop()
+  }
 }
