@@ -124,8 +124,13 @@ object Bench {
   final case class ArmSample(cores: Int, round: Int, run: Int,
       sec: Option[Double],
       stealFrac: Option[Double], offBusyFrac: Option[Double]) {
-    def quiet: Boolean = stealFrac.forall(_ <= MaxStealFrac) &&
-      offBusyFrac.forall(_ <= MaxOffarmBusyFrac)
+    // A sample with NO noise evidence (both fields None — /proc/stat
+    // unreadable) is NOT quiet: quiet is a positive claim the record uses
+    // to elect and corroborate minima, and absence of evidence must mark
+    // the record invalid (same rule as the unpinned fallback), not launder
+    // it into a "valid" verdict.
+    def quiet: Boolean = stealFrac.exists(_ <= MaxStealFrac) &&
+      offBusyFrac.exists(_ <= MaxOffarmBusyFrac)
     def json: String = {
       def d(o: Option[Double]) = o.map(v => f"$v%.4f").getOrElse("null")
       s"""{"cores":$cores,"round":$round,"run":$run,"sec":${d(sec.map(s => (s * 1000).round / 1000.0))},""" +
@@ -268,8 +273,10 @@ object Bench {
       quietPool(samples, c).sortBy(_.sec.get).headOption match {
         case Some(s) if !s.quiet =>
           def f2(o: Option[Double]) = o.map(v => f"$v%.3f").getOrElse("n/a")
-          reasons += s"best $c-core sample under host noise (steal=" +
-            s"${f2(s.stealFrac)}, offarm_busy=${f2(s.offBusyFrac)})"
+          reasons += (if (s.stealFrac.isEmpty && s.offBusyFrac.isEmpty)
+            s"best $c-core sample carries no noise evidence (/proc/stat unreadable)"
+          else s"best $c-core sample under host noise (steal=" +
+            s"${f2(s.stealFrac)}, offarm_busy=${f2(s.offBusyFrac)})")
         case Some(_) if !corroborated(samples, c) =>
           reasons += s"uncorroborated $c-core minimum: no second quiet run " +
             s"within ${(CorroborationTol * 100).toInt}% (quiet runs that " +

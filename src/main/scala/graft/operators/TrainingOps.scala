@@ -399,6 +399,43 @@ object TrainingOps {
         (coalesce(col("n_hit_shingles"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Inter-document duplicate-span mass (the substring-dedup SIGNAL from
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", at shingle granularity): for each doc, how many of its
+    * distinct word-3-gram shingles also occur in at least one OTHER
+    * document, as a count and an integer per-mille coverage. This is the
+    * per-doc statistic a corpus-cleaning pass thresholds on ("drop docs
+    * whose text is mostly duplicated elsewhere") and the audit metric a
+    * dedup run reports; the span-REMOVAL variant is the downstream editor,
+    * this is its driving signal.
+    *
+    * Scale shape: doc-frequency is one map-side-combined aggregation on
+    * the uniform 60-bit shingle key; only the df>1 slice flows into the
+    * left-semi join back (broadcast when small, shuffle-hash on the same
+    * uniform key otherwise — never a self-join, never quadratic in docs);
+    * both per-doc aggregations combine map-side. Reuses the cached shingle
+    * parquet, so the corpus is tokenized exactly once across the whole
+    * dedup family.
+    */
+  def dupSpanMass(spark: SparkSession, sfDir: String): DataFrame =
+    dupSpanMassFrom(shingles(spark, sfDir))
+
+  /** [[dupSpanMass]] over any distinct (doc_id, shh) shingle frame. */
+  def dupSpanMassFrom(sh: DataFrame): DataFrame = {
+    // distinctness per (doc_id, shh) makes count(*) the doc frequency
+    val dupSh = sh.groupBy("shh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1).select("shh")
+    val dups = sh.join(dupSh, Seq("shh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_shingles"))
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_dup_shingles"), lit(0L)).as("n_dup_shingles"))
+      // integer per-mille: DIV keeps both engines in exact integer math
+      .withColumn("dup_permille",
+        expr("n_dup_shingles * 1000 DIV n_shingles"))
+  }
+
   /** The training-corpus assembly pipeline composed end-to-end — the
     * training-data analog of the crawl tick: one plan carries every doc
     * through quality → repetition → decontamination → exact-dedup →
@@ -1539,9 +1576,10 @@ object TrainingOps {
       nprobe, maxProbeBroadcastBytes)
 
   /** [[ivfTopK]] with Lloyd-refined centroids ([[ivfKmeansCentroidsFrom]]).
-    * The refined centroid frame is persisted: it feeds the probe ranking,
-    * the corpus assignment AND the dispatch-sizing count — unpersisted, the
-    * 2-iteration refinement chain would run three times.
+    * See [[ivfKmeansTopKFrom]] for how the refined centroid frame is
+    * materialized exactly once (it feeds the probe ranking, the corpus
+    * assignment AND the dispatch-sizing count — evaluated lazily, the
+    * 2-iteration refinement chain would run three times).
     */
   def ivfKmeansTopK(spark: SparkSession, sfDir: String,
       centroidStride: Long = IvfCentroidStride,
@@ -1554,16 +1592,32 @@ object TrainingOps {
         .select(col("vec_id"), quantized(col("embedding")).as("q")),
       centroidStride, iters, nprobe, maxProbeBroadcastBytes)
 
-  /** [[ivfKmeansTopK]] over any prepared (vec_id, q) frame. */
+  /** [[ivfKmeansTopK]] over any prepared (vec_id, q) frame.
+    *
+    * The refined centroid frame feeds the probe ranking, the corpus
+    * assignment AND the dispatch-sizing count. It is materialized ONCE to
+    * the driver rather than persisted: the centroid table is driver-scale
+    * by construction (nlist rows ≈ corpus/stride, and it is `broadcast()`
+    * into both downstream joins anyway — collecting it costs exactly what
+    * the broadcast already costs), and a session-lifetime persist here
+    * would leak one cached frame per invocation with no release hook to
+    * hand back. The REFINEMENT itself (the per-iteration argmin + mean
+    * aggregates) still runs as the distributed plan; only its nlist-row
+    * output lands on the driver.
+    */
   def ivfKmeansTopKFrom(e: DataFrame,
       centroidStride: Long = IvfCentroidStride,
       iters: Int = IvfKmeansIters,
       nprobe: Int = IvfNProbe,
       maxProbeBroadcastBytes: Long = DefaultIvfProbeMaxBroadcastBytes)
       : DataFrame = {
-    val cents = ivfKmeansCentroidsFrom(e, centroidStride, iters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ivfTopKWithCents(e, cents, cents.count(), nprobe, maxProbeBroadcastBytes)
+    val refined = ivfKmeansCentroidsFrom(e, centroidStride, iters)
+    val rows = refined.collect()
+    val spark = e.sparkSession
+    val cents = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), refined.schema)
+    ivfTopKWithCents(e, cents, rows.length.toLong, nprobe,
+      maxProbeBroadcastBytes)
   }
 
   /** Shared IVF top-k body over ANY centroid frame (centroid_id, cv).

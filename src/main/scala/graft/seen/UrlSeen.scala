@@ -101,15 +101,33 @@ object UrlSeen {
     val spark = seen.sparkSession
     import spark.implicits._
     val h = urlHash(col(urlCol))
+    // Unlike Bloom `put`, cuckoo `put` is NOT idempotent: each duplicate
+    // occurrence of a hash burns a slot and the (2·SlotsPerBucket+1)-th
+    // copy makes the eviction walk swap identical fingerprints between the
+    // two involutive buckets until MaxKicks throws. Input rows may carry
+    // duplicates (a seen set derived from a raw crawl log), so dedupe
+    // exactly: sort within the segment partition (spill-backed, O(1) task
+    // memory — no per-task hash set of the segment's keys) and skip
+    // consecutive equal hashes. A contains()-then-put probe would NOT be
+    // safe: a false-positive `contains` would skip a real insert, and a
+    // later delete() of the colliding key would turn it into a false
+    // negative.
     seen
       .select(segmentOf(h, nSegments).as("seg"), h.as("url_hash"))
-      .as[(Long, Long)]
       .repartition(nSegments, col("seg"))
+      .sortWithinPartitions("seg", "url_hash")
+      .as[(Long, Long)]
       .mapPartitions { it =>
         val filters = scala.collection.mutable.LongMap[CuckooFilter]()
+        var lastSeg = 0L
+        var lastHash = 0L
+        var first = true
         it.foreach { case (seg, hash) =>
-          filters.getOrElseUpdate(seg,
-            CuckooFilter.create(expectedItemsPerSegment)).put(hash)
+          if (first || seg != lastSeg || hash != lastHash) {
+            filters.getOrElseUpdate(seg,
+              CuckooFilter.create(expectedItemsPerSegment)).put(hash)
+            first = false; lastSeg = seg; lastHash = hash
+          }
         }
         filters.iterator.map { case (seg, f) => (seg, f.serialize()) }
       }
@@ -132,9 +150,12 @@ object UrlSeen {
     val spark = segments.sparkSession
     import spark.implicits._
     val h = urlHash(col(urlCol))
+    // collect_set, not collect_list: the build dedupes inserts, so each
+    // member holds exactly one slot — a duplicated deletion would remove a
+    // second identical fingerprint belonging to a DIFFERENT (colliding) key
     val dels = deletions
       .select(segmentOf(h, nSegments).as("seg"), h.as("url_hash"))
-      .groupBy("seg").agg(collect_list("url_hash").as("__dels"))
+      .groupBy("seg").agg(collect_set("url_hash").as("__dels"))
     segments
       .select(col("seg").cast("long").as("seg"), col("bloom"))
       .join(dels, Seq("seg"), "left")
@@ -397,8 +418,22 @@ object UrlSeen {
     * any FPP.
     */
   def flagSeen(candidates: DataFrame, probe: SeenProbe, urlCol: String,
-      flagCol: String): DataFrame =
-    flagSeenManaged(candidates, probe, urlCol, flagCol)._1
+      flagCol: String): DataFrame = probe match {
+    // Plan-pure form: NO persists (the managed variant's caches would leak
+    // here — this wrapper has no release hook to hand back, so it must not
+    // acquire anything). The price is recomputation: the candidate upstream
+    // evaluates up to 3× (neg + semi + anti) and the segment frame twice
+    // (size probe + probe job). One-shot callers (single queries, specs)
+    // absorb that; loops (FrontierMain ticks) must use [[flagSeenManaged]].
+    case SeenProbe.Exact(_) =>
+      flagSeenManaged(candidates, probe, urlCol, flagCol)._1
+    case SeenProbe.BloomConfirm(segments, seen, nSegments, maxBroadcastBytes) =>
+      twoPhaseFlag(candidates, segments, seen, urlCol, flagCol, nSegments,
+        maxBroadcastBytes, cuckoo = false, cache = false)._1
+    case SeenProbe.CuckooConfirm(segments, seen, nSegments, maxBroadcastBytes) =>
+      twoPhaseFlag(candidates, segments, seen, urlCol, flagCol, nSegments,
+        maxBroadcastBytes, cuckoo = true, cache = false)._1
+  }
 
   /** [[flagSeen]] plus an explicit cache-release hook (ADVICE r3): the
     * BloomConfirm branch persists two intermediates —
@@ -441,21 +476,22 @@ object UrlSeen {
     */
   private def twoPhaseFlag(candidates: DataFrame, segments: DataFrame,
       seen: DataFrame, urlCol: String, flagCol: String, nSegments: Int,
-      maxBroadcastBytes: Long, cuckoo: Boolean): (DataFrame, () => Unit) = {
+      maxBroadcastBytes: Long, cuckoo: Boolean,
+      cache: Boolean = true): (DataFrame, () => Unit) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val segsCached = segments.persist(lvl)
+    val segsCached = if (cache) segments.persist(lvl) else segments
     val totalBytes = segsCached
       .agg(coalesce(sum(length(col("bloom"))), lit(0L))).collect()(0).getLong(0)
     val (flagged0, segsReleased) =
       if (totalBytes <= maxBroadcastBytes) {
         val out = flagMaybeBroadcast(candidates, segsCached, urlCol,
           nSegments, cuckoo)
-        segsCached.unpersist(blocking = false)
+        if (cache) segsCached.unpersist(blocking = false)
         (out, true)
       } else
         (flagMaybeCopartitioned(candidates, segsCached, urlCol, nSegments,
           cuckoo), false)
-    val flagged = flagged0.persist(lvl)
+    val flagged = if (cache) flagged0.persist(lvl) else flagged0
     val neg = flagged.filter(!col("__maybe"))
       .withColumn(flagCol, lit(false)).drop("__maybe")
     val pos = flagged.filter(col("__maybe")).drop("__maybe")
@@ -465,11 +501,13 @@ object UrlSeen {
     val posNew = pos.join(seenSel, pos(urlCol) === col("__seen_url"),
       "left_anti").withColumn(flagCol, lit(false))
     val out = neg.unionByName(posSeen).unionByName(posNew)
-    val cleanup = () => {
-      flagged.unpersist(blocking = false)
-      if (!segsReleased) segsCached.unpersist(blocking = false)
-      ()
-    }
+    val cleanup =
+      if (!cache) () => ()
+      else () => {
+        flagged.unpersist(blocking = false)
+        if (!segsReleased) segsCached.unpersist(blocking = false)
+        ()
+      }
     (out, cleanup)
   }
 

@@ -5,10 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The scaling record's self-adjudication plumbing (r3 verdict #1, r4
   * run-level refinement): the child's per-run telemetry lines must parse
   * back into samples, the quiet predicate must match the published noise
-  * bounds, and samples that carry no telemetry must stay conservative in
-  * the direction the protocol documents (missing evidence ⇒ quiet=true at
-  * the sample level; the PARENT marks the whole record invalid when the
-  * arms fell back to unpinned mode — Bench.main's `reasons`).
+  * bounds, and samples that carry no telemetry must stay conservative:
+  * quiet is a POSITIVE claim, so missing evidence ⇒ quiet=false and the
+  * record adjudicates itself invalid with the no-evidence reason (on top
+  * of the separate unpinned-fallback reason — Bench.main's `reasons`).
   */
 class ScalingTelemetrySpec extends AnyFunSuite {
 
@@ -41,11 +41,17 @@ class ScalingTelemetrySpec extends AnyFunSuite {
     assert(s(Some(Bench.MaxStealFrac), Some(Bench.MaxOffarmBusyFrac)).quiet)
     assert(!s(Some(Bench.MaxStealFrac + 1e-4), Some(0.0)).quiet)
     assert(!s(Some(0.0), Some(Bench.MaxOffarmBusyFrac + 1e-4)).quiet)
-    // missing evidence does not disqualify the SAMPLE (the record-level
-    // invalid marking handles evidence-free fallback arms)
-    assert(s(None, None).quiet)
+    // missing evidence DISQUALIFIES the sample: quiet is a positive claim
+    // used to elect + corroborate minima, and a pinned arm on a box with an
+    // unreadable /proc/stat would otherwise self-adjudicate "valid" with
+    // zero noise evidence (the record-level unpinned-fallback reason does
+    // not cover that case)
+    assert(!s(None, None).quiet)
+    assert(!s(Some(0.0), None).quiet)
+    assert(!s(None, Some(0.0)).quiet)
+    // run 3's null telemetry fields now read not-quiet too
     val parsed = Bench.parseRuns(childOut, 1, 1)
-    assert(parsed.map(_.quiet) === Seq(true, false, true))
+    assert(parsed.map(_.quiet) === Seq(true, false, false))
   }
 
   private def smp(cores: Int, sec: Double, quiet: Boolean = true) =
@@ -91,6 +97,17 @@ class ScalingTelemetrySpec extends AnyFunSuite {
       pinned = true, samples = noisyArm)
     assert(rs.exists(_.contains("4-core sample under host noise")))
     assert(!rs.exists(_.contains("uncorroborated")))
+    // pinned arms on a box with an UNREADABLE /proc/stat (every noise field
+    // None) must not read valid: no sample is quiet, so the elected minima
+    // carry the no-evidence reason
+    val blind = Seq(
+      Bench.ArmSample(1, 1, 1, Some(72.0), None, None),
+      Bench.ArmSample(1, 1, 2, Some(72.5), None, None),
+      Bench.ArmSample(4, 1, 1, Some(18.3), None, None),
+      Bench.ArmSample(4, 1, 2, Some(18.4), None, None))
+    val blindReasons = Bench.adjudicationReasons(Seq(1, 4), 72.0 / (4 * 18.3),
+      pinned = true, samples = blind)
+    assert(blindReasons.exists(_.contains("no noise evidence")))
   }
 
   test("adjudication: steady asymmetric DRAM contention — minima that " +
