@@ -46,6 +46,7 @@ object SparkEntry {
     "q_doc_simhash" -> ((s, d) => TrainingOps.simhash(s, d)),
     "q_doc_simhash_dups" -> ((s, d) => TrainingOps.simhashNearDups(s, d)),
     "q_doc_decontaminate" -> ((s, d) => TrainingOps.decontaminate(s, d)),
+    "q_doc_dup_spans" -> ((s, d) => TrainingOps.dupSpanMass(s, d)),
     "q_doc_minhash" -> ((s, d) => TrainingOps.minhashSignatures(s, d)),
     "q_doc_lsh_pairs" -> ((s, d) => TrainingOps.lshCandidatePairs(s, d)),
     "q_doc_jaccard_pairs" -> ((s, d) => TrainingOps.jaccardVerifiedPairs(s, d)),
@@ -71,6 +72,7 @@ object SparkEntry {
     "q_multi_section_union" -> ((s, d) => ScanOps.multiSectionUnion(s, d)),
     "q_mojibake_repair" -> ((s, d) => ScanOps.mojibakeRepair(s, d)),
     "q_robots_parse" -> ((s, d) => ScanOps.robotsParse(s, d)),
+    "q_sitemap_scan" -> ((s, d) => ScanOps.sitemapScan(s, d)),
     "q_fallback_chain" -> ((s, d) => ScanOps.fallbackChain(s, d)),
     "q_image_phash_dups" -> ((s, _) => TrainingOps.phashNearDups(s)),
     "q_image_hamming_topk" -> ((s, _) => TrainingOps.imageHammingTopK(s)),
@@ -705,6 +707,29 @@ object SparkEntry {
         |            THEN CAST(value AS BIGINT) * 1000 ELSE -1 END AS crawl_delay_ms
         |FROM d
         |WHERE directive IN ('Allow', 'Disallow', 'Crawl-delay')""".stripMargin,
+    // analytic oracle: recompute every field from the fixture parameters
+    // (hnum, i) — the Spark side must EARN them by parsing the XML
+    "q_sitemap_scan" ->
+      """WITH h AS (SELECT DISTINCT event_id % 7 AS hnum FROM events),
+        |e AS (SELECT hnum, unnest(range(1, hnum + 4)) AS i FROM h),
+        |d AS (
+        |  SELECT hnum, i,
+        |         make_date(2025, CAST((hnum + i) % 12 + 1 AS INT),
+        |                   CAST((hnum * 7 + i * 3) % 28 + 1 AS INT)) AS md
+        |  FROM e),
+        |r AS (
+        |  SELECT 'h' || CAST(hnum AS VARCHAR) || '.example.com' AS host,
+        |         'https://h' || CAST(hnum AS VARCHAR) || '.example.com/p' ||
+        |           CAST(i AS VARCHAR) AS loc,
+        |         strftime(md, '%Y-%m-%d') AS lastmod,
+        |         CAST(date_diff('day', DATE '1970-01-01', md) AS BIGINT)
+        |           AS lastmod_day
+        |  FROM d)
+        |SELECT host, loc, lastmod, lastmod_day,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY host
+        |              ORDER BY lastmod DESC, loc ASC) AS BIGINT)
+        |         AS recency_rank
+        |FROM r""".stripMargin,
     "q_fallback_chain" ->
       """WITH e AS (
         |  SELECT event_id, ts,
@@ -1024,6 +1049,21 @@ object SparkEntry {
            |       CAST(COALESCE(h.n_hit_shingles, 0) AS BIGINT) AS n_hit_shingles,
            |       (COALESCE(h.n_hit_shingles, 0) > 0) AS contaminated
            |FROM tot LEFT JOIN hits h USING (doc_id)""".stripMargin,
+      "q_doc_dup_spans" ->
+        s"""WITH $nearDupCtes,
+           |df AS (SELECT shh FROM sh GROUP BY shh HAVING COUNT(*) > 1),
+           |dups AS (
+           |  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_shingles
+           |  FROM sh s JOIN df USING (shh)
+           |  GROUP BY 1),
+           |tot AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+           |  FROM sh GROUP BY 1)
+           |SELECT tot.doc_id, tot.n_shingles,
+           |       CAST(COALESCE(d.n_dup_shingles, 0) AS BIGINT) AS n_dup_shingles,
+           |       CAST((COALESCE(d.n_dup_shingles, 0) * 1000) // tot.n_shingles AS BIGINT)
+           |         AS dup_permille
+           |FROM tot LEFT JOIN dups d USING (doc_id)""".stripMargin,
       "q_doc_lsh_pairs" ->
         s"""WITH $sigCtes
            |SELECT doc_a, doc_b FROM pairs""".stripMargin,

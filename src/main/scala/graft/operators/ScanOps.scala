@@ -252,6 +252,54 @@ object ScanOps {
           .as("crawl_delay_ms"))
   }
 
+  /** Sitemap scan (the source-discovery half the robots story implies):
+    * raw sitemap.xml text → one frontier-candidate row per `<url>` entry,
+    * with `host` re-derived from the PARSED `<loc>` (not the fixture
+    * parameter) and a per-host recency rank over the parsed `<lastmod>`
+    * (the north rule's "recency boost" as a window over parse output).
+    * Pure string plan: regexp_extract_all on the entry blocks, posexplode,
+    * per-field regexp — codegen'd; the only shuffle is the per-host rank
+    * window, partitioned on the parse-derived host key. The fixture
+    * synthesizes a deterministic sitemap per host (hnum+3 entries, lastmod
+    * a fixed function of (hnum, i)); the DuckDB oracle recomputes every
+    * output field ANALYTICALLY from those parameters, so a parse bug on
+    * the Spark side cannot hash-match. The reference discovers URLs only
+    * from listing pages; sitemaps are what its per-site scrapers would
+    * need for full-site coverage.
+    */
+  def sitemapScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val hosts = spark.read.parquet(s"$sfDir/events.parquet")
+      .select((col("event_id") % 7).as("hnum")).distinct()
+    val entryOf = (i: org.apache.spark.sql.Column) => concat(
+      lit("<url><loc>https://h"), col("hnum").cast("string"),
+      lit(".example.com/p"), i.cast("string"),
+      lit("</loc><lastmod>"),
+      format_string("%04d-%02d-%02d", lit(2025),
+        (col("hnum") + i) % 12 + 1, (col("hnum") * 7 + i * 3) % 28 + 1),
+      lit("</lastmod></url>"))
+    val xml = concat(
+      lit("<?xml version=\"1.0\"?><urlset>"),
+      array_join(transform(sequence(lit(1), col("hnum") + 3), entryOf),
+        ""),
+      lit("</urlset>"))
+    val parsed = hosts.select(col("hnum"), xml.as("sitemap_xml"))
+      .select(explode(
+        regexp_extract_all(col("sitemap_xml"), lit("<url>(.*?)</url>"),
+          lit(1)))
+        .as("entry"))
+      .select(
+        regexp_extract(col("entry"), "<loc>(.*?)</loc>", 1).as("loc"),
+        regexp_extract(col("entry"), "<lastmod>(.*?)</lastmod>", 1)
+          .as("lastmod"))
+      .withColumn("host", regexp_extract(col("loc"), "https://([^/]+)/", 1))
+      .withColumn("lastmod_day",
+        unix_date(to_date(col("lastmod"))).cast("long"))
+    parsed.withColumn("recency_rank", row_number().over(
+        Window.partitionBy("host")
+          .orderBy(desc("lastmod"), asc("loc"))).cast("long"))
+      .select("host", "loc", "lastmod", "lastmod_day", "recency_rank")
+  }
+
   /** §2.7 — multi-listing union with ordinal re-index: the reference
     * concatenates two section listings and re-slices the head
     * (`(top + list_items)[:7]`, fiercepharma.py:64; scmp.py:103-110).
