@@ -105,6 +105,9 @@ object FrontierMain {
         builder.master("local[*]") else builder)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SQL names for the native expressions, same set the
+    // spark.sql.extensions hook injects (idempotent if both run)
+    graft.functions.GraftFunctions.registerAll(spark)
     import spark.implicits._
 
     val store = new FrontierStore(storeDir).init()

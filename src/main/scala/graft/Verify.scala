@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SQL surface active on the driver path too (spark-submit jobs get it
+    // via --conf spark.sql.extensions=graft.plans.GraftExtensions)
+    graft.functions.GraftFunctions.registerAll(spark)
     new java.io.File(outDir).mkdirs()
 
     // Fixture dump for the fixture-backed oracles (q_crawl_tick,

@@ -46,9 +46,14 @@ case class PartitionFilterCheck(spark: SparkSession)
 }
 
 /** Session-extension wiring: register with
-  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. Injects the
+  * partition-filter check rule AND every native expression as a SQL
+  * function ([[graft.functions.GraftFunctions]]), so spark-submit jobs
+  * get `SELECT canonicalize_url(...)` et al. with zero session-side code.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectCheckRule(spark => PartitionFilterCheck(spark))
+    graft.functions.GraftFunctions.all.foreach(extensions.injectFunction)
+  }
 }

@@ -42,6 +42,29 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("dup-span mass: df>1 probe is an equi-semi-join on the hash key, " +
+    "never a cartesian; aggregates combine map-side") {
+    val p = planString(TrainingOps.dupSpanMass(spark, sf()))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "widening join:\n" + p)
+    assert(p.contains("LeftSemi"), "df>1 probe should be a semi-join:\n" + p)
+    // both groupBys partial-aggregate before their exchange
+    assert(p.contains("partial_count"), "no map-side combine:\n" + p)
+  }
+
+  test("sitemap scan: parse chain is shuffle-free; the only exchange is " +
+    "the per-host recency rank") {
+    val p = planString(ScanOps.sitemapScan(spark, sf()))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "widening join:\n" + p)
+    // one rank window partitioned on the parse-derived host key; the
+    // aggregate for DISTINCT hnum adds its own exchange pair — but no
+    // join-induced shuffles beyond those
+    assert(p.contains("Window"), "recency rank window missing:\n" + p)
+    assert("hashpartitioning\\(host".r.findFirstIn(p).isDefined,
+      "rank window not partitioned on host:\n" + p)
+  }
+
   test("brute-force ANN: query side broadcast, corpus never shuffled pre-score") {
     val p = planString(TrainingOps.bruteForceTopK(spark, sf()))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
