@@ -33,6 +33,7 @@ object SparkEntry {
     "q_salted_host_rank" -> ((s, d) => CrawlOps.saltedHostRank(s, d)),
     "q_robots_gate" -> ((s, d) => CrawlOps.robotsGate(s, d)),
     "q_opic_priority" -> ((s, d) => CrawlOps.opicPriority(s, d)),
+    "q_pagerank" -> ((s, d) => CrawlOps.pageRankPriority(s, d)),
     "q_recrawl_due" -> ((s, d) => CrawlOps.recrawlDue(s, d)),
     // --- training-data pipeline surface (dedup / similarity / text) ---
     "q_doc_exact_dedup" -> ((s, d) => TrainingOps.exactDedup(s, d)),
@@ -272,6 +273,38 @@ object SparkEntry {
           |       CAST(ROW_NUMBER() OVER (PARTITION BY host
           |            ORDER BY cash + boost DESC, child ASC) AS BIGINT) AS host_rank
           |FROM sc""".stripMargin,
+      "q_pagerank" ->
+        """WITH ed AS (
+          |  SELECT DISTINCT event_id % 211 AS s, event_id % 631 AS d
+          |  FROM events),
+          |deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS outdeg
+          |        FROM ed GROUP BY 1),
+          |nodes AS (
+          |  SELECT DISTINCT v FROM (
+          |    SELECT s AS v FROM ed UNION ALL SELECT d AS v FROM ed)),
+          |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes),
+          |c1 AS (
+          |  SELECT e.d AS v,
+          |         CAST(SUM(((r.r * 85) // 100) // g.outdeg) AS BIGINT) AS c
+          |  FROM ed e JOIN deg g ON g.s = e.s JOIN r0 r ON r.v = e.s
+          |  GROUP BY 1),
+          |r1 AS (SELECT n.v, CAST(150000 + COALESCE(c1.c, 0) AS BIGINT) AS r
+          |       FROM nodes n LEFT JOIN c1 ON c1.v = n.v),
+          |c2 AS (
+          |  SELECT e.d AS v,
+          |         CAST(SUM(((r.r * 85) // 100) // g.outdeg) AS BIGINT) AS c
+          |  FROM ed e JOIN deg g ON g.s = e.s JOIN r1 r ON r.v = e.s
+          |  GROUP BY 1),
+          |r2 AS (SELECT n.v, CAST(150000 + COALESCE(c2.c, 0) AS BIGINT) AS r
+          |       FROM nodes n LEFT JOIN c2 ON c2.v = n.v),
+          |c3 AS (
+          |  SELECT e.d AS v,
+          |         CAST(SUM(((r.r * 85) // 100) // g.outdeg) AS BIGINT) AS c
+          |  FROM ed e JOIN deg g ON g.s = e.s JOIN r2 r ON r.v = e.s
+          |  GROUP BY 1),
+          |r3 AS (SELECT n.v, CAST(150000 + COALESCE(c3.c, 0) AS BIGINT) AS r
+          |       FROM nodes n LEFT JOIN c3 ON c3.v = n.v)
+          |SELECT v AS node, r AS "rank" FROM r3""".stripMargin,
       "q_recrawl_due" ->
         """WITH a AS (
           |  SELECT 'u' || CAST(event_id % 3000 AS VARCHAR) AS canonical_url,

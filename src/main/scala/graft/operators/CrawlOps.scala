@@ -335,4 +335,21 @@ object CrawlOps {
         Window.partitionBy("host").orderBy(desc("priority"), asc("child")))
         .cast("long"))
   }
+
+  /** Iterative PageRank over the same synthetic link graph as
+    * [[opicPriority]] (211 parents × 631 children, node ids shared so
+    * multi-hop paths exist): K=3 exact-integer rounds
+    * (Scheduler.pageRank), the offline authority score the frontier
+    * re-ranks from between OPIC's online updates. The oracle unrolls the
+    * same three rounds as CTEs — `div` semantics keep both engines
+    * bit-identical.
+    */
+  def pageRankPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(
+        (col("event_id") % 211).as("src"),
+        (col("event_id") % 631).as("dst"))
+    graft.politeness.Scheduler.pageRank(edges, "src", "dst", iterations = 3)
+      .select(col("node"), col("rank"))
+  }
 }

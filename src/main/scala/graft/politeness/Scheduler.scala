@@ -132,6 +132,64 @@ object Scheduler {
         col("priority"))
   }
 
+  val PageRankScale = 1000000L
+  val PageRankDampNum = 85L  // damping 0.85 as an integer ratio
+  val PageRankDampDen = 100L
+  val PageRankBase = PageRankScale * (PageRankDampDen - PageRankDampNum) /
+    PageRankDampDen // (1 - d) * scale = 150000
+
+  /** Fixed-iteration integer PageRank over the link graph — the iterative
+    * authority score behind crawl prioritization (Page et al. 1999; OPIC,
+    * [[opicPriority]], is its one-round online approximation — this is the
+    * offline K-round form the frontier re-ranks from periodically).
+    *
+    * All arithmetic is exact integer so a SQL oracle can replay it
+    * bit-for-bit: ranks start at [[PageRankScale]]; each round an edge
+    * (p → c) carries `((rank(p) * 85) div 100) div outdeg(p)` into c and
+    * every node restarts from [[PageRankBase]] — `div` is integral
+    * division in both engines, so no float ever enters the fixpoint.
+    * Dangling mass (nodes with no outlinks) is dropped, not redistributed
+    * — the standard crawl-frontier simplification, stated here because the
+    * oracle must drop it identically.
+    *
+    * Scale shape: the edge set (with outdegree stapled on once, cached) is
+    * the only large operand and it never re-shuffles — each round is one
+    * shuffle join ranks ⋈ edges on the src key plus one map-side-combined
+    * sum on the dst key, both uniform URL-hash-shaped keys; a mega-hub's
+    * 10^6 in-links combine, they don't hot-spot. K is fixed (default 3),
+    * so the plan is K unrolled join+agg stages — no driver loop over
+    * collected data; `localCheckpoint` per round keeps the lineage O(1)
+    * like [[graft.operators.TrainingOps.dupClusters]]' doubling passes.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val ed = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .distinct()
+    val withDeg = ed
+      .join(ed.groupBy("__s").agg(count(lit(1)).as("__deg")), "__s")
+      .persist()
+    val nodes = ed.select(col("__s").as("__v"))
+      .union(ed.select(col("__d").as("__v"))).distinct().persist()
+    var ranks = nodes.select(col("__v"), lit(PageRankScale).as("rank"))
+    (1 to iterations).foreach { _ =>
+      val contribs = withDeg
+        .join(ranks, col("__s") === col("__v"))
+        .select(col("__d"),
+          expr(s"((rank * $PageRankDampNum) div $PageRankDampDen)" +
+            " div __deg").as("__contrib"))
+        .groupBy("__d").agg(sum("__contrib").as("__in"))
+      ranks = nodes
+        .join(contribs, col("__v") === col("__d"), "left")
+        .select(col("__v"),
+          (lit(PageRankBase) + coalesce(col("__in"), lit(0L))).as("rank"))
+        .localCheckpoint()
+    }
+    withDeg.unpersist()
+    nodes.unpersist()
+    ranks.select(col("__v").as("node"), col("rank"))
+  }
+
   /** Fetch order as physical layout, not a sorted Dataset: host-hash
     * partitions with rows ordered (host, priority desc) WITHIN each
     * partition — `sortWithinPartitions`, no global sort, no driver loop.

@@ -140,6 +140,41 @@ class PolitenessSpec extends SparkTestBase {
     assert(got("/anything") === ((true, 0)))
   }
 
+  test("pageRank: K rounds equal the sequential integer recurrence") {
+    // graph with a duplicate edge, a dangling sink (5), a pure source (4),
+    // and a cycle 1→2→3→1 so multi-hop mass actually moves
+    val edgeSeq = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L),
+      (1L, 2L), (3L, 5L))
+    def seqPageRank(iters: Int): Map[Long, Long] = {
+      val ed = edgeSeq.distinct
+      val deg = ed.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+      val nodes = (ed.map(_._1) ++ ed.map(_._2)).distinct
+      var r = nodes.map(_ -> Scheduler.PageRankScale).toMap
+      (1 to iters).foreach { _ =>
+        val in = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        ed.foreach { case (s, d) =>
+          in(d) += (r(s) * Scheduler.PageRankDampNum /
+            Scheduler.PageRankDampDen) / deg(s)
+        }
+        r = nodes.map(v => v -> (Scheduler.PageRankBase + in(v))).toMap
+      }
+      r
+    }
+    val edges = edgeSeq.toDF("src", "dst")
+    Seq(1, 3).foreach { k =>
+      val got = Scheduler.pageRank(edges, "src", "dst", iterations = k)
+        .as[(Long, Long)].collect().toMap
+      assert(got === seqPageRank(k), s"iterations=$k")
+    }
+    // node 4 has no in-links: after any round it sits at the base mass
+    val r3 = Scheduler.pageRank(edges, "src", "dst", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3(4L) === Scheduler.PageRankBase)
+    // the cycle keeps every cycle member above base; dangling 5 gets 3's tax
+    assert(Seq(1L, 2L, 3L, 5L).forall(r3(_) > Scheduler.PageRankBase))
+  }
+
   test("recrawlDue: latest fetch per URL vs per-source refresh interval") {
     import spark.implicits._
     val articles = Seq(
