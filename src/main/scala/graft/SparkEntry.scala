@@ -48,6 +48,7 @@ object SparkEntry {
     "q_doc_simhash_dups" -> ((s, d) => TrainingOps.simhashNearDups(s, d)),
     "q_doc_decontaminate" -> ((s, d) => TrainingOps.decontaminate(s, d)),
     "q_doc_dup_spans" -> ((s, d) => TrainingOps.dupSpanMass(s, d)),
+    "q_doc_span_removal" -> ((s, d) => TrainingOps.removeDupSpans(s, d)),
     "q_doc_minhash" -> ((s, d) => TrainingOps.minhashSignatures(s, d)),
     "q_doc_lsh_pairs" -> ((s, d) => TrainingOps.lshCandidatePairs(s, d)),
     "q_doc_jaccard_pairs" -> ((s, d) => TrainingOps.jaccardVerifiedPairs(s, d)),
@@ -1097,6 +1098,34 @@ object SparkEntry {
            |       CAST((COALESCE(d.n_dup_shingles, 0) * 1000) // tot.n_shingles AS BIGINT)
            |         AS dup_permille
            |FROM tot LEFT JOIN dups d USING (doc_id)""".stripMargin,
+      "q_doc_span_removal" ->
+        s"""WITH $nearDupCtes,
+           |t2 AS (SELECT doc_id, t, CAST(ceil(len(t) / 10.0) AS BIGINT) AS nc
+           |       FROM tok WHERE len(t) > 0),
+           |ix AS (SELECT doc_id, t, unnest(range(nc)) AS chunk_idx FROM t2),
+           |ch AS (
+           |  SELECT doc_id, chunk_idx,
+           |         array_to_string(t[(chunk_idx * 10 + 1):(chunk_idx * 10 + 10)], ' ')
+           |           AS chunk_text
+           |  FROM ix),
+           |hx AS (SELECT doc_id, chunk_idx, chunk_text,
+           |              ${h60("chunk_text")} AS chh
+           |       FROM ch),
+           |keepocc AS (
+           |  SELECT doc_id, chunk_idx, chunk_text FROM (
+           |    SELECT hx.*, ROW_NUMBER() OVER (PARTITION BY chh
+           |           ORDER BY doc_id, chunk_idx) AS rn FROM hx)
+           |  WHERE rn = 1),
+           |agg AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_chunks,
+           |         string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text
+           |  FROM keepocc GROUP BY 1),
+           |tot2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+           |         FROM hx GROUP BY 1)
+           |SELECT tot2.doc_id, tot2.n_chunks,
+           |       CAST(COALESCE(a.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+           |       COALESCE(a.clean_text, '') AS clean_text
+           |FROM tot2 LEFT JOIN agg a USING (doc_id)""".stripMargin,
       "q_doc_lsh_pairs" ->
         s"""WITH $sigCtes
            |SELECT doc_a, doc_b FROM pairs""".stripMargin,

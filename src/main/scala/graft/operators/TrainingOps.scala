@@ -436,6 +436,68 @@ object TrainingOps {
         expr("n_dup_shingles * 1000 DIV n_shingles"))
   }
 
+  /** Words per span chunk for [[removeDupSpans]] — coarse enough that a
+    * chunk is a meaningful span, fine enough that twin prefixes align.
+    */
+  val SpanChunkWords = 10
+
+  /** Inter-document duplicate-span REMOVAL — the editor that
+    * [[dupSpanMass]] is the driving signal for (Lee et al. 2022's
+    * substring dedup, at fixed word-chunk granularity): chunk every doc
+    * into [[SpanChunkWords]]-word spans, keep only the globally FIRST
+    * occurrence of each distinct chunk (min (doc_id, chunk_idx) — all
+    * later occurrences are removed, within and across docs), and
+    * reassemble each doc's surviving chunks in order as `clean_text`.
+    * Runs over the near-dup corpus (originals + truncated twins) so the
+    * removal actually fires: a twin's shared prefix chunks vanish, the
+    * original survives intact.
+    *
+    * Scale shape: chunking is row-local (one array transform per doc, no
+    * explode before the repartition that [[nearDupCorpus]] consumers
+    * share); the keeper election is one map-side-combined `min(struct)`
+    * aggregation on the uniform 60-bit chunk hash — never a window over
+    * the full occurrence table; the keeper join is on the same uniform
+    * key (one row per chunk hash, so no fan-out); reassembly is one
+    * groupBy doc_id whose per-group state is the doc's own chunks. Chunk
+    * TEXT rides only from the occurrence table into the final
+    * `array_join` — the keeper table carries ids alone.
+    */
+  def removeDupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    removeDupSpansFrom(nearDupCorpus(spark, sfDir))
+
+  /** [[removeDupSpans]] over any (doc_id, text) corpus. */
+  def removeDupSpansFrom(corpus: DataFrame,
+      chunkWords: Int = SpanChunkWords): DataFrame = {
+    val occ = corpus.repartition(col("doc_id"))
+      .withColumn("w", filter(split(col("text"), "\\s+"), x => x =!= ""))
+      .filter(size(col("w")) > 0)
+      .withColumn("nc",
+        ceil(size(col("w")) / lit(chunkWords.toDouble)).cast("int"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => array_join(
+            slice(col("w"), i * chunkWords + 1, lit(chunkWords)), " ")))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("chh", hash60(col("chunk_text")))
+    val keeper = occ.groupBy("chh")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("k"))
+    val kept = occ.join(keeper, Seq("chh"))
+      .filter(col("doc_id") === col("k.doc_id") &&
+        col("chunk_idx") === col("k.chunk_idx"))
+      .select("doc_id", "chunk_idx", "chunk_text")
+    val tot = occ.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("kept_chunks"),
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          s => s.getField("chunk_text")), " ").as("clean_text"))
+    tot.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** The training-corpus assembly pipeline composed end-to-end — the
     * training-data analog of the crawl tick: one plan carries every doc
     * through quality → repetition → decontamination → exact-dedup →
