@@ -34,6 +34,7 @@ object SparkEntry {
     "q_robots_gate" -> ((s, d) => CrawlOps.robotsGate(s, d)),
     "q_opic_priority" -> ((s, d) => CrawlOps.opicPriority(s, d)),
     "q_pagerank" -> ((s, d) => CrawlOps.pageRankPriority(s, d)),
+    "q_url_distinct_kmv" -> ((s, d) => CrawlOps.distinctUrlsKmv(s, d)),
     "q_recrawl_due" -> ((s, d) => CrawlOps.recrawlDue(s, d)),
     // --- training-data pipeline surface (dedup / similarity / text) ---
     "q_doc_exact_dedup" -> ((s, d) => TrainingOps.exactDedup(s, d)),
@@ -306,6 +307,20 @@ object SparkEntry {
           |r3 AS (SELECT n.v, CAST(150000 + COALESCE(c3.c, 0) AS BIGINT) AS r
           |       FROM nodes n LEFT JOIN c3 ON c3.v = n.v)
           |SELECT v AS node, r AS "rank" FROM r3""".stripMargin,
+      "q_url_distinct_kmv" ->
+        s"""WITH f AS ($frontierCte),
+           |hs AS (SELECT DISTINCT
+           |         CAST(('0x' || substr(md5(link), 1, 15)) AS BIGINT) AS hv
+           |       FROM f),
+           |mins AS (SELECT hv FROM hs ORDER BY hv LIMIT 256),
+           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_minima,
+           |              MAX(hv) AS kth_hash
+           |       FROM mins)
+           |SELECT n_minima, kth_hash,
+           |       CAST(CASE WHEN n_minima < 256 THEN n_minima
+           |            ELSE (255::HUGEINT * (1::HUGEINT << 60)) // kth_hash
+           |            END AS BIGINT) AS est_distinct
+           |FROM st""".stripMargin,
       "q_recrawl_due" ->
         """WITH a AS (
           |  SELECT 'u' || CAST(event_id % 3000 AS VARCHAR) AS canonical_url,

@@ -352,4 +352,30 @@ object CrawlOps {
     graft.politeness.Scheduler.pageRank(edges, "src", "dst", iterations = 3)
       .select(col("node"), col("rank"))
   }
+
+  /** Bottom-k size for [[distinctUrlsKmv]] — stderr ≈ 1/√254 ≈ 6%. */
+  val KmvK = 256
+
+  /** Approximate distinct-URL cardinality of the frontier via a KMV
+    * bottom-k sketch ([[graft.functions.KmvSketch]]): the telemetry
+    * counter that replaces exact countDistinct at the 10^10-URL design
+    * point. ONE aggregation, no distinct shuffle — partial sketches
+    * combine map-side and only k-long arrays move; the estimate itself is
+    * exact integer math ((k−1)·2^60 div h_k) so DuckDB replays it
+    * bit-for-bit. Emits the sketch's own evidence (minima count + k-th
+    * hash) beside the estimate.
+    */
+  def distinctUrlsKmv(spark: SparkSession, sfDir: String,
+      k: Int = KmvK): DataFrame = {
+    val agg = udaf(new graft.functions.KmvAggregator(k))
+    val est = udf((mins: Seq[Long]) =>
+      graft.functions.KmvSketch.estimateFrom(mins, k))
+    frontier(spark, sfDir)
+      .select(TrainingOps.hash60(col("link")).as("h"))
+      .agg(agg(col("h")).as("mins"))
+      .select(
+        size(col("mins")).cast("long").as("n_minima"),
+        element_at(col("mins"), size(col("mins"))).as("kth_hash"),
+        est(col("mins")).as("est_distinct"))
+  }
 }
