@@ -35,6 +35,7 @@ object SparkEntry {
     "q_opic_priority" -> ((s, d) => CrawlOps.opicPriority(s, d)),
     "q_pagerank" -> ((s, d) => CrawlOps.pageRankPriority(s, d)),
     "q_url_distinct_kmv" -> ((s, d) => CrawlOps.distinctUrlsKmv(s, d)),
+    "q_host_budgets" -> ((s, d) => CrawlOps.hostBudgetAllocation(s, d)),
     "q_recrawl_due" -> ((s, d) => CrawlOps.recrawlDue(s, d)),
     // --- training-data pipeline surface (dedup / similarity / text) ---
     "q_doc_exact_dedup" -> ((s, d) => TrainingOps.exactDedup(s, d)),
@@ -321,6 +322,40 @@ object SparkEntry {
            |            ELSE (255::HUGEINT * (1::HUGEINT << 60)) // kth_hash
            |            END AS BIGINT) AS est_distinct
            |FROM st""".stripMargin,
+      "q_host_budgets" ->
+        """WITH ed AS (
+          |  SELECT DISTINCT event_id % 211 AS pnum, event_id % 631 AS cnum
+          |  FROM events),
+          |deg AS (SELECT pnum, CAST(COUNT(*) AS BIGINT) AS outdeg
+          |        FROM ed GROUP BY 1),
+          |cash AS (
+          |  SELECT e.cnum,
+          |         CAST(SUM(CAST(FLOOR(100000 / d.outdeg) AS BIGINT)) AS BIGINT) AS cash
+          |  FROM ed e JOIN deg d USING (pnum) GROUP BY 1),
+          |sc AS (
+          |  SELECT 'h' || CAST(cnum % 13 AS VARCHAR) || '.example.com' AS host,
+          |         cash + CAST(GREATEST(0, 30 - (cnum % 30)) * 1000 AS BIGINT)
+          |           AS priority
+          |  FROM cash),
+          |hm AS (SELECT host, CAST(SUM(priority) AS BIGINT) AS mass
+          |       FROM sc GROUP BY 1),
+          |tt AS (SELECT CAST(SUM(mass) AS BIGINT) AS tot FROM hm),
+          |qb AS (SELECT host, mass,
+          |              CAST((mass * 10000) // tot AS BIGINT) AS base_quota,
+          |              CAST((mass * 10000) % tot AS BIGINT) AS rem
+          |       FROM hm, tt),
+          |lo AS (SELECT CAST(10000 - SUM(base_quota) AS BIGINT) AS leftover
+          |       FROM qb),
+          |rk AS (SELECT host,
+          |              ROW_NUMBER() OVER (ORDER BY rem DESC, host ASC) AS rr
+          |       FROM qb)
+          |SELECT q.host, q.mass, q.base_quota,
+          |       CAST(CASE WHEN rk.rr <= lo.leftover THEN 1 ELSE 0 END
+          |            AS BIGINT) AS extra,
+          |       CAST(q.base_quota +
+          |            CASE WHEN rk.rr <= lo.leftover THEN 1 ELSE 0 END
+          |            AS BIGINT) AS quota
+          |FROM qb q JOIN rk USING (host), lo""".stripMargin,
       "q_recrawl_due" ->
         """WITH a AS (
           |  SELECT 'u' || CAST(event_id % 3000 AS VARCHAR) AS canonical_url,

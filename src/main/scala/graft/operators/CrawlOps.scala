@@ -353,6 +353,23 @@ object CrawlOps {
       .select(col("node"), col("rank"))
   }
 
+  /** Global per-tick fetch budget for [[hostBudgetAllocation]]. */
+  val TickFetchBudget = 10000L
+
+  /** Per-host fetch quotas for one tick: OPIC priority mass aggregated to
+    * hosts, then Hamilton largest-remainder apportionment of a global
+    * budget (Scheduler.hostBudgets) — Σquota == budget exactly, all
+    * integer math, so the oracle replays it with `//`/`%` and a remainder
+    * window. The composition dial between the authority scores and the
+    * politeness scheduler.
+    */
+  def hostBudgetAllocation(spark: SparkSession, sfDir: String,
+      budget: Long = TickFetchBudget): DataFrame = {
+    val mass = opicPriority(spark, sfDir)
+      .groupBy("host").agg(sum("priority").as("mass"))
+    graft.politeness.Scheduler.hostBudgets(mass, "host", "mass", budget)
+  }
+
   /** Bottom-k size for [[distinctUrlsKmv]] — stderr ≈ 1/√254 ≈ 6%. */
   val KmvK = 256
 

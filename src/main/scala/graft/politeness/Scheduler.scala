@@ -190,6 +190,48 @@ object Scheduler {
     ranks.select(col("__v").as("node"), col("rank"))
   }
 
+  /** Apportion a global per-tick fetch budget across hosts proportionally
+    * to their priority mass — Hamilton's largest-remainder method, the
+    * integer-exact apportionment (base = floor(budget·mass/total); the
+    * `budget − Σbase` leftover units go to the largest remainders, host
+    * asc on ties). Σquota == budget exactly, every quota within one unit
+    * of its real proportion — the fairness law HostBudgetSpec pins. This
+    * is the dial that turns authority scores ([[opicPriority]],
+    * [[pageRank]]) into the politeness layer's per-host allowances.
+    *
+    * Scale shape: two broadcast scalars (total mass, leftover count) and
+    * NO global window — the leftover winners are a bounded top-k
+    * (`orderBy.limit` plans TakeOrderedAndProject: per-partition partial
+    * top-k, never a full sort) semi-joined back on host. leftover <
+    * n_hosts by construction, and in practice ≤ budget, so the top-k is
+    * small even at 10^8 hosts.
+    *
+    * Caller guarantees Σmass > 0 (an all-zero frontier has nothing to
+    * apportion).
+    */
+  def hostBudgets(mass: DataFrame, hostCol: String, massCol: String,
+      budget: Long): DataFrame = {
+    val m = mass.select(col(hostCol).as("host"),
+      col(massCol).cast("long").as("mass"))
+    val tot = m.agg(sum("mass").cast("long").as("__tot"))
+    val q = m.crossJoin(broadcast(tot))
+      .withColumn("__prod", col("mass") * budget)
+      .withColumn("base_quota", expr("__prod div __tot"))
+      .withColumn("__rem", expr("__prod % __tot"))
+    val qc = q.persist()
+    val leftover = budget - qc.agg(sum("base_quota")).head().getLong(0)
+    val winners = qc.orderBy(desc("__rem"), asc("host"))
+      .limit(leftover.toInt).select(col("host").as("__wh"))
+    val out = qc
+      .join(broadcast(winners), col("host") === col("__wh"), "left")
+      .withColumn("extra", when(col("__wh").isNotNull, 1L).otherwise(0L))
+      .select(col("host"), col("mass"), col("base_quota"), col("extra"),
+        (col("base_quota") + col("extra")).as("quota"))
+      .localCheckpoint() // materialize before releasing the shared input
+    qc.unpersist()
+    out
+  }
+
   /** Fetch order as physical layout, not a sorted Dataset: host-hash
     * partitions with rows ordered (host, priority desc) WITHIN each
     * partition — `sortWithinPartitions`, no global sort, no driver loop.
