@@ -172,7 +172,7 @@ object Scheduler {
     val nodes = ed.select(col("__s").as("__v"))
       .union(ed.select(col("__d").as("__v"))).distinct().persist()
     var ranks = nodes.select(col("__v"), lit(PageRankScale).as("rank"))
-    (1 to iterations).foreach { _ =>
+    (1 to iterations).foreach { it =>
       val contribs = withDeg
         .join(ranks, col("__s") === col("__v"))
         .select(col("__d"),
@@ -183,7 +183,9 @@ object Scheduler {
         .join(contribs, col("__v") === col("__d"), "left")
         .select(col("__v"),
           (lit(PageRankBase) + coalesce(col("__in"), lit(0L))).as("rank"))
-        .localCheckpoint()
+      // truncate lineage BETWEEN rounds only — the returned frame stays a
+      // lazy, inspectable one-round plan over the checkpointed prior state
+      if (it < iterations) ranks = ranks.localCheckpoint()
     }
     withDeg.unpersist()
     nodes.unpersist()

@@ -397,4 +397,36 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
           s"exchange carries raw bytes (${attr.name}):\n$e")
     }
   }
+
+  test("span removal: keeper election is an aggregate, never a window " +
+    "over the occurrence table; no widening join") {
+    val p = planString(TrainingOps.removeDupSpans(spark, sf()))
+    assert(!p.contains("Window"), "keeper must not be a window:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "widening join:\n" + p)
+    assert(p.contains("partial_min"), "keeper min must combine map-side:\n" + p)
+  }
+
+  test("pageRank round: contribution sum combines map-side; no window, " +
+    "no cartesian, lineage checkpointed between rounds") {
+    val p = planString(CrawlOps.pageRankPriority(spark, sf()))
+    assert(!p.contains("Window"), "no window belongs in a round:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "widening join:\n" + p)
+    assert(p.contains("partial_sum"), "contrib sum must combine map-side:\n" + p)
+    // rounds 1..K-1 are truncated away: the visible plan reads the
+    // checkpointed prior ranks, not the unrolled full chain
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "expected checkpointed prior-round state in the final plan:\n" + p)
+  }
+
+  test("KMV sketch: one object-hash aggregate, single-partition merge — " +
+    "no distinct shuffle of raw hashes") {
+    val p = planString(CrawlOps.distinctUrlsKmv(spark, sf()))
+    assert(p.contains("ObjectHashAggregate"),
+      "sketch must plan as ObjectHashAggregate:\n" + p)
+    assert(!p.contains("hashpartitioning"),
+      "no hash exchange belongs here — partials merge to one partition:\n" + p)
+    assert(!p.contains("Expand"), "no expand:\n" + p)
+  }
 }
