@@ -36,6 +36,7 @@ object SparkEntry {
     "q_pagerank" -> ((s, d) => CrawlOps.pageRankPriority(s, d)),
     "q_url_distinct_kmv" -> ((s, d) => CrawlOps.distinctUrlsKmv(s, d)),
     "q_host_budgets" -> ((s, d) => CrawlOps.hostBudgetAllocation(s, d)),
+    "q_redirect_resolve" -> ((s, d) => CrawlOps.redirectResolution(s, d)),
     "q_recrawl_due" -> ((s, d) => CrawlOps.recrawlDue(s, d)),
     // --- training-data pipeline surface (dedup / similarity / text) ---
     "q_doc_exact_dedup" -> ((s, d) => TrainingOps.exactDedup(s, d)),
@@ -356,6 +357,36 @@ object SparkEntry {
           |            CASE WHEN rk.rr <= lo.leftover THEN 1 ELSE 0 END
           |            AS BIGINT) AS quota
           |FROM qb q JOIN rk USING (host), lo""".stripMargin,
+      "q_redirect_resolve" ->
+        """WITH ev AS (SELECT event_id AS e FROM events),
+          |r AS (
+          |  SELECT 'https://r.example.com/u' || CAST(e AS VARCHAR) AS src,
+          |         'https://r.example.com/u' || CAST(e - 1 AS VARCHAR) AS dst
+          |  FROM ev WHERE e % 8 <> 0
+          |  UNION ALL
+          |  SELECT 'https://r.example.com/u' || CAST(e AS VARCHAR) AS src,
+          |         'https://r.example.com/u' || CAST(e + 7 AS VARCHAR) AS dst
+          |  FROM ev WHERE e % 8 = 0 AND (e // 8) % 50 = 0),
+          |l AS (SELECT 'https://r.example.com/u' || CAST(e AS VARCHAR) AS link
+          |      FROM ev),
+          |m0 AS (SELECT src, dst, CAST(1 AS BIGINT) AS hops FROM r),
+          |m1 AS (SELECT a.src, COALESCE(b.dst, a.dst) AS dst,
+          |              a.hops + COALESCE(b.hops, 0) AS hops
+          |       FROM m0 a LEFT JOIN m0 b ON b.src = a.dst),
+          |m2 AS (SELECT a.src, COALESCE(b.dst, a.dst) AS dst,
+          |              a.hops + COALESCE(b.hops, 0) AS hops
+          |       FROM m1 a LEFT JOIN m1 b ON b.src = a.dst),
+          |m3 AS (SELECT a.src, COALESCE(b.dst, a.dst) AS dst,
+          |              a.hops + COALESCE(b.hops, 0) AS hops
+          |       FROM m2 a LEFT JOIN m2 b ON b.src = a.dst),
+          |res AS (
+          |  SELECT l.link, COALESCE(m3.dst, l.link) AS final_url,
+          |         CAST(COALESCE(m3.hops, 0) AS BIGINT) AS hops
+          |  FROM l LEFT JOIN m3 ON m3.src = l.link)
+          |SELECT res.link, res.final_url, res.hops,
+          |       (o.src IS NULL) AS resolved
+          |FROM res LEFT JOIN (SELECT DISTINCT src FROM r) o
+          |  ON o.src = res.final_url""".stripMargin,
       "q_recrawl_due" ->
         """WITH a AS (
           |  SELECT 'u' || CAST(event_id % 3000 AS VARCHAR) AS canonical_url,

@@ -370,6 +370,70 @@ object CrawlOps {
     graft.politeness.Scheduler.hostBudgets(mass, "host", "mass", budget)
   }
 
+  /** Resolve redirect chains by path doubling: K passes compose the
+    * (src → dst, hops) map with itself, so pass K covers 2^K hops — the
+    * 301-map flattening a crawler runs before dedup (aliased URLs must
+    * hit the seen-filter under their FINAL address or every alias
+    * refetches). A URL is `resolved` when its terminal has no outgoing
+    * redirect; cycles never terminate and surface as resolved=false with
+    * the deterministic partially-followed state (never an infinite loop,
+    * never an exception).
+    *
+    * Scale shape: every pass is ONE self-join of the mapping on the
+    * uniform URL key plus a coalesce — no explode, no window; lineage is
+    * checkpointed between passes (the [[graft.politeness.Scheduler.pageRank]]
+    * discipline) so the plan stays O(1) in K. The final probe is two
+    * left joins on the same uniform key. K=3 (8 hops) covers any sane
+    * redirect policy; real chains longer than that are traps by
+    * definition and come out resolved=false, which is the correct crawl
+    * decision.
+    */
+  def resolveRedirects(links: DataFrame, urlCol: String,
+      redirects: DataFrame, passes: Int = 3): DataFrame = {
+    require(passes >= 1, s"passes must be >= 1, got $passes")
+    var m = redirects.select(col("src"), col("dst"), lit(1L).as("hops"))
+    (1 to passes).foreach { it =>
+      val b = m.select(col("src").as("__bsrc"), col("dst").as("__bdst"),
+        col("hops").as("__bhops"))
+      m = m.join(b, col("dst") === col("__bsrc"), "left")
+        .select(col("src"),
+          coalesce(col("__bdst"), col("dst")).as("dst"),
+          (col("hops") + coalesce(col("__bhops"), lit(0L))).as("hops"))
+      if (it < passes) m = m.localCheckpoint()
+    }
+    val mapped = m.select(col("src").as("__msrc"), col("dst").as("__mdst"),
+      col("hops").as("__mhops"))
+    val outgoing = redirects.select(col("src").as("__osrc")).distinct()
+    links
+      .join(mapped, col(urlCol) === col("__msrc"), "left")
+      .withColumn("final_url", coalesce(col("__mdst"), col(urlCol)))
+      .withColumn("hops", coalesce(col("__mhops"), lit(0L)))
+      .join(outgoing, col("final_url") === col("__osrc"), "left")
+      .withColumn("resolved", col("__osrc").isNull)
+      .drop("__msrc", "__mdst", "__mhops", "__osrc")
+  }
+
+  /** [[resolveRedirects]] over a deterministic events-derived redirect
+    * map: ids group into 8-blocks; positions 1-7 chain down to the block
+    * root (terminal), and every 50th block's root redirects back to its
+    * own tail, closing an 8-cycle — so the fixture exercises multi-hop
+    * resolution, zero-hop identity, AND unresolvable loops. The oracle
+    * replays the identical doubling composition as unrolled CTEs.
+    */
+  def redirectResolution(spark: SparkSession, sfDir: String): DataFrame = {
+    def u(c: Column): Column =
+      concat(lit("https://r.example.com/u"), c.cast("string"))
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id").as("e"))
+    val chainEdges = ev.filter(col("e") % 8 =!= 0)
+      .select(u(col("e")).as("src"), u(col("e") - 1).as("dst"))
+    val cycleEdges = ev
+      .filter(col("e") % 8 === 0 && expr("(e div 8) % 50") === 0)
+      .select(u(col("e")).as("src"), u(col("e") + 7).as("dst"))
+    resolveRedirects(ev.select(u(col("e")).as("link")), "link",
+      chainEdges.unionByName(cycleEdges))
+  }
+
   /** Bottom-k size for [[distinctUrlsKmv]] — stderr ≈ 1/√254 ≈ 6%. */
   val KmvK = 256
 
