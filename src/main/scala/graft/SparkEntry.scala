@@ -37,6 +37,7 @@ object SparkEntry {
     "q_url_distinct_kmv" -> ((s, d) => CrawlOps.distinctUrlsKmv(s, d)),
     "q_host_budgets" -> ((s, d) => CrawlOps.hostBudgetAllocation(s, d)),
     "q_redirect_resolve" -> ((s, d) => CrawlOps.redirectResolution(s, d)),
+    "q_url_traps" -> ((s, d) => CrawlOps.urlTrapDetection(s, d)),
     "q_recrawl_due" -> ((s, d) => CrawlOps.recrawlDue(s, d)),
     // --- training-data pipeline surface (dedup / similarity / text) ---
     "q_doc_exact_dedup" -> ((s, d) => TrainingOps.exactDedup(s, d)),
@@ -387,6 +388,32 @@ object SparkEntry {
           |       (o.src IS NULL) AS resolved
           |FROM res LEFT JOIN (SELECT DISTINCT src FROM r) o
           |  ON o.src = res.final_url""".stripMargin,
+      "q_url_traps" ->
+        """WITH p AS (
+          |  SELECT 'h' || CAST(event_id % 5 AS VARCHAR) || '.example.com'
+          |           AS host,
+          |         CASE WHEN event_id % 3 = 0
+          |                THEN '/article/' || CAST(event_id AS VARCHAR)
+          |              WHEN event_id % 3 = 1
+          |                THEN '/cal/2024/' || CAST(event_id AS VARCHAR)
+          |              ELSE '/tag/' || CAST(event_id % 50 AS VARCHAR)
+          |         END AS path,
+          |         CASE WHEN event_id % 3 = 0 THEN event_id
+          |              WHEN event_id % 3 = 1 THEN 0
+          |              ELSE event_id % 50
+          |         END AS content_key
+          |  FROM events),
+          |g AS (
+          |  SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS template,
+          |         CAST(COUNT(DISTINCT host || path) AS BIGINT) AS n_urls,
+          |         CAST(COUNT(DISTINCT content_key) AS BIGINT) AS n_contents
+          |  FROM p GROUP BY 1, 2)
+          |SELECT host, template, n_urls, n_contents,
+          |       CAST((n_contents * 1000) // n_urls AS BIGINT)
+          |         AS content_permille,
+          |       (n_urls >= 20 AND (n_contents * 1000) // n_urls <= 100)
+          |         AS is_trap
+          |FROM g""".stripMargin,
       "q_recrawl_due" ->
         """WITH a AS (
           |  SELECT 'u' || CAST(event_id % 3000 AS VARCHAR) AS canonical_url,

@@ -434,6 +434,69 @@ object CrawlOps {
       chainEdges.unionByName(cycleEdges))
   }
 
+  /** Volume floor below which a template is never called a trap. */
+  val TrapMinUrls = 20L
+
+  /** Duplicate-content ceiling (per-mille distinct contents) at or below
+    * which a high-volume template is a trap.
+    */
+  val TrapMaxContentPermille = 100L
+
+  /** Crawl-trap / URL-alias detection: flag URL TEMPLATES (path with
+    * digit runs collapsed to `N`) that mint many distinct URLs over few
+    * distinct contents — the signature of calendar pages, session-id
+    * aliases, and infinite pagination (the trap-control every production
+    * crawler runs; cf. IRLbot's spam/budget control, Lee et al.
+    * WWW 2009). A template is a trap when it has ≥ [[TrapMinUrls]] URLs
+    * whose distinct-content ratio is ≤ [[TrapMaxContentPermille]]‰ —
+    * integer math end to end.
+    *
+    * Scale shape: template derivation is row-local (one regexp over the
+    * path, no UDF); the two distinct-counts group on (host, template) —
+    * bounded cardinality (templates per host is small by construction of
+    * templating) with uniform url/content keys inside, planned as the
+    * standard expand + two-phase aggregate. Approximate mode at extreme
+    * scale would swap the exact countDistinct for the
+    * [[graft.functions.KmvSketch]] estimate — same plan shape.
+    */
+  def trapTemplates(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("template", regexp_replace(col("path"), "[0-9]+", "N"))
+      .withColumn("url", concat(col("host"), col("path")))
+      .groupBy("host", "template")
+      .agg(countDistinct(col("url")).as("n_urls"),
+        countDistinct(col("content_key")).as("n_contents"))
+      .withColumn("content_permille",
+        expr("n_contents * 1000 div n_urls"))
+      .withColumn("is_trap",
+        col("n_urls") >= TrapMinUrls &&
+          col("content_permille") <= TrapMaxContentPermille)
+
+  /** [[trapTemplates]] over a deterministic events-derived page log:
+    * e%3==0 → unique-content articles (clean high-volume template),
+    * e%3==1 → a calendar path whose every URL serves the same content
+    * (the trap), e%3==2 → a small tag space under the volume floor (high
+    * aliasing ratio but too few URLs to flag — the guard case).
+    */
+  def urlTrapDetection(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id").as("e"))
+    val pages = ev.select(
+      concat(lit("h"), (col("e") % 5).cast("string"),
+        lit(".example.com")).as("host"),
+      when(col("e") % 3 === 0,
+          concat(lit("/article/"), col("e").cast("string")))
+        .when(col("e") % 3 === 1,
+          concat(lit("/cal/2024/"), col("e").cast("string")))
+        .otherwise(concat(lit("/tag/"), (col("e") % 50).cast("string")))
+        .as("path"),
+      when(col("e") % 3 === 0, col("e"))
+        .when(col("e") % 3 === 1, lit(0L))
+        .otherwise(col("e") % 50)
+        .as("content_key"))
+    trapTemplates(pages)
+  }
+
   /** Bottom-k size for [[distinctUrlsKmv]] — stderr ≈ 1/√254 ≈ 6%. */
   val KmvK = 256
 
