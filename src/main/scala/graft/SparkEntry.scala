@@ -34,6 +34,7 @@ object SparkEntry {
     "q_robots_gate" -> ((s, d) => CrawlOps.robotsGate(s, d)),
     "q_opic_priority" -> ((s, d) => CrawlOps.opicPriority(s, d)),
     "q_pagerank" -> ((s, d) => CrawlOps.pageRankPriority(s, d)),
+    "q_anchor_text" -> ((s, d) => CrawlOps.anchorTextTopTerms(s, d)),
     "q_url_distinct_kmv" -> ((s, d) => CrawlOps.distinctUrlsKmv(s, d)),
     "q_host_budgets" -> ((s, d) => CrawlOps.hostBudgetAllocation(s, d)),
     "q_redirect_resolve" -> ((s, d) => CrawlOps.redirectResolution(s, d)),
@@ -47,6 +48,8 @@ object SparkEntry {
     "q_doc_quality" -> ((s, d) => TrainingOps.qualityScores(s, d)),
     "q_doc_repetition" -> ((s, d) => TrainingOps.repetitionStats(s, d)),
     "q_doc_mixture_sample" -> ((s, d) => TrainingOps.mixtureSample(s, d)),
+    "q_doc_pack" -> ((s, d) => TrainingOps.sequencePacking(s, d)),
+    "q_doc_lm_score" -> ((s, d) => TrainingOps.lmFamiliarity(s, d)),
     "q_doc_assemble" -> ((s, d) => TrainingOps.assembleCorpus(s, d)),
     "q_doc_simhash" -> ((s, d) => TrainingOps.simhash(s, d)),
     "q_doc_simhash_dups" -> ((s, d) => TrainingOps.simhashNearDups(s, d)),
@@ -278,6 +281,19 @@ object SparkEntry {
           |       CAST(ROW_NUMBER() OVER (PARTITION BY host
           |            ORDER BY cash + boost DESC, child ASC) AS BIGINT) AS host_rank
           |FROM sc""".stripMargin,
+      "q_anchor_text" ->
+        """WITH counts AS (
+          |  SELECT event_id % 631 AS dst, event_type AS term,
+          |         CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM events GROUP BY 1, 2),
+          |ranked AS (
+          |  SELECT dst, term, cnt,
+          |         CAST(ROW_NUMBER() OVER (
+          |           PARTITION BY dst ORDER BY cnt DESC, term ASC)
+          |           AS BIGINT) AS term_rank
+          |  FROM counts)
+          |SELECT dst, term, cnt, term_rank
+          |FROM ranked WHERE term_rank <= 3""".stripMargin,
       "q_pagerank" ->
         """WITH ed AS (
           |  SELECT DISTINCT event_id % 211 AS s, event_id % 631 AS d
@@ -1100,6 +1116,55 @@ object SparkEntry {
            |          WHEN lang = 'zh' THEN 1000
            |          ELSE 600 END) AS sampled
            |FROM documents""".stripMargin,
+      "q_doc_pack" ->
+        """WITH toks AS (
+          |  SELECT doc_id, lang, doc_id % 32 AS shard,
+          |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+          |                              x -> x <> '')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |packed AS (
+          |  SELECT doc_id, lang, shard, n_tokens,
+          |         CAST(COALESCE(SUM(n_tokens) OVER (
+          |           PARTITION BY lang, shard ORDER BY doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |           AS BIGINT) AS tok_start
+          |  FROM toks)
+          |SELECT doc_id, lang, shard, n_tokens, tok_start,
+          |       tok_start // 512 AS first_seq,
+          |       CAST(CASE WHEN n_tokens > 0
+          |            THEN (tok_start + n_tokens - 1) // 512
+          |            ELSE tok_start // 512 END AS BIGINT) AS last_seq,
+          |       CAST(CASE WHEN n_tokens > 0
+          |            THEN (tok_start + n_tokens - 1) // 512
+          |                 - tok_start // 512 + 1
+          |            ELSE 0 END AS BIGINT) AS n_seqs
+          |FROM packed""".stripMargin,
+      "q_doc_lm_score" ->
+        """WITH base AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+          |  FROM documents),
+          |grams AS (
+          |  SELECT doc_id,
+          |         unnest(list_transform(range(1, len(l)),
+          |                               i -> l[i] || ' ' || l[i + 1])) AS gram
+          |  FROM base),
+          |lm AS (
+          |  SELECT gram, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM grams WHERE doc_id % 10 = 0 GROUP BY 1),
+          |agg AS (
+          |  SELECT g.doc_id,
+          |         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          |         CAST(COUNT(l.c) AS BIGINT) AS matched_bigrams,
+          |         CAST(COALESCE(SUM(l.c), 0) AS BIGINT) AS familiarity
+          |  FROM grams g LEFT JOIN lm l USING (gram) GROUP BY 1)
+          |SELECT b.doc_id,
+          |       CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+          |       CAST(COALESCE(a.matched_bigrams, 0) AS BIGINT) AS matched_bigrams,
+          |       CAST(COALESCE(a.familiarity, 0) AS BIGINT) AS familiarity,
+          |       COALESCE(a.matched_bigrams, 0) * 2 >= COALESCE(a.n_bigrams, 0)
+          |         AS in_distribution
+          |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
       "q_doc_repetition" ->
         """WITH base AS (
           |  SELECT doc_id,

@@ -353,6 +353,38 @@ object CrawlOps {
       .select(col("node"), col("rank"))
   }
 
+  /** Anchor-text aggregation: the link graph's text signal — for every
+    * link target, the top-3 anchor terms pointing at it with their counts
+    * (the classic web-search feature, and the caption/label side of a
+    * crawl's image+caption pair table). Edges reuse the [[pageRankPriority]]
+    * synthetic graph with the event type as the anchor term.
+    *
+    * Scale shape: the data-mass shuffle is one uniform-key groupBy on
+    * (dst, term); the rank window then sees per-target candidate sets
+    * bounded by the ANCHOR VOCABULARY (terms per target, not links per
+    * target — the count aggregate already collapsed link multiplicity),
+    * so no two-stage partial rank is needed: a mega-target with 10^9
+    * in-links still ranks |vocabulary| rows. Ties break (cnt desc, term
+    * asc), deterministic.
+    */
+  def anchorTextTopTerms(spark: SparkSession, sfDir: String,
+      k: Int = 3): DataFrame =
+    anchorTopTermsFrom(
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .select(
+          (col("event_id") % 631).as("dst"),
+          col("event_type").as("term")), k)
+
+  /** [[anchorTextTopTerms]] over any (dst, term) edge frame (one row per
+    * in-link, multiplicity counts).
+    */
+  def anchorTopTermsFrom(edges: DataFrame, k: Int): DataFrame =
+    edges.groupBy("dst", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("term_rank", row_number().over(
+        Window.partitionBy("dst").orderBy(desc("cnt"), asc("term")))
+        .cast("long"))
+      .filter(col("term_rank") <= k)
+
   /** Global per-tick fetch budget for [[hostBudgetAllocation]]. */
   val TickFetchBudget = 10000L
 

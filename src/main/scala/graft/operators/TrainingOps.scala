@@ -2113,6 +2113,118 @@ object TrainingOps {
     if (total == 0) 1.0 else hit.toDouble / total
   }
 
+  // -------------------------------------------------------------------
+  // Sequence packing — the tokenized-corpus → fixed-length-training-rows
+  // layout step of an LLM data pipeline (every pretraining run packs
+  // documents into constant-length sequences before batching).
+  // -------------------------------------------------------------------
+
+  /** Packed-sequence length in tokens. */
+  val PackSeqLen = 512L
+
+  /** Independent packing shards per language — the scale dial: packing is
+    * a running sum, inherently sequential WITHIN a token stream, so the
+    * stream is sharded first and each shard packs independently.
+    */
+  val PackShards = 32L
+
+  /** Contiguous sequence packing: documents are laid into a virtual token
+    * stream per (lang, shard) — shard = doc_id % [[PackShards]] — and each
+    * doc reports the fixed-length training sequences it lands in
+    * (`first_seq`/`last_seq` of length-[[PackSeqLen]] windows over the
+    * stream, `n_seqs` spanned). This is the standard streaming pack
+    * (concatenate-then-split, the T5/GPT pipeline layout), not bin
+    * packing: order inside a shard is doc_id, so the layout is a pure
+    * function of the corpus — re-runs and different partitionings produce
+    * the identical packing.
+    *
+    * Scale shape: ONE window exchange hash-partitioned on (lang, shard).
+    * The running sum is the sequential core of packing and cannot be
+    * shuffle-free, but the shard dial bounds every window partition to
+    * 1/[[PackShards]] of a language (raise it until partitions fit — each
+    * shard is an independent token stream by construction, so shards
+    * never synchronize). No global sort, no driver state.
+    */
+  def sequencePacking(spark: SparkSession, sfDir: String): DataFrame =
+    sequencePackingOf(docs(spark, sfDir))
+
+  /** [[sequencePacking]] over any (doc_id, lang, text) corpus. */
+  def sequencePackingOf(corpus: DataFrame): DataFrame = {
+    val toks = corpus.select(
+      col("doc_id"), col("lang"),
+      pmod(col("doc_id"), lit(PackShards)).as("shard"),
+      size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+        .cast("long").as("n_tokens"))
+    // exclusive prefix sum: where this doc's tokens start in its stream
+    val stream = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("tok_start", coalesce(sum("n_tokens").over(stream), lit(0L)))
+      .withColumn("first_seq", expr(s"tok_start DIV $PackSeqLen"))
+      .withColumn("last_seq",
+        when(col("n_tokens") > 0,
+          expr(s"(tok_start + n_tokens - 1) DIV $PackSeqLen"))
+          .otherwise(col("first_seq")))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        col("tok_start"), col("first_seq"), col("last_seq"),
+        when(col("n_tokens") > 0,
+          col("last_seq") - col("first_seq") + lit(1L))
+          .otherwise(lit(0L)).as("n_seqs"))
+  }
+
+  // -------------------------------------------------------------------
+  // N-gram LM familiarity — the CCNet-style "perplexity" quality filter
+  // re-expressed with integer counts so it is exact across engines.
+  // -------------------------------------------------------------------
+
+  /** Bigram-LM familiarity scoring: a count LM is built in-plan from the
+    * held-in split (doc_id % 10 == 0 — in production, the curated
+    * reference corpus) and every document is scored by how much of it the
+    * LM has seen: `matched_bigrams` (doc bigram occurrences the LM knows)
+    * and `familiarity` (sum of the LM's counts over them). CCNet ranks by
+    * LM perplexity; the float log-prob is replaced by the integer count
+    * mass so the oracle is bit-exact — the ORDERING signal (familiar vs
+    * out-of-distribution text) is the same. `in_distribution` is the
+    * keep-verdict at the half-matched threshold.
+    *
+    * Scale shape: bigrams explode once per scoring pass (row-local
+    * transform, then uniform-key shuffles only); the LM table is bounded
+    * by the held-in vocabulary² and joins via Catalyst's size-dispatched
+    * broadcast (same contract as [[decontaminateFrom]] — a fixed-size
+    * reference corpus yields a fixed-size LM however large the scored
+    * corpus grows). Zero-bigram docs are restored by the left join, never
+    * silently dropped.
+    */
+  def lmFamiliarity(spark: SparkSession, sfDir: String): DataFrame =
+    lmFamiliarityOf(docs(spark, sfDir))
+
+  /** [[lmFamiliarity]] over any (doc_id, text) corpus. */
+  def lmFamiliarityOf(corpus: DataFrame): DataFrame = {
+    val base = corpus
+      .withColumn("toks", filter(split(col("text"), "\\s+"), t => t =!= ""))
+      .select(col("doc_id"),
+        // same sequence(0, -1)-descends guard as repetitionStatsOf
+        when(size(col("toks")) >= 2,
+          expr("transform(sequence(0, size(toks) - 2)," +
+            " i -> concat(toks[i], ' ', toks[i + 1]))"))
+          .otherwise(array().cast("array<string>")).as("bigrams"))
+    val grams = base.select(col("doc_id"), explode(col("bigrams")).as("gram"))
+    val lm = grams.filter(col("doc_id") % 10 === 0)
+      .groupBy("gram").agg(count(lit(1)).as("c"))
+    val scored = grams.join(lm, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("c")).as("matched_bigrams"),
+        coalesce(sum(col("c")), lit(0L)).as("familiarity"))
+    base.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("matched_bigrams"), lit(0L)).as("matched_bigrams"),
+        coalesce(col("familiarity"), lit(0L)).as("familiarity"),
+        (coalesce(col("matched_bigrams"), lit(0L)) * 2 >=
+          coalesce(col("n_bigrams"), lit(0L))).as("in_distribution"))
+  }
+
   /** Recall@k vs probe count — the measured recall/cost tradeoff of the
     * multi-probe dial. Returns (probes, recall, candidatePairs) per point;
     * the exact top-k ground truth is computed once, and candidatePairs is

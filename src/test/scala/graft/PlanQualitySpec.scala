@@ -420,6 +420,36 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       "expected checkpointed prior-round state in the final plan:\n" + p)
   }
 
+  test("sequence packing: ONE exchange, hash-partitioned on the " +
+    "(lang, shard) stream key — never a global sort") {
+    val p = planString(TrainingOps.sequencePacking(spark, sf()))
+    assert(!p.contains("rangepartitioning"),
+      "a global sort would serialize the pack:\n" + p)
+    assert(p.contains("hashpartitioning(lang") && p.contains("shard"),
+      "window must partition on the sharded stream key:\n" + p)
+    // documents scan feeds a projection: only the 3 needed columns read
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      "documents scan is not column-pruned:\n" + p)
+  }
+
+  test("LM familiarity: gram joins are equi-joins (never cartesian) and " +
+    "both count aggregates combine map-side") {
+    val p = planString(TrainingOps.lmFamiliarity(spark, sf()))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "widening join:\n" + p)
+    assert(p.contains("partial_count"), "no map-side combine:\n" + p)
+  }
+
+  test("anchor text: count aggregate combines map-side before the " +
+    "vocabulary-bounded rank window; no widening join") {
+    val p = planString(CrawlOps.anchorTextTopTerms(spark, sf()))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "widening join:\n" + p)
+    assert(p.contains("partial_count"), "no map-side combine:\n" + p)
+    assert(p.contains("hashpartitioning(dst"),
+      "rank window must partition on the target:\n" + p)
+  }
+
   test("KMV sketch: one object-hash aggregate, single-partition merge — " +
     "no distinct shuffle of raw hashes") {
     val p = planString(CrawlOps.distinctUrlsKmv(spark, sf()))
