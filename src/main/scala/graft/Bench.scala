@@ -341,13 +341,20 @@ object Bench {
         val pb = new ProcessBuilder(cmd.asJava)
         pb.environment().put("SPARK_GRAFT_ARM", cores.toString)
         pb.environment().put("SPARK_GRAFT_FRONTIER_N", n.toString)
-        // best-of-3 INSIDE the child (warm JVM, cheap reruns): damps the
+        // best-of-N INSIDE the child (warm JVM, cheap reruns): damps the
         // ±50% host drift so the committed sample stands on its own
         // (r2 "What's wrong" #2), on top of the interleaved-round minima —
-        // 3 in-child runs × 2..6 adaptive rounds = 6-18 timed runs per
-        // arm, and host noise is one-sided (it only inflates), so every
-        // extra sample weakly improves the minimum.
-        pb.environment().put("SPARK_GRAFT_ARM_RUNS", "3")
+        // and host noise is one-sided (it only inflates), so every extra
+        // sample weakly improves the minimum. Sampling effort is spent
+        // per WALL-CLOCK SECOND, not per run: the wide arm's runs cost
+        // ~1/cores of the narrow arm's, so it earns 5 draws to the narrow
+        // arm's 3 (≈ +15% child time for +67% corroboration chances —
+        // observed invalid records are mostly the WIDE arm's minimum
+        // lacking a second quiet run within the 3% tolerance, because its
+        // short runs sample a narrower window of the drift). 3 or 5
+        // in-child runs × 2..6 adaptive rounds = 6-30 timed runs per arm.
+        val armRuns = if (cores == armCores.max) 5 else 3
+        pb.environment().put("SPARK_GRAFT_ARM_RUNS", armRuns.toString)
         // the child brackets each timed run with /proc/stat reads over
         // exactly these cpus (it cannot derive them under taskset)
         pb.environment().put("SPARK_GRAFT_ARM_CPUSET", cpuRange)

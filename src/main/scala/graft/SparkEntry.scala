@@ -50,6 +50,8 @@ object SparkEntry {
     "q_doc_mixture_sample" -> ((s, d) => TrainingOps.mixtureSample(s, d)),
     "q_doc_pack" -> ((s, d) => TrainingOps.sequencePacking(s, d)),
     "q_doc_lm_score" -> ((s, d) => TrainingOps.lmFamiliarity(s, d)),
+    "q_doc_vocab" -> ((s, d) => TrainingOps.vocabTopK(s, d)),
+    "q_doc_freq_spectrum" -> ((s, d) => TrainingOps.tokenFrequencySpectrum(s, d)),
     "q_doc_assemble" -> ((s, d) => TrainingOps.assembleCorpus(s, d)),
     "q_doc_simhash" -> ((s, d) => TrainingOps.simhash(s, d)),
     "q_doc_simhash_dups" -> ((s, d) => TrainingOps.simhashNearDups(s, d)),
@@ -1165,6 +1167,34 @@ object SparkEntry {
           |       COALESCE(a.matched_bigrams, 0) * 2 >= COALESCE(a.n_bigrams, 0)
           |         AS in_distribution
           |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
+      "q_doc_vocab" ->
+        """WITH tf AS (
+          |  SELECT lang,
+          |         unnest(list_filter(string_split_regex(text, '\s+'),
+          |                            x -> x <> '')) AS token
+          |  FROM documents),
+          |counts AS (
+          |  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS tf
+          |  FROM tf GROUP BY 1, 2),
+          |ranked AS (
+          |  SELECT lang, token, tf,
+          |         CAST(ROW_NUMBER() OVER (
+          |           PARTITION BY lang ORDER BY tf DESC, token ASC)
+          |           AS BIGINT) AS vocab_rank
+          |  FROM counts)
+          |SELECT lang, token, tf, vocab_rank
+          |FROM ranked WHERE vocab_rank <= 50""".stripMargin,
+      "q_doc_freq_spectrum" ->
+        """WITH tok AS (
+          |  SELECT lang,
+          |         unnest(list_filter(string_split_regex(text, '\s+'),
+          |                            x -> x <> '')) AS token
+          |  FROM documents),
+          |counts AS (
+          |  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS tf
+          |  FROM tok GROUP BY 1, 2)
+          |SELECT lang, tf, CAST(COUNT(*) AS BIGINT) AS n_types
+          |FROM counts GROUP BY 1, 2""".stripMargin,
       "q_doc_repetition" ->
         """WITH base AS (
           |  SELECT doc_id,

@@ -2173,6 +2173,70 @@ object TrainingOps {
   }
 
   // -------------------------------------------------------------------
+  // Vocabulary statistics — the corpus-diagnostic pair every tokenizer
+  // build starts from: the per-language frequency-ranked vocabulary and
+  // the token frequency spectrum (count-of-counts).
+  // -------------------------------------------------------------------
+
+  /** Vocabulary entries kept per language. */
+  val VocabTopK = 50
+
+  /** Per-language top-[[VocabTopK]] tokens by frequency — the vocabulary
+    * seed of a tokenizer build (BPE starts from exactly this table). Ties
+    * break (tf desc, token asc), deterministic.
+    *
+    * Scale shape: token counting shuffles once on the uniform
+    * (lang, token) key with map-side combine; the rank is the TWO-STAGE
+    * partial top-k (the ANN pattern, [[topKPerQuery]]'s shape on a new
+    * key) because per-language candidate sets are VOCABULARY-sized — a
+    * 100 TB web corpus holds 10^8+ distinct tokens per major language,
+    * far too many for one task to rank: stage 1 ranks within
+    * (lang, token-hash subgroup) and keeps k, stage 2 ranks the
+    * ≤ k×subgroups survivors per language.
+    */
+  def vocabTopK(spark: SparkSession, sfDir: String): DataFrame =
+    vocabTopKFrom(docs(spark, sfDir), VocabTopK)
+
+  /** [[vocabTopK]] over any (lang, text) corpus. */
+  def vocabTopKFrom(corpus: DataFrame, k: Int): DataFrame = {
+    val tf = corpus
+      .select(col("lang"),
+        explode(filter(split(col("text"), "\\s+"), t => t =!= ""))
+          .as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+    val order = Seq(desc("tf"), asc("token"))
+    tf
+      .withColumn("__subq", pmod(xxhash64(col("token")),
+        lit(TopKSubgroups.toLong)))
+      .withColumn("__subrank", row_number().over(
+        Window.partitionBy("lang", "__subq").orderBy(order: _*)))
+      .filter(col("__subrank") <= k)
+      .withColumn("vocab_rank", row_number().over(
+        Window.partitionBy("lang").orderBy(order: _*)).cast("long"))
+      .filter(col("vocab_rank") <= k)
+      .select("lang", "token", "tf", "vocab_rank")
+  }
+
+  /** Token frequency spectrum per language: how many distinct token TYPES
+    * occur exactly tf times — the count-of-counts table behind Good-Turing
+    * smoothing and the standard corpus-health diagnostic (a crawl whose
+    * spectrum head collapses is boilerplate-dominated).
+    *
+    * Scale shape: the same uniform (lang, token) count as [[vocabTopK]],
+    * then a second aggregation on (lang, tf) whose output is bounded by
+    * the number of DISTINCT frequencies (≤ O(√corpus tokens), since
+    * Σ tf over distinct tf values ≤ total mass) — the wide table never
+    * leaves the exchange un-combined.
+    */
+  def tokenFrequencySpectrum(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("lang"),
+        explode(filter(split(col("text"), "\\s+"), t => t =!= ""))
+          .as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("lang", "tf").agg(count(lit(1)).as("n_types"))
+
+  // -------------------------------------------------------------------
   // N-gram LM familiarity — the CCNet-style "perplexity" quality filter
   // re-expressed with integer counts so it is exact across engines.
   // -------------------------------------------------------------------

@@ -450,6 +450,23 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       "rank window must partition on the target:\n" + p)
   }
 
+  test("vocabulary top-k: rank is two-stage (subgroup window before the " +
+    "per-language window) and the token count combines map-side") {
+    val p = planString(TrainingOps.vocabTopK(spark, sf()))
+    assert(p.contains("partial_count"), "no map-side combine:\n" + p)
+    assert(p.contains("__subq") && p.contains("__subrank"),
+      "missing the subgroup partial-rank stage:\n" + p)
+    assert(p.contains("hashpartitioning(lang"),
+      "final rank must partition on lang alone:\n" + p)
+  }
+
+  test("frequency spectrum: both aggregations combine map-side; no joins " +
+    "at all") {
+    val p = planString(TrainingOps.tokenFrequencySpectrum(spark, sf()))
+    assert(p.contains("partial_count"), "no map-side combine:\n" + p)
+    assert(!p.contains("Join"), "no join belongs here:\n" + p)
+  }
+
   test("KMV sketch: one object-hash aggregate, single-partition merge — " +
     "no distinct shuffle of raw hashes") {
     val p = planString(CrawlOps.distinctUrlsKmv(spark, sf()))
