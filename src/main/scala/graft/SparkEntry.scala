@@ -52,6 +52,7 @@ object SparkEntry {
     "q_doc_lm_score" -> ((s, d) => TrainingOps.lmFamiliarity(s, d)),
     "q_doc_vocab" -> ((s, d) => TrainingOps.vocabTopK(s, d)),
     "q_doc_freq_spectrum" -> ((s, d) => TrainingOps.tokenFrequencySpectrum(s, d)),
+    "q_doc_len_quantiles" -> ((s, d) => TrainingOps.docLengthQuantiles(s, d)),
     "q_doc_assemble" -> ((s, d) => TrainingOps.assembleCorpus(s, d)),
     "q_doc_simhash" -> ((s, d) => TrainingOps.simhash(s, d)),
     "q_doc_simhash_dups" -> ((s, d) => TrainingOps.simhashNearDups(s, d)),
@@ -1195,6 +1196,23 @@ object SparkEntry {
           |  FROM tok GROUP BY 1, 2)
           |SELECT lang, tf, CAST(COUNT(*) AS BIGINT) AS n_types
           |FROM counts GROUP BY 1, 2""".stripMargin,
+      "q_doc_len_quantiles" ->
+        """WITH freq AS (
+          |  SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM documents GROUP BY 1, 2),
+          |cum AS (
+          |  SELECT lang, n_chars,
+          |         CAST(SUM(c) OVER (PARTITION BY lang ORDER BY n_chars)
+          |           AS BIGINT) AS cum
+          |  FROM freq),
+          |tot AS (
+          |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs
+          |  FROM freq GROUP BY 1),
+          |pts AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS p)
+          |SELECT c.lang, p.p, MIN(c.n_chars) AS q_len, t.n_docs
+          |FROM cum c JOIN tot t USING (lang) CROSS JOIN pts p
+          |WHERE c.cum * 100 >= p.p * t.n_docs
+          |GROUP BY 1, 2, 4""".stripMargin,
       "q_doc_repetition" ->
         """WITH base AS (
           |  SELECT doc_id,

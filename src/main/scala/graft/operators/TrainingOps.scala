@@ -2236,6 +2236,38 @@ object TrainingOps {
       .groupBy("lang", "token").agg(count(lit(1)).as("tf"))
       .groupBy("lang", "tf").agg(count(lit(1)).as("n_types"))
 
+  /** Quantile points reported by [[docLengthQuantiles]], in percent. */
+  val QuantilePoints: Seq[Int] = Seq(50, 90, 99)
+
+  /** Exact discrete quantiles (p50/p90/p99) of document length per
+    * language — the telemetry row every corpus dashboard carries. q(p) is
+    * the smallest length whose cumulative doc count reaches ⌈p·n/100⌉
+    * (the `quantile_disc` definition), so everything is integer-exact.
+    *
+    * Scale shape: this is the HISTOGRAM-CUMULATIVE quantile, not a global
+    * sort — the data-mass shuffle is one uniform-key (lang, n_chars)
+    * count with map-side combine, and the cumulative window then runs
+    * over the DISTINCT-VALUE table (bounded by the value domain, e.g.
+    * ≤ max doc length rows per language — thousands, not billions),
+    * which is the right exactness/cost point whenever the domain is
+    * bounded; an unbounded-domain column would take a KLL/GK sketch
+    * instead (the approximate cousin of [[graft.functions.KmvSketch]]).
+    */
+  def docLengthQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val freq = docs(spark, sfDir)
+      .groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+    val cum = freq.withColumn("cum",
+      sum("c").over(Window.partitionBy("lang").orderBy("n_chars")))
+    val tot = freq.groupBy("lang").agg(sum("c").as("n_docs"))
+    cum.join(tot, Seq("lang"))
+      .withColumn("p",
+        explode(array(QuantilePoints.map(p => lit(p.toLong)): _*)))
+      .filter(col("cum") * 100 >= col("p") * col("n_docs"))
+      .groupBy("lang", "p", "n_docs")
+      .agg(min("n_chars").as("q_len"))
+      .select("lang", "p", "q_len", "n_docs")
+  }
+
   // -------------------------------------------------------------------
   // N-gram LM familiarity — the CCNet-style "perplexity" quality filter
   // re-expressed with integer counts so it is exact across engines.

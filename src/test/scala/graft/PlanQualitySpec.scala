@@ -467,6 +467,18 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!p.contains("Join"), "no join belongs here:\n" + p)
   }
 
+  test("length quantiles: histogram-cumulative shape — map-side-combined " +
+    "value counts, cumulative window on lang, never a global sort of docs") {
+    val p = planString(TrainingOps.docLengthQuantiles(spark, sf()))
+    assert(p.contains("partial_count"), "no map-side combine:\n" + p)
+    assert(!p.contains("rangepartitioning"),
+      "a global sort would defeat the histogram shape:\n" + p)
+    assert(p.contains("hashpartitioning(lang"),
+      "cumulative window must partition on lang:\n" + p)
+    assert(p.contains("ReadSchema: struct<lang:string,n_chars:bigint>"),
+      "documents scan must read only (lang, n_chars):\n" + p)
+  }
+
   test("KMV sketch: one object-hash aggregate, single-partition merge — " +
     "no distinct shuffle of raw hashes") {
     val p = planString(CrawlOps.distinctUrlsKmv(spark, sf()))
