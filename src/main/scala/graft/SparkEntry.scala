@@ -22,6 +22,7 @@ object SparkEntry {
     "q_dedup_bootstrap" -> ((s, d) => CrawlOps.dedupBootstrap(s, d)),
     "q_latest_per_source" -> ((s, d) => CrawlOps.latestForSource(s, d)),
     "q_anti_join_seen" -> ((s, d) => CrawlOps.antiJoinSeen(s, d)),
+    "q_anti_join_bucketed" -> ((s, d) => CrawlOps.antiJoinSeenBucketed(s, d)),
     "q_stop_at_first_seen" -> ((s, d) => CrawlOps.stopAtFirstSeen(s, d)),
     "q_per_source_caps" -> ((s, d) => CrawlOps.perSourceCaps(s, d)),
     "q_first_occurrence_distinct" -> ((s, d) => CrawlOps.firstOccurrenceDistinct(s, d)),
@@ -177,6 +178,12 @@ object SparkEntry {
            |  AND crawled_at >= max_ts - INTERVAL 7 DAY
            |ORDER BY crawled_at DESC, event_id ASC LIMIT 30""".stripMargin,
       "q_anti_join_seen" ->
+        s"""WITH f AS ($frontierCte)
+           |SELECT source, link, event_id FROM f
+           |WHERE link NOT IN (SELECT link FROM f WHERE event_id % 3 = 0)""".stripMargin,
+      // the bucketed layout changes the PLAN (zero exchanges), never the
+      // rows — the oracle is the same anti-join semantics
+      "q_anti_join_bucketed" ->
         s"""WITH f AS ($frontierCte)
            |SELECT source, link, event_id FROM f
            |WHERE link NOT IN (SELECT link FROM f WHERE event_id % 3 = 0)""".stripMargin,

@@ -108,6 +108,52 @@ object CrawlOps {
       .select("source", "link", "event_id")
   }
 
+  /** Where [[antiJoinSeenBucketed]] writes its bucketed tables (external
+    * path so repeated runs and different sessions overwrite cleanly).
+    */
+  val BucketedTablePath = "/tmp/graft-bucketed-tables"
+
+  /** D3 AT REST — the bucketed-layout variant of [[antiJoinSeen]]: both
+    * sides are WRITTEN as bucketed parquet tables on the join key (16
+    * buckets, one file per bucket so the per-bucket sort survives), and
+    * the anti-join then plans with ZERO exchanges — task i merge-joins
+    * bucket i of the candidates against bucket i of the seen table.
+    *
+    * This is the third co-location tool in the engine, the one that works
+    * AT REST: the tick's in-flight probes dispatch between a broadcast
+    * Bloom and the co-partitioned zip (UrlSeen), both of which pay their
+    * cost per probe; bucketing pays the shuffle ONCE at write time, and
+    * every later probe against the same layout skips both its exchange
+    * and its sort — the right trade for the recurring nightly probe
+    * against a 10^10-row seen table whose layout persists across ticks.
+    * Same rows as [[antiJoinSeen]] (same oracle shape); the zero-exchange
+    * plan is gated in BucketedSeenSpec/PlanQualitySpec.
+    */
+  def antiJoinSeenBucketed(spark: SparkSession, sfDir: String,
+      buckets: Int = 16): DataFrame = {
+    val f = frontier(spark, sfDir)
+    def save(df: DataFrame, name: String, key: String): DataFrame = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      // repartition on the bucket key with bucket-count partitions →
+      // exactly one file per bucket, so the written per-file sort order
+      // counts as the bucket's sort order at read time
+      df.repartition(buckets, col(key))
+        .write.format("parquet")
+        .bucketBy(buckets, key).sortBy(key)
+        .option("path", s"$BucketedTablePath/$name")
+        .mode("overwrite").saveAsTable(name)
+      spark.table(name)
+    }
+    val cand = save(f.select("source", "link", "event_id"),
+      "graft_frontier_bucketed", "link")
+    val seen = save(
+      f.filter(col("event_id") % 3 === 0).select(col("link").as("seen_link")),
+      "graft_seen_bucketed", "seen_link")
+    cand.hint("merge")
+      .join(seen, cand("link") === seen("seen_link"), "left_anti")
+      .select("source", "link", "event_id")
+  }
+
   /** D5 — stop-at-first-seen prefix law: per source, keep only items
     * strictly before the first already-seen item in list order (list order =
     * event_id asc). Reference `break` semantics, e.g.
