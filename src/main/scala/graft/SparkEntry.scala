@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CrawlOps, ScanOps, TrainingOps}
+import graft.operators.{CrawlOps, ScanOps, SearchOps, TrainingOps}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * each paired (where SQL-expressible) with a DuckDB oracle over the same
@@ -65,6 +65,9 @@ object SparkEntry {
     "q_doc_jaccard_pairs" -> ((s, d) => TrainingOps.jaccardVerifiedPairs(s, d)),
     "q_doc_incremental_dedup" -> ((s, d) => TrainingOps.incrementalDedup(s, d)),
     "q_doc_dup_clusters" -> ((s, d) => TrainingOps.dupClusters(s, d)),
+    "q_doc_postings" -> ((s, d) => SearchOps.docPostings(s, d)),
+    "q_doc_tfidf_topk" -> ((s, d) => SearchOps.docTfidfTopK(s, d)),
+    "q_pair_caption_search" -> ((s, _) => SearchOps.captionTfidfTopK(s)),
     "q_emb_topk" -> ((s, d) => TrainingOps.bruteForceTopK(s, d)),
     "q_emb_lsh_buckets" -> ((s, d) => TrainingOps.lshBuckets(s, d)),
     "q_emb_lsh_topk" -> ((s, d) => TrainingOps.lshBucketTopK(s, d)),
@@ -1012,6 +1015,7 @@ object SparkEntry {
          |   AND a.doc_id < b.doc_id)""".stripMargin
     val quant =
       "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    val F = FixtureDumpDir
 
     Map(
       "q_doc_exact_dedup" ->
@@ -1192,6 +1196,80 @@ object SparkEntry {
           |  FROM counts)
           |SELECT lang, token, tf, vocab_rank
           |FROM ranked WHERE vocab_rank <= 50""".stripMargin,
+      "q_doc_postings" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          |  FROM documents)
+          |SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+          |FROM toks WHERE token <> '' GROUP BY 1, 2""".stripMargin,
+      "q_doc_tfidf_topk" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          |  FROM documents),
+          |post AS (
+          |  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+          |  FROM toks WHERE token <> '' GROUP BY 1, 2),
+          |lex AS (SELECT token, COUNT(*) AS df FROM post GROUP BY 1),
+          |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+          |top24 AS (
+          |  SELECT token, (SELECT n_docs FROM n) * 1000 // df AS idf,
+          |         ROW_NUMBER() OVER (ORDER BY df DESC, token ASC) - 1 AS r
+          |  FROM lex ORDER BY df DESC, token ASC LIMIT 24),
+          |q AS (SELECT r // 3 AS query_id, token, idf FROM top24),
+          |scored AS (
+          |  SELECT q.query_id, p.doc_id,
+          |         CAST(SUM(p.tf * q.idf) AS BIGINT) AS score
+          |  FROM post p JOIN q ON p.token = q.token GROUP BY 1, 2),
+          |ranked AS (
+          |  SELECT query_id, doc_id, score,
+          |         CAST(ROW_NUMBER() OVER (
+          |           PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+          |           AS BIGINT) AS rank
+          |  FROM scored)
+          |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank
+          |FROM ranked WHERE rank <= 10""".stripMargin,
+      "q_pair_caption_search" ->
+        s"""WITH base AS (
+           |  SELECT image_id, caption
+           |  FROM read_parquet('$F/images/*.parquet')),
+           |corpus AS (
+           |  SELECT image_id, caption FROM base
+           |  UNION ALL
+           |  SELECT image_id || '_d' AS image_id, caption FROM base),
+           |ctoks AS (
+           |  SELECT image_id, unnest(string_split(caption, ' ')) AS token
+           |  FROM corpus),
+           |post AS (
+           |  SELECT token, image_id, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM ctoks WHERE token <> '' GROUP BY 1, 2),
+           |lex AS (SELECT token, COUNT(*) AS df FROM post GROUP BY 1),
+           |n AS (SELECT COUNT(*) AS n_docs FROM corpus),
+           |qtoks AS (
+           |  SELECT CAST(substr(image_id, 5, 8) AS BIGINT) AS query_id,
+           |         unnest(string_split(caption, ' ')) AS token
+           |  FROM base WHERE CAST(substr(image_id, 5, 8) AS BIGINT) < 4),
+           |qpost AS (
+           |  SELECT query_id, token, CAST(COUNT(*) AS BIGINT) AS qtf
+           |  FROM qtoks WHERE token <> '' GROUP BY 1, 2),
+           |qt AS (
+           |  SELECT q.query_id, q.token,
+           |         q.qtf * ((SELECT n_docs FROM n) * 1000 // l.df) AS w
+           |  FROM qpost q JOIN lex l ON q.token = l.token),
+           |scored AS (
+           |  SELECT qt.query_id, p.image_id,
+           |         CAST(SUM(p.tf * qt.w) AS BIGINT) AS score
+           |  FROM post p JOIN qt ON p.token = qt.token
+           |  GROUP BY 1, 2
+           |  HAVING NOT (CAST(substr(p.image_id, 5, 8) AS BIGINT) = qt.query_id
+           |              AND right(p.image_id, 2) <> '_d')),
+           |ranked AS (
+           |  SELECT query_id, image_id, score,
+           |         CAST(ROW_NUMBER() OVER (
+           |           PARTITION BY query_id ORDER BY score DESC, image_id ASC)
+           |           AS BIGINT) AS rank
+           |  FROM scored)
+           |SELECT query_id, image_id, score, rank
+           |FROM ranked WHERE rank <= 10""".stripMargin,
       "q_doc_freq_spectrum" ->
         """WITH tok AS (
           |  SELECT lang,

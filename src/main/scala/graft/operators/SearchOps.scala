@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text retrieval over the crawled corpus: inverted-index postings and
+  * integer tf-idf ranked search — the index a crawl feeds (the reference
+  * crawls articles so they can be FOUND; cf. the search-API listing scans
+  * it consumes, /root/reference/utils/request_client.py). Two surfaces:
+  *
+  *  - [[docTfidfTopK]]: term-set queries over the `documents` table, the
+  *    query workload derived deterministically from the corpus's own
+  *    most-frequent tokens (so the DuckDB oracle reproduces it from the
+  *    same parquet, no side-channel query file);
+  *  - [[captionTfidfTopK]]: CROSS-MODAL retrieval on the north-star
+  *    (image, caption) pair table — a query CAPTION retrieves IMAGES by
+  *    caption-token match; on the twin corpus (re-encoded image, caption
+  *    kept) the top hit past self is provably the joint duplicate, i.e.
+  *    text retrieval surfaces the image dedup pair.
+  *
+  * All scoring is INTEGER tf-idf (idf_int = n_docs·1000 div df, score =
+  * Σ tf_d · tf_q · idf_int): deterministic to the last bit in both
+  * engines — the repo-wide integer-math discipline; float log-idf would
+  * turn rank ties into cross-engine hash mismatches.
+  *
+  * Scale shape (100 TB): postings are (token, id, tf) triples — text never
+  * moves past the explode; token keys are vocabulary-distributed (Zipf
+  * head keys are exactly the ones queries prune to, and a per-query
+  * candidate set is bounded by Σ df of its terms); the query-term side is
+  * tiny and BROADCAST (plan-gated); the final ranking is the repo's
+  * two-stage partial top-k so no task holds a query's full candidate set.
+  */
+object SearchOps {
+
+  /** Inverted-index postings of a (idCol, textCol) corpus: one row per
+    * (token, id) with its term frequency. Whitespace tokenization, empty
+    * tokens dropped — `string_split` parity with the DuckDB oracle.
+    */
+  def postingsOf(corpus: DataFrame, idCol: String,
+      textCol: String = "text"): DataFrame =
+    corpus
+      .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The `documents` inverted index (token, doc_id, tf) — oracled as
+    * q_doc_postings.
+    */
+  def docPostings(spark: SparkSession, sfDir: String): DataFrame =
+    postingsOf(TrainingOps.docs(spark, sfDir), "doc_id")
+
+  /** Lexicon with integer idf: df = postings rows per token (= docs
+    * containing it), idf_int = n_docs·1000 div df. `corpusN` is a 1-row
+    * (n_docs) aggregate, cross-joined broadcast — the scalar never takes a
+    * driver round-trip, the plan stays one job.
+    */
+  def lexiconOf(post: DataFrame, corpusN: DataFrame): DataFrame =
+    post.groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(corpusN))
+      .withColumn("idf", expr("n_docs * 1000L div df"))
+      .select("token", "df", "idf")
+
+  /** Shared ranked-retrieval kernel: weighted query terms (query_id,
+    * token, w) ⋈ postings → per-(query, id) integer score → two-stage
+    * partial top-k. The query side broadcasts (it is queries × terms
+    * rows); the postings side never shuffles before the token join prunes
+    * it to query-term candidates only.
+    */
+  def tfidfTopKFrom(post: DataFrame, queryTerms: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    val scored = post
+      .join(broadcast(queryTerms), "token")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("tf") * col("w")).as("score"))
+    rankTopK(scored, idCol, k)
+  }
+
+  /** Two-stage partial top-k on (score desc, id asc) — the
+    * TrainingOps.topKPerQuery shape generalized to any id type via a
+    * 16-way xxhash64 subgroup: stage 1 ranks within (query, subgroup) so
+    * a task sees at most its subgroup's candidates; stage 2 ranks the
+    * ≤ 16·k survivors. Any global-top-k row is within the top k of its
+    * subgroup, so the composition is exactly the global window (the
+    * equivalence law SearchOpsSpec re-proves on this kernel); the DuckDB
+    * oracle keeps the plain ROW_NUMBER form.
+    */
+  def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    val order = Seq(desc("score"), asc(idCol))
+    scored
+      .withColumn("__sub", pmod(xxhash64(col(idCol)), lit(16L)))
+      .withColumn("__subrank", row_number().over(
+        Window.partitionBy(col("query_id"), col("__sub")).orderBy(order: _*)))
+      .filter(col("__subrank") <= k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(order: _*)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("score"), col("rank"))
+  }
+
+  /** How many corpus-derived term-set queries [[docTfidfTopK]] runs, and
+    * terms per query: the top NQueries·TermsPerQuery tokens by (df desc,
+    * token asc) are chunked 3-at-a-time into query term sets — query 0
+    * gets ranks 0-2, query 1 ranks 3-5, … A workload derived from the
+    * corpus itself is reproducible by the oracle with no query fixture.
+    */
+  val NQueries = 8
+  val TermsPerQuery = 3
+
+  /** Integer tf-idf top-k over `documents` (oracled as q_doc_tfidf_topk):
+    * OR-semantics scoring (any doc containing ≥ 1 query term is a
+    * candidate), score = Σ tf·idf_int, rank ties broken by doc_id asc.
+    * The 24-token query derivation is a bounded orderBy.limit top-k (the
+    * host-budgets idiom — never a global window over the vocabulary);
+    * the 24-row result then takes a single-partition row_number, which is
+    * exactly as expensive as sorting 24 rows.
+    */
+  def docTfidfTopK(spark: SparkSession, sfDir: String, k: Int = 10)
+      : DataFrame = {
+    val corpus = TrainingOps.docs(spark, sfDir)
+    val post = postingsOf(corpus, "doc_id")
+    val lex = lexiconOf(post, corpus.agg(count(lit(1)).as("n_docs")))
+    val top = lex.orderBy(desc("df"), asc("token"))
+      .limit(NQueries * TermsPerQuery)
+    val qt = top
+      .withColumn("r", row_number().over(
+        Window.orderBy(desc("df"), asc("token"))).cast("long") - 1)
+      .withColumn("query_id", expr(s"r div $TermsPerQuery"))
+      .select(col("query_id"), col("token"), col("idf").as("w"))
+    tfidfTopKFrom(post, qt, "doc_id", k)
+  }
+
+  /** How many base images query the caption index in
+    * [[captionTfidfTopK]].
+    */
+  val NQueryCaptions = 4
+
+  /** The caption corpus of the joint-dup fixture: every base image plus
+    * its re-encode twin (`_d` suffix, SAME caption — a re-encode does not
+    * change the caption; TrainingOps.jointImageCaptionDups). Bytes and
+    * phash never enter this plan — captions and ids only.
+    */
+  def captionCorpus(spark: SparkSession, nImages: Long): DataFrame = {
+    val base = graft.model.Fixtures.imageMetas(spark, nImages)
+      .select(col("image_id"), col("caption"))
+    base.unionByName(base.select(
+      concat(col("image_id"), lit("_d")).as("image_id"), col("caption")))
+  }
+
+  /** Cross-modal retrieval (oracled as q_pair_caption_search): the caption
+    * of each of the first [[NQueryCaptions]] base images queries the full
+    * caption index (base + twins, self excluded); output is ranked IMAGE
+    * ids. Because the twin keeps the caption verbatim, every query's
+    * rank-1 hit is its joint-duplicate twin with the maximal self-score —
+    * the law CaptionSearchSpec asserts. Query weights are the query
+    * caption's own (tf_q · idf_int), so this is the symmetric integer
+    * tf-idf dot product.
+    */
+  def captionTfidfTopK(spark: SparkSession, nImages: Long = 2000L,
+      k: Int = 10): DataFrame = {
+    val corpus = captionCorpus(spark, nImages)
+    val post = postingsOf(corpus, "image_id", "caption")
+    val lex = lexiconOf(post, corpus.agg(count(lit(1)).as("n_docs")))
+    val qnum = substring(col("image_id"), 5, 8).cast("long")
+    val queries = graft.model.Fixtures.imageMetas(spark, nImages)
+      .filter(qnum < NQueryCaptions)
+      .select(qnum.as("query_id"), col("caption"))
+    val qt = postingsOf(queries, "query_id", "caption")
+      .join(lex.select("token", "idf"), "token")
+      .select(col("query_id"), col("token"),
+        (col("tf") * col("idf")).as("w"))
+    val scored = post
+      .join(broadcast(qt), "token")
+      .groupBy(col("query_id"), col("image_id"))
+      .agg(sum(col("tf") * col("w")).as("score"))
+      // exclude exact self (the query image itself); its twin stays and
+      // carries the identical maximal score
+      .filter(substring(col("image_id"), 5, 8).cast("long") =!=
+        col("query_id") || col("image_id").endsWith("_d"))
+    rankTopK(scored, "image_id", k)
+  }
+}
