@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CrawlOps, ScanOps, SearchOps, TrainingOps}
+import graft.operators.{CleanOps, CrawlOps, ScanOps, SearchOps, TrainingOps}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * each paired (where SQL-expressible) with a DuckDB oracle over the same
@@ -65,6 +65,10 @@ object SparkEntry {
     "q_doc_jaccard_pairs" -> ((s, d) => TrainingOps.jaccardVerifiedPairs(s, d)),
     "q_doc_incremental_dedup" -> ((s, d) => TrainingOps.incrementalDedup(s, d)),
     "q_doc_dup_clusters" -> ((s, d) => TrainingOps.dupClusters(s, d)),
+    "q_doc_edit_dups" -> ((s, d) => CleanOps.editNearDups(s, d)),
+    "q_doc_pii" -> ((s, d) => CleanOps.piiScrub(s, d)),
+    "q_doc_boilerplate" -> ((s, d) => CleanOps.boilerplateRemoval(s, d)),
+    "q_adaptive_delay" -> ((s, d) => CrawlOps.adaptiveDelay(s, d)),
     "q_doc_postings" -> ((s, d) => SearchOps.docPostings(s, d)),
     "q_doc_tfidf_topk" -> ((s, d) => SearchOps.docTfidfTopK(s, d)),
     "q_pair_caption_search" -> ((s, _) => SearchOps.captionTfidfTopK(s)),
@@ -1196,6 +1200,116 @@ object SparkEntry {
           |  FROM counts)
           |SELECT lang, token, tf, vocab_rank
           |FROM ranked WHERE vocab_rank <= 50""".stripMargin,
+      "q_doc_edit_dups" ->
+        s"""WITH base AS (SELECT doc_id, text FROM documents),
+           |tw AS (
+           |  SELECT doc_id, text,
+           |         (doc_id % length(text)) + 1 AS p1,
+           |         ((doc_id + (length(text) // 2)) % length(text)) + 1 AS p2
+           |  FROM base),
+           |twins AS (
+           |  SELECT doc_id + ${CleanOps.EditTwinOffset} AS doc_id,
+           |         substr(text, 1, CAST(least(p1, p2) - 1 AS INT)) || '~' ||
+           |         substr(text, CAST(least(p1, p2) + 1 AS INT),
+           |                CAST(greatest(p1, p2) - least(p1, p2) - 1 AS INT))
+           |           || '~' ||
+           |         substr(text, CAST(greatest(p1, p2) + 1 AS INT)) AS text
+           |  FROM tw),
+           |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+           |segs AS (
+           |  SELECT doc_id, g.i AS seg_idx,
+           |         substr(text,
+           |           CAST(g.i * (length(text) // 3)
+           |                + least(g.i, length(text) % 3) + 1 AS INT),
+           |           CAST((length(text) // 3)
+           |                + CASE WHEN g.i < length(text) % 3
+           |                       THEN 1 ELSE 0 END AS INT)) AS seg
+           |  FROM corpus, generate_series(0, 2) AS g(i)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM segs a JOIN segs b
+           |    ON a.seg_idx = b.seg_idx AND a.seg = b.seg
+           |   AND a.doc_id < b.doc_id)
+           |SELECT c.id_a, c.id_b,
+           |       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+           |       levenshtein(ta.text, tb.text) <= ${CleanOps.EditMaxK}
+           |         AS is_dup
+           |FROM cand c JOIN corpus ta ON ta.doc_id = c.id_a
+           |            JOIN corpus tb ON tb.doc_id = c.id_b""".stripMargin,
+      "q_doc_pii" ->
+        s"""WITH p AS (
+           |  SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 5 = 0
+           |         THEN ' contact user' || CAST(doc_id AS VARCHAR)
+           |              || '@example.com now' ELSE '' END ||
+           |    CASE WHEN doc_id % 7 = 0
+           |         THEN ' call 555-'
+           |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |         ELSE '' END ||
+           |    CASE WHEN doc_id % 11 = 0
+           |         THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+           |              || CAST((doc_id * 3) % 256 AS VARCHAR) || '.'
+           |              || CAST((doc_id * 7) % 256 AS VARCHAR)
+           |         ELSE '' END AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '${CleanOps.EmailRe}'))
+           |    AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(t, '${CleanOps.PhoneRe}'))
+           |    AS BIGINT) AS n_phones,
+           |  CAST(len(regexp_extract_all(t, '${CleanOps.IpRe}'))
+           |    AS BIGINT) AS n_ips,
+           |  regexp_replace(regexp_replace(regexp_replace(t,
+           |    '${CleanOps.EmailRe}', '<EMAIL>', 'g'),
+           |    '${CleanOps.PhoneRe}', '<PHONE>', 'g'),
+           |    '${CleanOps.IpRe}', '<IP>', 'g') AS clean_text
+           |FROM p""".stripMargin,
+      "q_doc_boilerplate" ->
+        """WITH lined AS (
+          |  SELECT doc_id, source,
+          |         text || ' | all rights reserved ' || source
+          |              || ' | subscribe to ' || source || ' newsletter' ||
+          |         CASE WHEN doc_id % 3 = 0
+          |              THEN ' | unique note ' || CAST(doc_id AS VARCHAR)
+          |              ELSE '' END AS t
+          |  FROM documents),
+          |lx AS (
+          |  SELECT doc_id, source,
+          |         unnest(string_split(t, ' | ')) AS line,
+          |         unnest(range(len(string_split(t, ' | ')))) AS pos
+          |  FROM lined),
+          |freq AS (
+          |  SELECT source, line, COUNT(DISTINCT doc_id) AS dcount
+          |  FROM lx GROUP BY 1, 2),
+          |sd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+          |fl AS (
+          |  SELECT lx.*, (f.dcount >= 2 AND f.dcount * 2 >= s.n_docs) AS boiler
+          |  FROM lx JOIN freq f ON lx.source = f.source AND lx.line = f.line
+          |          JOIN sd s ON lx.source = s.source),
+          |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+          |        FROM fl GROUP BY 1),
+          |kept AS (
+          |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_lines,
+          |         string_agg(line, ' | ' ORDER BY pos) AS clean_text
+          |  FROM fl WHERE NOT boiler GROUP BY 1)
+          |SELECT tot.doc_id, tot.n_lines,
+          |       CAST(COALESCE(k.kept_lines, 0) AS BIGINT) AS kept_lines,
+          |       COALESCE(k.clean_text, '') AS clean_text
+          |FROM tot LEFT JOIN kept k USING (doc_id)""".stripMargin,
+      "q_adaptive_delay" ->
+        """WITH obs AS (
+          |  SELECT event_type AS host, event_id % 997 AS lat_ms, event_id
+          |  FROM events),
+          |r AS (
+          |  SELECT host, lat_ms,
+          |         ROW_NUMBER() OVER (
+          |           PARTITION BY host ORDER BY lat_ms ASC, event_id ASC) AS rn,
+          |         COUNT(*) OVER (PARTITION BY host) AS n_obs
+          |  FROM obs)
+          |SELECT host, CAST(n_obs AS BIGINT) AS n_obs,
+          |       CAST(lat_ms AS BIGINT) AS p95_ms,
+          |       CAST(greatest(1000, lat_ms * 2) AS BIGINT) AS delay_ms
+          |FROM r WHERE rn = (95 * n_obs + 99) // 100""".stripMargin,
       "q_doc_postings" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -356,6 +356,38 @@ object CrawlOps {
       .select("source", "link", "event_id", "rn", "fetch_epoch")
   }
 
+  /** Latency-ADAPTIVE politeness (oracled as q_adaptive_delay): the
+    * reference hardcodes per-source inter-request delays (C3,
+    * /root/reference/main.py crawl loop); a frontier at scale should
+    * instead DERIVE next-tick delay budgets from observed fetch latency —
+    * slow hosts get backed off, fast hosts keep the base delay. Exact
+    * integer p95 per host (rank = ceil(0.95·n) = (95n+99) div 100 over
+    * the latency sort — no approximate percentile, so the oracle matches
+    * bit-for-bit), delay = max(base, 2·p95).
+    *
+    * Scale shape: ONE hash exchange on host serves both window functions
+    * (row_number and the partition count — same partition key, Catalyst
+    * reuses the exchange and sorts once); per-host partitions are
+    * observation counts, and a mega-host's observations can be
+    * pre-sampled upstream without changing the contract. Latency here is
+    * modeled from event_id (deterministic data-threading, the
+    * fetch-as-data discipline of Model.scala).
+    */
+  def adaptiveDelay(spark: SparkSession, sfDir: String,
+      baseDelayMs: Long = 1000L): DataFrame = {
+    val obs = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type").as("host"),
+        pmod(col("event_id"), lit(997L)).as("lat_ms"), col("event_id"))
+    val w = Window.partitionBy("host")
+    obs
+      .withColumn("rn", row_number().over(
+        w.orderBy(asc("lat_ms"), asc("event_id"))).cast("long"))
+      .withColumn("n_obs", count(lit(1)).over(w))
+      .filter(col("rn") === expr("(95 * n_obs + 99) div 100"))
+      .select(col("host"), col("n_obs"), col("lat_ms").as("p95_ms"),
+        greatest(lit(baseDelayMs), col("lat_ms") * 2).as("delay_ms"))
+  }
+
   /** OPIC-style priority over a synthetic link graph derived from events
     * (211 parents × 631 children; a child's age/host are functions of its
     * number so the oracle re-derives them): one cash round + recency
