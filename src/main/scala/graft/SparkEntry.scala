@@ -63,6 +63,7 @@ object SparkEntry {
     "q_doc_minhash" -> ((s, d) => TrainingOps.minhashSignatures(s, d)),
     "q_doc_lsh_pairs" -> ((s, d) => TrainingOps.lshCandidatePairs(s, d)),
     "q_doc_jaccard_pairs" -> ((s, d) => TrainingOps.jaccardVerifiedPairs(s, d)),
+    "q_doc_containment" -> ((s, d) => TrainingOps.containmentPairs(s, d)),
     "q_doc_incremental_dedup" -> ((s, d) => TrainingOps.incrementalDedup(s, d)),
     "q_doc_dup_clusters" -> ((s, d) => TrainingOps.dupClusters(s, d)),
     "q_doc_edit_dups" -> ((s, d) => CleanOps.editNearDups(s, d)),
@@ -71,6 +72,7 @@ object SparkEntry {
     "q_adaptive_delay" -> ((s, d) => CrawlOps.adaptiveDelay(s, d)),
     "q_doc_postings" -> ((s, d) => SearchOps.docPostings(s, d)),
     "q_doc_tfidf_topk" -> ((s, d) => SearchOps.docTfidfTopK(s, d)),
+    "q_doc_bm25_topk" -> ((s, d) => SearchOps.docBm25TopK(s, d)),
     "q_pair_caption_search" -> ((s, _) => SearchOps.captionTfidfTopK(s)),
     "q_emb_topk" -> ((s, d) => TrainingOps.bruteForceTopK(s, d)),
     "q_emb_lsh_buckets" -> ((s, d) => TrainingOps.lshBuckets(s, d)),
@@ -1342,6 +1344,48 @@ object SparkEntry {
           |  FROM scored)
           |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank
           |FROM ranked WHERE rank <= 10""".stripMargin,
+      "q_doc_bm25_topk" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          |  FROM documents),
+          |post AS (
+          |  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+          |  FROM toks WHERE token <> '' GROUP BY 1, 2),
+          |dl AS (
+          |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+          |  FROM post GROUP BY 1),
+          |stats AS (
+          |  SELECT CAST(SUM(dl) * 1000 // COUNT(*) AS BIGINT) AS avgdl1000
+          |  FROM dl),
+          |lex AS (SELECT token, COUNT(*) AS df FROM post GROUP BY 1),
+          |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+          |top24 AS (
+          |  SELECT token, (SELECT n_docs FROM n) * 1000 // df AS idf,
+          |         ROW_NUMBER() OVER (ORDER BY df DESC, token ASC) - 1 AS r
+          |  FROM lex ORDER BY df DESC, token ASC LIMIT 24),
+          |q AS (SELECT r // 3 AS query_id, token, idf FROM top24),
+          |cand AS (
+          |  SELECT q.query_id, p.doc_id, p.tf, q.idf, d.dl, s.avgdl1000
+          |  FROM post p JOIN q ON p.token = q.token
+          |  JOIN dl d ON p.doc_id = d.doc_id CROSS JOIN stats s),
+          |contrib AS (
+          |  SELECT query_id, doc_id,
+          |         (idf * tf * (1000 + 1200)) //
+          |           (tf * 1000 +
+          |            (1200 * (1000 - 750 + (750 * dl * 1000) // avgdl1000))
+          |              // 1000) AS c
+          |  FROM cand),
+          |scored AS (
+          |  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score
+          |  FROM contrib GROUP BY 1, 2),
+          |ranked AS (
+          |  SELECT query_id, doc_id, score,
+          |         CAST(ROW_NUMBER() OVER (
+          |           PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+          |           AS BIGINT) AS rank
+          |  FROM scored)
+          |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank
+          |FROM ranked WHERE rank <= 10""".stripMargin,
       "q_pair_caption_search" ->
         s"""WITH base AS (
            |  SELECT image_id, caption
@@ -1565,6 +1609,49 @@ object SparkEntry {
            |        (za.sz + zb.sz - COALESCE(i.inter, 0)) * 6) AS is_dup
            |FROM pairs p
            |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+           |JOIN sizes za ON za.doc_id = p.doc_a
+           |JOIN sizes zb ON zb.doc_id = p.doc_b""".stripMargin,
+      "q_doc_containment" ->
+        s"""WITH ccorpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000 AS doc_id,
+           |         substr(text, 1, greatest(length(text) - 30, 50)) AS text
+           |  FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 200000 AS doc_id,
+           |         substr(text, 1, 120) AS text
+           |  FROM documents),
+           |ctok AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+           |  FROM ccorpus),
+           |csh0 AS (
+           |  SELECT doc_id,
+           |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+           |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+           |  FROM ctok),
+           |csh AS (SELECT DISTINCT doc_id, ${h60("sh")} AS shh FROM csh0),
+           |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM csh GROUP BY 1),
+           |rare AS (SELECT shh FROM csh GROUP BY 1
+           |         HAVING COUNT(*) <= ${TrainingOps.ContainmentDfCap}),
+           |rsh AS (SELECT c.doc_id, c.shh FROM csh c JOIN rare USING (shh)),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM rsh a JOIN rsh b ON a.shh = b.shh AND a.doc_id < b.doc_id),
+           |inter AS (
+           |  SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+           |  FROM pairs p
+           |  JOIN csh sa ON sa.doc_id = p.doc_a
+           |  JOIN csh sb ON sb.doc_id = p.doc_b AND sb.shh = sa.shh
+           |  GROUP BY 1, 2)
+           |SELECT p.doc_a, p.doc_b, i.inter,
+           |       za.sz AS size_a, zb.sz AS size_b,
+           |       CAST(i.inter * 1000 // least(za.sz, zb.sz) AS BIGINT) AS cont_pm,
+           |       i.inter * 1000 // least(za.sz, zb.sz)
+           |         >= ${TrainingOps.ContainedPerMille} AS contained
+           |FROM pairs p
+           |JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
            |JOIN sizes za ON za.doc_id = p.doc_a
            |JOIN sizes zb ON zb.doc_id = p.doc_b""".stripMargin,
       "q_doc_incremental_dedup" ->

@@ -180,4 +180,75 @@ object SearchOps {
         col("query_id") || col("image_id").endsWith("_d"))
     rankTopK(scored, "image_id", k)
   }
+
+  /** BM25 dials, scaled ×1000 to stay in integer math: k1 = 1.2 (term-
+    * frequency saturation), b = 0.75 (length normalization) — the
+    * Robertson/Sparck-Jones defaults every production engine ships.
+    */
+  val Bm25K1x1000 = 1200L
+  val Bm25Bx1000 = 750L
+
+  /** Integer BM25 top-k over `documents` (oracled as q_doc_bm25_topk):
+    * the production ranking function tf-idf approximates — per-term
+    * contribution idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), with every
+    * ratio carried as a ×1000-scaled integer so both engines compute the
+    * identical last bit (float BM25 would turn rank ties into cross-
+    * engine hash mismatches). Same corpus-derived 8×3-term workload and
+    * integer idf as [[docTfidfTopK]], so the two rankings are directly
+    * comparable; BM25 differs exactly where saturation (high-tf docs stop
+    * gaining linearly) and length normalization (long docs pay rent) bite
+    * — the law SearchOpsSpec asserts.
+    *
+    * Scale shape: identical to tf-idf through the pruning join (postings
+    * never shuffle before the broadcast query-term join cuts them to
+    * Σ df(term) candidate rows); the ONE extra input BM25 needs — the
+    * per-doc length dl — joins onto the already-pruned candidates as a
+    * shuffle-hash join on uniform doc_id (at 100 TB, dl is a per-doc
+    * scalar column stored WITH the index at build time, so the serving
+    * path pays no join at all; here it is derived in-plan to stay
+    * self-contained). The (n_docs, avgdl) pair is a 1-row aggregate,
+    * broadcast — never a driver round-trip. Overflow headroom: the
+    * contribution numerator is idf·tf·2200 ≤ (n_docs·1000)·tf·2200,
+    * int64-safe through ~10^9 docs × tf 4000; past that the idf scale
+    * drops to ×100.
+    */
+  def docBm25TopK(spark: SparkSession, sfDir: String, k: Int = 10)
+      : DataFrame = {
+    val corpus = TrainingOps.docs(spark, sfDir)
+    val post = postingsOf(corpus, "doc_id")
+    bm25TopKFrom(post, corpus.agg(count(lit(1)).as("n_docs")),
+      "doc_id", k)
+  }
+
+  /** Shared BM25 kernel over any postings frame: derives dl/avgdl from
+    * the postings themselves, scores the [[NQueries]]×[[TermsPerQuery]]
+    * df-top workload, two-stage top-k ranked.
+    */
+  def bm25TopKFrom(post: DataFrame, corpusN: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    val dl = post.groupBy(idCol).agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_d"), sum("dl").as("tot"))
+      .withColumn("avgdl1000", expr("tot * 1000L div n_d"))
+      .select("avgdl1000")
+    val lex = lexiconOf(post, corpusN)
+    val top = lex.orderBy(desc("df"), asc("token"))
+      .limit(NQueries * TermsPerQuery)
+    val qt = top
+      .withColumn("r", row_number().over(
+        Window.orderBy(desc("df"), asc("token"))).cast("long") - 1)
+      .withColumn("query_id", expr(s"r div $TermsPerQuery"))
+      .select(col("query_id"), col("token"), col("idf"))
+    val scored = post
+      .join(broadcast(qt), "token")
+      .join(dl.hint("shuffle_hash"), idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("norm1000", expr(
+        s"1000L - $Bm25Bx1000 + ($Bm25Bx1000 * dl * 1000L) div avgdl1000"))
+      .withColumn("contrib", expr(
+        s"(idf * tf * (1000L + $Bm25K1x1000)) div " +
+          s"(tf * 1000L + ($Bm25K1x1000 * norm1000) div 1000L)"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum("contrib").as("score"))
+    rankTopK(scored, idCol, k)
+  }
 }

@@ -344,27 +344,34 @@ object TrainingOps {
     */
   def shingles(spark: SparkSession, sfDir: String): DataFrame =
     cachedParquet(spark, sfDir, "shingles") {
-      // spread the docs across the session's shuffle partitions BEFORE the
-      // ~200×-per-row explode: the sf corpus is one small parquet file →
-      // one input split, so without this the whole tokenize→shingle→md5
-      // chain runs on a single core (measured 23.5 s of the cold cache
-      // build). At 100 TB the scan is many-split and the repartition cost
-      // is one shuffle of raw doc rows — noise next to the explode.
-      val tok = nearDupCorpus(spark, sfDir).repartition(col("doc_id"))
-        .withColumn("t", filter(split(col("text"), "\\s+"), x => x =!= ""))
-      tok
-        .withColumn("sh",
-          when(size(col("t")) >= 3,
-            transform(sequence(lit(1), size(col("t")) - 2),
-              i => concat_ws(" ",
-                element_at(col("t"), i),
-                element_at(col("t"), i + 1),
-                element_at(col("t"), i + 2))))
-            .otherwise(array()))
-        .select(col("doc_id"), explode(col("sh")).as("sh"))
-        .select(col("doc_id"), hash60(col("sh")).as("shh"))
-        .dropDuplicates("doc_id", "shh")
+      shinglesOf(nearDupCorpus(spark, sfDir))
     }
+
+  /** The shingle kernel behind [[shingles]] over ANY (doc_id, text)
+    * corpus — distinct word-3-gram 60-bit hashes per doc.
+    */
+  def shinglesOf(corpus: DataFrame): DataFrame = {
+    // spread the docs across the session's shuffle partitions BEFORE the
+    // ~200×-per-row explode: the sf corpus is one small parquet file →
+    // one input split, so without this the whole tokenize→shingle→md5
+    // chain runs on a single core (measured 23.5 s of the cold cache
+    // build). At 100 TB the scan is many-split and the repartition cost
+    // is one shuffle of raw doc rows — noise next to the explode.
+    val tok = corpus.repartition(col("doc_id"))
+      .withColumn("t", filter(split(col("text"), "\\s+"), x => x =!= ""))
+    tok
+      .withColumn("sh",
+        when(size(col("t")) >= 3,
+          transform(sequence(lit(1), size(col("t")) - 2),
+            i => concat_ws(" ",
+              element_at(col("t"), i),
+              element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2))))
+          .otherwise(array()))
+      .select(col("doc_id"), explode(col("sh")).as("sh"))
+      .select(col("doc_id"), hash60(col("sh")).as("shh"))
+      .dropDuplicates("doc_id", "shh")
+  }
 
   /** Benchmark decontamination (the GPT-3-style n-gram overlap filter,
     * public method — Brown et al. 2020 appendix C): flag every training
@@ -665,6 +672,75 @@ object TrainingOps {
         col("size_a"), col("size_b"),
         (col("inter") * 10 >=
           (col("size_a") + col("size_b") - col("inter")) * 6).as("is_dup"))
+  }
+
+  /** Document-frequency cap for containment candidate seeding: only
+    * shingles appearing in ≤ this many docs generate pairs (the prefix-
+    * filter idea from set-similarity joins — Chaudhuri et al. 2006). A
+    * contained doc missed by this cap would need EVERY shingle corpus-hot
+    * (boilerplate-only excerpts) — disclosed, and exactly the docs the
+    * boilerplate operator handles instead.
+    */
+  val ContainmentDfCap = 20
+
+  /** Containment flag threshold, per-mille of the smaller doc. */
+  val ContainedPerMille = 800
+
+  /** Asymmetric containment near-dup (oracled as q_doc_containment): the
+    * quote/excerpt case Jaccard-LSH structurally misses — a short doc
+    * fully inside a long one has Jaccard |A|/|B| ≈ 0 but containment
+    * |A∩B|/|A| ≈ 1 (the signal substring-dedup pipelines act on; cf. the
+    * Lee et al. 2022 span family, which this op complements at doc
+    * granularity). Corpus = the shared nearDup cache (base + tail-chop
+    * twins) PLUS a 120-char excerpt of every base doc at doc_id+200000 —
+    * true contained pairs the oracle derives identically.
+    *
+    * Scale shape: candidates come ONLY from rare shingles (df ≤
+    * [[ContainmentDfCap]]), so per-key fan-out is capped at df² and the
+    * Zipf-hot keys that would quadratically explode a plain shh self-join
+    * never enter it; the exact intersection then runs per candidate pair
+    * (the jaccardVerifiedPairs join shape). No text moves past the
+    * shingle build — 16-byte (doc_id, h60) rows throughout.
+    */
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val excerpts = docs(spark, sfDir).select(
+      (col("doc_id") + 200000).as("doc_id"),
+      expr("substr(text, 1, 120)").as("text"))
+    val sh = shingles(spark, sfDir).unionByName(shinglesOf(excerpts))
+    containmentPairsFrom(sh, ContainmentDfCap)
+  }
+
+  /** [[containmentPairs]] over any distinct (doc_id, shh) shingle frame:
+    * rare-shingle pair seeding, exact intersection, per-mille containment
+    * of the smaller side.
+    */
+  def containmentPairsFrom(sh: DataFrame, dfCap: Int): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val rare = sh.groupBy("shh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("shh")
+    val rsh = sh.join(rare.hint("shuffle_hash"), "shh")
+    val pairs = rsh.select(col("shh"), col("doc_id").as("doc_a"))
+      .join(rsh.select(col("shh"), col("doc_id").as("doc_b")), "shh")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shh")),
+        Seq("doc_b", "shh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b")) // inner: every pair shares ≥ 1
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("size_b")),
+        Seq("doc_b"))
+      .withColumn("cont_pm",
+        expr("inter * 1000L div least(size_a, size_b)"))
+      .withColumn("contained", col("cont_pm") >= ContainedPerMille)
+      .select("doc_a", "doc_b", "inter", "size_a", "size_b", "cont_pm",
+        "contained")
   }
 
   // ========================== incremental dedup (new batch vs index) ===

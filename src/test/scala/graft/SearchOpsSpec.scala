@@ -69,9 +69,61 @@ class SearchOpsSpec extends SparkTestBase {
     }
   }
 
+  test("BM25 hand case: one term, two docs — exact integer formula") {
+    import spark.implicits._
+    // doc 1: term "a" twice among 4 tokens (dl=4); doc 2: "a" once among
+    // 8 tokens (dl=8). Third doc without "a" fixes n_docs=3, avgdl.
+    val corpus = Seq(
+      (1L, "a a b c"), (2L, "a d e f g h i j"), (3L, "k l m n")
+    ).toDF("doc_id", "text")
+    val post = SearchOps.postingsOf(corpus, "doc_id")
+    val got = SearchOps.bm25TopKFrom(post,
+        corpus.agg(count(lit(1)).as("n_docs")), "doc_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // replay the integer arithmetic by hand for query 0 = {a, b, c} (df
+    // order: a has df=2, every other token df=1, ties token-asc).
+    // avgdl1000 = 16000 div 3 = 5333; idf(a) = 3000 div 2 = 1500,
+    // idf(b) = idf(c) = 3000.
+    def contrib(idf: Long, tf: Long, dl: Long): Long = {
+      val norm = 1000L - 750L + (750L * dl * 1000L) / 5333L
+      (idf * tf * 2200L) / (tf * 1000L + (1200L * norm) / 1000L)
+    }
+    val expect = Map(
+      1L -> (contrib(1500, 2, 4) + 2 * contrib(3000, 1, 4)), // a×2, b, c
+      2L -> contrib(1500, 1, 8))                             // a only
+    val q0 = got.filter(_._1 == 0L).map(r => r._2 -> r._3).toMap
+    assert(q0 == expect, s"query 0 got $q0 want $expect")
+    // saturation + length norm on the shared term: tf=2 in the 4-token
+    // doc outranks tf=1 in the 8-token doc, but by LESS than the linear
+    // tf-idf ratio 2:1 (k1 saturates the second occurrence)
+    val (cA1, cA2) = (contrib(1500, 2, 4), contrib(1500, 1, 8))
+    assert(cA1 > cA2 && cA1 < 2L * cA2)
+  }
+
+  test("BM25 length-normalization law: equal tf, shorter doc scores " +
+      "higher; equal dl, higher tf scores higher") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "x y"), (2L, "x y p q r s t u"),          // same tf(x)=1, dl 2 vs 8
+      (3L, "x x z w"), (4L, "x z w v")               // same dl=4, tf 2 vs 1
+    ).toDF("doc_id", "text")
+    val post = SearchOps.postingsOf(corpus, "doc_id")
+    val scores = SearchOps.bm25TopKFrom(post,
+        corpus.agg(count(lit(1)).as("n_docs")), "doc_id", 10)
+      .collect().groupBy(r => r.getLong(0))
+      .map { case (_, rows) =>
+        rows.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+      .find(m => m.keySet == Set(1L, 2L, 3L, 4L)) // the query set with "x"
+    assert(scores.isDefined, "a query over token x must rank all 4 docs")
+    val m = scores.get
+    assert(m(1L) > m(2L), s"shorter doc must outrank at equal tf: $m")
+    assert(m(3L) > m(4L), s"higher tf must outrank at equal dl: $m")
+  }
+
   test("plan gates: query-term side broadcasts (no SortMergeJoin), no " +
       "cartesian product, and both rank stages are present") {
     Seq(SearchOps.docTfidfTopK(spark, sf()),
+        SearchOps.docBm25TopK(spark, sf()),
         SearchOps.captionTfidfTopK(spark, nImages = 200L)).foreach { df =>
       val plan = castToImpl(df).queryExecution.executedPlan.toString
       assert(!plan.contains("SortMergeJoin"),
