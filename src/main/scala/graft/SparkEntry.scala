@@ -84,6 +84,7 @@ object SparkEntry {
     "q_emb_ivfpq_topk" -> ((s, d) => TrainingOps.ivfPqTopK(s, d)),
     "q_emb_ivfpq_rerank_topk" -> ((s, d) => TrainingOps.ivfPqRerankTopK(s, d)),
     "q_emb_cosine_dups" -> ((s, d) => TrainingOps.cosineNearDups(s, d)),
+    "q_emb_semdedup" -> ((s, d) => TrainingOps.semDedup(s, d)),
     // --- scan/projection surface (S4, S6, F1, O1, P5, P8, P9, P12, J4, §2.7) ---
     "q_json_payload" -> ((s, d) => ScanOps.jsonPayload(s, d)),
     "q_json_positional" -> ((s, d) => ScanOps.jsonPositional(s, d)),
@@ -2128,6 +2129,54 @@ object SparkEntry {
            |SELECT vec_a, vec_b, dot,
            |       (dot > 0 AND dot * dot * 25 >= na2 * nb2 * 16) AS is_dup
            |FROM sc""".stripMargin,
+      // SemDeDup: the IVF argmin-assignment CTEs over the cosine twin
+      // corpus, then the cluster-confined pairwise cosine and the
+      // keep-first-in-id-order verdict
+      "q_emb_semdedup" ->
+        s"""WITH base AS (
+           |  SELECT vec_id, $quant AS q FROM embeddings WHERE vec_id >= 8),
+           |twins AS (
+           |  SELECT vec_id + 100000 AS vec_id,
+           |         list_transform(range(1, len(q) + 1),
+           |           i -> CASE WHEN i = 1 THEN q[i] + 100 ELSE q[i] END) AS q
+           |  FROM base),
+           |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+           |cents AS (
+           |  SELECT vec_id AS centroid_id, q AS cv
+           |  FROM base WHERE vec_id % 31 = 0),
+           |assigned AS (
+           |  SELECT vec_id, centroid_id, q FROM (
+           |    SELECT c.vec_id, ct.centroid_id, c.q,
+           |           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+           |             list_sum(list_transform(range(1, len(c.q) + 1),
+           |               i -> (c.q[i] - ct.cv[i]) * (c.q[i] - ct.cv[i]))) ASC,
+           |             ct.centroid_id ASC) AS rn
+           |    FROM corpus c, cents ct) WHERE rn = 1),
+           |sizes AS (
+           |  SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           |  FROM assigned GROUP BY 1),
+           |sc AS (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |         CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+           |              i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+           |         CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+           |              i -> a.q[i] * a.q[i])) AS BIGINT) AS na2,
+           |         CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+           |              i -> b.q[i] * b.q[i])) AS BIGINT) AS nb2
+           |  FROM assigned a JOIN assigned b
+           |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+           |dups AS (
+           |  SELECT vec_a, vec_b FROM sc
+           |  WHERE dot > 0 AND dot * dot * 25 >= na2 * nb2 * 16),
+           |drp AS (
+           |  SELECT vec_b AS vec_id, MIN(vec_a) AS dropped_by
+           |  FROM dups GROUP BY 1)
+           |SELECT a.vec_id, a.centroid_id, s.cluster_size,
+           |       CAST(COALESCE(d.dropped_by, -1) AS BIGINT) AS dropped_by,
+           |       (d.dropped_by IS NULL) AS kept
+           |FROM assigned a
+           |JOIN sizes s USING (centroid_id)
+           |LEFT JOIN drp d ON d.vec_id = a.vec_id""".stripMargin,
       "q_emb_lsh_topk" ->
         s"""WITH planes AS (
            |  SELECT p, i,

@@ -1560,6 +1560,88 @@ object TrainingOps {
           .as("is_dup"))
   }
 
+  // --------------------------------------- SemDeDup (cluster-scoped) ---
+
+  /** SemDeDup (Abbas et al. 2023, public method): cluster-scoped semantic
+    * dedup over embeddings — the published way to make embedding-cosine
+    * dedup affordable at corpus scale. Where [[cosineNearDups]] finds ALL
+    * near-dup pairs via LSH banding (hash locality), SemDeDup k-means-
+    * partitions the space and confines the quadratic comparison WITHIN
+    * each cluster: a vector is dropped iff some same-cluster vector with
+    * a smaller id clears the cosine threshold (the paper's keep-first-in-
+    * order rule; order here = vec_id asc, deterministic in both engines).
+    * Same exact integer cosine test as [[cosineNearDups]]
+    * (cos ≥ 4/5 ⇔ dot > 0 ∧ 25·dot² ≥ 16·|a|²·|b|² — int64-safe).
+    *
+    * Scale shape: centroids broadcast; assignment is the IVF build's
+    * map-side-combined `min(struct)` argmin (never a window over
+    * n×nlist); the ONLY pair generation is the self-join on centroid_id,
+    * so candidate mass is Σ cluster_size² — bounded by the nlist dial
+    * (production sizes nlist ∝ n / target_cluster_size, so per-task work
+    * is a constant² and the whole job is linear in n). cluster_size is
+    * reported per row as the dial's evidence. No window anywhere in the
+    * plan; a mega-cluster (skewed centroid) shows up AS its cluster_size
+    * rather than as a silent straggler.
+    *
+    * Fixture: the [[cosineNearDups]] twin corpus restricted to non-query
+    * rows (base vec_id ≥ [[NQueryVecs]], twin = dim-0 nudge at
+    * vec_id+100000) so true semantic dups exist and the oracle re-derives
+    * them; centroids = the IVF stride sample over the base rows.
+    */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = embeddings(spark, sfDir)
+      .filter(col("vec_id") >= NQueryVecs)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val twins = base.select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("q"),
+        (x, i) => when(i === 0, x + 100).otherwise(x)).as("q"))
+    val cents = base.filter(col("vec_id") % IvfCentroidStride === 0)
+      .select(col("vec_id").as("centroid_id"), col("q").as("cv"))
+    semDedupFrom(base.unionByName(twins), cents)
+  }
+
+  /** [[semDedup]] over any (vec_id, q) corpus and (centroid_id, cv)
+    * centroid frame (pass [[ivfKmeansCentroidsFrom]] output for the
+    * Lloyd-refined clustering the paper uses; the plan shape is
+    * identical). Emits one verdict row per corpus vector.
+    */
+  def semDedupFrom(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = corpus.join(broadcast(cents))
+      .withColumn("dist", intL2(col("q"), col("cv")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("centroid_id"), col("q"))).as("m"))
+      .select(col("vec_id"), col("m.centroid_id").as("centroid_id"),
+        col("m.q").as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // nlist-row aggregate — broadcast back onto the verdicts
+    val sizes = assigned.groupBy("centroid_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    // the quadratic, confined: both sides arrive hash-partitioned on
+    // centroid_id (shuffle-hash, never a sort-merge — cluster rows are
+    // the unit of work and they fit by the nlist dial's construction)
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("vec_a"),
+      col("q").as("qa"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("vec_b"),
+      col("q").as("qb"))
+    val dups = a.join(b.hint("shuffle_hash"), Seq("centroid_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("dot", intDot(col("qa"), col("qb")))
+      .withColumn("na2", intDot(col("qa"), col("qa")))
+      .withColumn("nb2", intDot(col("qb"), col("qb")))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 25 >= col("na2") * col("nb2") * 16)
+      .select(col("vec_a"), col("vec_b"))
+    val droppedBy = dups.groupBy(col("vec_b").as("vec_id"))
+      .agg(min("vec_a").as("__dropped_by"))
+    assigned
+      .join(broadcast(sizes), Seq("centroid_id"))
+      .join(droppedBy.hint("shuffle_hash"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"), col("cluster_size"),
+        coalesce(col("__dropped_by"), lit(-1L)).as("dropped_by"),
+        col("__dropped_by").isNull.as("kept"))
+  }
+
   /** recall@k of the LSH ANN vs brute force on the same split — the
     * honesty metric for the approximate path (reported by Bench).
     */
