@@ -577,23 +577,34 @@ object TrainingOps {
     */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     cachedParquet(spark, sfDir, "minhash") {
-      val withH = shingles(spark, sfDir)
-        .withColumn("hb", col("shh").bitwiseAND(lit((1L << 30) - 1)))
-      val mins = (0 until MinhashSeeds).map { s =>
-        min((lit(mixA(s)) * col("hb") + lit(mixB(s))) % lit(MixM)).as(s"m$s")
-      }
-      val stackExpr = (0 until MinhashSeeds)
-        .map(s => s"CAST($s AS BIGINT), m$s").mkString(", ")
-      withH.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-        .select(col("doc_id"),
-          expr(s"stack($MinhashSeeds, $stackExpr) AS (seed, minhash)"))
+      minhashSignaturesOf(shingles(spark, sfDir))
     }
+
+  /** The minhash kernel over ANY distinct (doc_id, shh) shingle frame —
+    * one aggregation pass computes all [[MinhashSeeds]] affine-mix minima.
+    */
+  def minhashSignaturesOf(sh: DataFrame): DataFrame = {
+    val withH = sh
+      .withColumn("hb", col("shh").bitwiseAND(lit((1L << 30) - 1)))
+    val mins = (0 until MinhashSeeds).map { s =>
+      min((lit(mixA(s)) * col("hb") + lit(mixB(s))) % lit(MixM)).as(s"m$s")
+    }
+    val stackExpr = (0 until MinhashSeeds)
+      .map(s => s"CAST($s AS BIGINT), m$s").mkString(", ")
+    withH.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        expr(s"stack($MinhashSeeds, $stackExpr) AS (seed, minhash)"))
+  }
 
   /** LSH banding (4 bands × 2 rows): band signature = the band's two
     * minhashes; candidate pairs = docs sharing any (band, sig).
     */
   def lshBandSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    minhashSignatures(spark, sfDir)
+    bandSignaturesOf(minhashSignatures(spark, sfDir))
+
+  /** The banding kernel over ANY (doc_id, seed, minhash) frame. */
+  def bandSignaturesOf(minhash: DataFrame): DataFrame =
+    minhash
       // floor() before the cast: Spark casts double→long by truncation but
       // DuckDB's CAST rounds — floor on both sides keeps parity
       .withColumn("band", floor(col("seed") / 2).cast("long"))
