@@ -52,6 +52,7 @@ object SparkEntry {
     "q_doc_pack" -> ((s, d) => TrainingOps.sequencePacking(s, d)),
     "q_doc_lm_score" -> ((s, d) => TrainingOps.lmFamiliarity(s, d)),
     "q_doc_vocab" -> ((s, d) => TrainingOps.vocabTopK(s, d)),
+    "q_doc_bpe_merges" -> ((s, d) => TrainingOps.bpeMerges(s, d)),
     "q_doc_freq_spectrum" -> ((s, d) => TrainingOps.tokenFrequencySpectrum(s, d)),
     "q_doc_len_quantiles" -> ((s, d) => TrainingOps.docLengthQuantiles(s, d)),
     "q_doc_assemble" -> ((s, d) => TrainingOps.assembleCorpus(s, d)),
@@ -1023,6 +1024,32 @@ object SparkEntry {
     val quant =
       "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
     val F = FixtureDumpDir
+    // BPE merge iterations unrolled (the kmeans-oracle discipline): each
+    // step re-splits the wrapped words, zips adjacent symbols via parallel
+    // unnest, takes the deterministic argmax, and applies the merge as the
+    // same plain separator-delimited string replace the Spark plan uses
+    val bpeIters = (1 to TrainingOps.BpeSteps).map { k =>
+      s"""s$k AS (
+         |  SELECT string_split(substr(w, 2, length(w) - 2),
+         |                      chr(31) || chr(31)) AS s, freq
+         |  FROM w${k - 1}),
+         |p$k AS (
+         |  SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS pair_count FROM (
+         |    SELECT freq, unnest(s[1:len(s)-1]) AS lhs,
+         |           unnest(s[2:len(s)]) AS rhs
+         |    FROM s$k)
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT lhs, rhs, pair_count FROM p$k
+         |        ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1),
+         |w$k AS (
+         |  SELECT replace(t.w,
+         |           chr(31) || b.lhs || chr(31) || chr(31) || b.rhs || chr(31),
+         |           chr(31) || b.lhs || b.rhs || chr(31)) AS w, t.freq
+         |  FROM w${k - 1} t, b$k b)""".stripMargin
+    }.mkString(",\n")
+    val bpeSelect = (1 to TrainingOps.BpeSteps)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS step, lhs, rhs, pair_count FROM b$k")
+      .mkString("\nUNION ALL\n")
 
     Map(
       "q_doc_exact_dedup" ->
@@ -1186,6 +1213,20 @@ object SparkEntry {
           |       COALESCE(a.matched_bigrams, 0) * 2 >= COALESCE(a.n_bigrams, 0)
           |         AS in_distribution
           |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
+      "q_doc_bpe_merges" ->
+        s"""WITH toks AS (
+           |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+           |                            x -> x <> '')) AS token
+           |  FROM documents),
+           |wf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+           |       FROM toks GROUP BY 1),
+           |w0 AS (
+           |  SELECT chr(31) || array_to_string(
+           |           list_concat(string_split(token, ''), ['$$']),
+           |           chr(31) || chr(31)) || chr(31) AS w, freq
+           |  FROM wf),
+           |$bpeIters
+           |$bpeSelect""".stripMargin,
       "q_doc_vocab" ->
         """WITH tf AS (
           |  SELECT lang,

@@ -2363,6 +2363,104 @@ object TrainingOps {
     * (lang, token-hash subgroup) and keeps k, stage 2 ranks the
     * ≤ k×subgroups survivors per language.
     */
+  // ------------------------------------------------ BPE merge training ---
+
+  /** Fixed merge count — fixed (not convergence-driven) so the DuckDB
+    * oracle can unroll the iterations as CTEs, the [[IvfKmeansIters]]
+    * discipline.
+    */
+  val BpeSteps = 6
+
+  /** Symbol separator for the wrapped-word representation (U+001F unit
+    * separator — cannot occur in whitespace-split tokens).
+    */
+  val BpeSep = "\u001f"
+
+  /** End-of-word sentinel (Sennrich et al. 2016's `</w>`): merges that
+    * cross word ends stay distinct from word-internal merges.
+    */
+  val BpeEow = "$"
+
+  /** BPE merge training (Sennrich et al. 2016, public method) — the
+    * tokenizer-build step `vocabTopK` seeds: learn the first
+    * [[BpeSteps]] byte-pair merges from the corpus. Like every
+    * production trainer, the iteration runs over the WORD-FREQUENCY
+    * TABLE, never the corpus: the corpus is scanned once to count words;
+    * each merge step is then (a) one explode+sum over adjacent symbol
+    * pairs weighted by word freq — uniform keys, map-side combined,
+    * vocabulary-bounded; (b) a 1-row argmax (orderBy.limit(1) plans as
+    * TakeOrderedAndProject — per-partition top-1 then merge, never a
+    * global sort); (c) a row-local merge apply. The driver carries one
+    * 3-field scalar per step (the dupClusters convergence-scalar
+    * discipline); K passes touch vocab-sized frames only.
+    *
+    * THE MERGE APPLY IS A PLAIN STRING REPLACE, bit-identical in both
+    * engines: words are carried as separator-wrapped symbol strings
+    * (`␟s1␟␟s2␟…`), so replacing `␟L␟␟R␟` with `␟LR␟` performs exactly
+    * BPE's greedy left-to-right non-overlapping merge — consecutive
+    * occurrences keep their own delimiters, and both engines' `replace`
+    * scan non-overlapping left-to-right. No lookahead regex (RE2 in
+    * DuckDB has none), no per-word UDF fold.
+    *
+    * Ties break (count desc, lhs asc, rhs asc) — deterministic, and the
+    * winning pair count is provably non-increasing across steps (a
+    * post-merge pair (x, LR) occurs at most as often as (L, R) did) —
+    * the law BpeSpec asserts.
+    *
+    * Output: the merge table (step, lhs, rhs, pair_count) — K rows,
+    * assembled from the per-step driver scalars.
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String,
+      steps: Int = BpeSteps): DataFrame =
+    bpeMergesFrom(spark, docs(spark, sfDir), steps)
+
+  /** [[bpeMerges]] over any corpus with a `text` column. */
+  def bpeMergesFrom(spark: SparkSession, corpus: DataFrame, steps: Int)
+      : DataFrame = {
+    val sep2 = BpeSep + BpeSep
+    val base = corpus
+      .select(explode(filter(split(col("text"), "\\s+"), t => t =!= ""))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      // wrap: ␟c1␟␟c2␟…␟$␟ (Spark's split("") leaves a trailing "" —
+      // filtered; the $ sentinel marks the word end)
+      .select(concat(lit(BpeSep),
+        concat_ws(sep2, concat(
+          filter(split(col("token"), ""), c => c =!= ""),
+          array(lit(BpeEow)))),
+        lit(BpeSep)).as("w"), col("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // materialize once; iterations re-scan the cached table
+    var words = base
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    for (step <- 1 to steps) {
+      val pairs = words
+        .withColumn("s",
+          split(expr("substring(w, 2, length(w) - 2)"), sep2))
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "i -> struct(element_at(s, i) AS lhs, " +
+            "element_at(s, i + 1) AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("freq").as("pair_count"))
+      val best = pairs
+        .orderBy(desc("pair_count"), asc("lhs"), asc("rhs"))
+        .limit(1).collect()
+      require(best.nonEmpty,
+        s"BPE ran dry at step $step — every word is one symbol; " +
+          s"lower `steps` (fixed-step contract, the oracle unrolls it)")
+      val (l, r, c) = (best(0).getString(0), best(0).getString(1),
+        best(0).getLong(2))
+      merges += ((step.toLong, l, r, c))
+      words = words.withColumn("w", replace(col("w"),
+        lit(BpeSep + l + sep2 + r + BpeSep), lit(BpeSep + l + r + BpeSep)))
+    }
+    base.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("step", "lhs", "rhs", "pair_count")
+  }
+
   def vocabTopK(spark: SparkSession, sfDir: String): DataFrame =
     vocabTopKFrom(docs(spark, sfDir), VocabTopK)
 
