@@ -53,6 +53,7 @@ object SparkEntry {
     "q_doc_lm_score" -> ((s, d) => TrainingOps.lmFamiliarity(s, d)),
     "q_doc_vocab" -> ((s, d) => TrainingOps.vocabTopK(s, d)),
     "q_doc_bpe_merges" -> ((s, d) => TrainingOps.bpeMerges(s, d)),
+    "q_doc_host_cap" -> ((s, d) => TrainingOps.docHostCap(s, d)),
     "q_doc_freq_spectrum" -> ((s, d) => TrainingOps.tokenFrequencySpectrum(s, d)),
     "q_doc_len_quantiles" -> ((s, d) => TrainingOps.docLengthQuantiles(s, d)),
     "q_doc_assemble" -> ((s, d) => TrainingOps.assembleCorpus(s, d)),
@@ -74,6 +75,7 @@ object SparkEntry {
     "q_doc_postings" -> ((s, d) => SearchOps.docPostings(s, d)),
     "q_doc_tfidf_topk" -> ((s, d) => SearchOps.docTfidfTopK(s, d)),
     "q_doc_bm25_topk" -> ((s, d) => SearchOps.docBm25TopK(s, d)),
+    "q_doc_bm25_pruned_topk" -> ((s, d) => SearchOps.docBm25PrunedTopK(s, d)),
     "q_pair_caption_search" -> ((s, _) => SearchOps.captionTfidfTopK(s)),
     "q_emb_topk" -> ((s, d) => TrainingOps.bruteForceTopK(s, d)),
     "q_emb_lsh_buckets" -> ((s, d) => TrainingOps.lshBuckets(s, d)),
@@ -1227,6 +1229,18 @@ object SparkEntry {
            |  FROM wf),
            |$bpeIters
            |$bpeSelect""".stripMargin,
+      "q_doc_host_cap" ->
+        s"""WITH h AS (
+           |  SELECT doc_id, source,
+           |         ${h60("CAST(doc_id AS VARCHAR)")} AS h
+           |  FROM documents),
+           |r AS (
+           |  SELECT doc_id, source,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+           |           ORDER BY h ASC, doc_id ASC) AS BIGINT) AS keep_rank
+           |  FROM h)
+           |SELECT doc_id, source, keep_rank FROM r
+           |WHERE keep_rank <= ${TrainingOps.HostCapDefault}""".stripMargin,
       "q_doc_vocab" ->
         """WITH tf AS (
           |  SELECT lang,
@@ -1428,6 +1442,56 @@ object SparkEntry {
           |  FROM scored)
           |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank
           |FROM ranked WHERE rank <= 10""".stripMargin,
+      // same CTE chain as q_doc_bm25_topk, with candidates drawn from the
+      // impact-truncated (top-64-by-tf) posting lists; stats stay full
+      "q_doc_bm25_pruned_topk" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           |  FROM documents),
+           |post AS (
+           |  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM toks WHERE token <> '' GROUP BY 1, 2),
+           |pruned AS (
+           |  SELECT token, doc_id, tf FROM (
+           |    SELECT token, doc_id, tf,
+           |           ROW_NUMBER() OVER (PARTITION BY token
+           |             ORDER BY tf DESC, doc_id ASC) AS pr
+           |    FROM post) WHERE pr <= ${SearchOps.PrunedPostingsPerTerm}),
+           |dl AS (
+           |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           |  FROM post GROUP BY 1),
+           |stats AS (
+           |  SELECT CAST(SUM(dl) * 1000 // COUNT(*) AS BIGINT) AS avgdl1000
+           |  FROM dl),
+           |lex AS (SELECT token, COUNT(*) AS df FROM post GROUP BY 1),
+           |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+           |top24 AS (
+           |  SELECT token, (SELECT n_docs FROM n) * 1000 // df AS idf,
+           |         ROW_NUMBER() OVER (ORDER BY df DESC, token ASC) - 1 AS r
+           |  FROM lex ORDER BY df DESC, token ASC LIMIT 24),
+           |q AS (SELECT r // 3 AS query_id, token, idf FROM top24),
+           |cand AS (
+           |  SELECT q.query_id, p.doc_id, p.tf, q.idf, d.dl, s.avgdl1000
+           |  FROM pruned p JOIN q ON p.token = q.token
+           |  JOIN dl d ON p.doc_id = d.doc_id CROSS JOIN stats s),
+           |contrib AS (
+           |  SELECT query_id, doc_id,
+           |         (idf * tf * (1000 + 1200)) //
+           |           (tf * 1000 +
+           |            (1200 * (1000 - 750 + (750 * dl * 1000) // avgdl1000))
+           |              // 1000) AS c
+           |  FROM cand),
+           |scored AS (
+           |  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score
+           |  FROM contrib GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT query_id, doc_id, score,
+           |         CAST(ROW_NUMBER() OVER (
+           |           PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+           |           AS BIGINT) AS rank
+           |  FROM scored)
+           |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank
+           |FROM ranked WHERE rank <= 10""".stripMargin,
       "q_pair_caption_search" ->
         s"""WITH base AS (
            |  SELECT image_id, caption

@@ -225,12 +225,24 @@ object SearchOps {
     * df-top workload, two-stage top-k ranked.
     */
   def bm25TopKFrom(post: DataFrame, corpusN: DataFrame, idCol: String,
-      k: Int): DataFrame = {
-    val dl = post.groupBy(idCol).agg(sum("tf").as("dl"))
+      k: Int): DataFrame =
+    bm25TopKOver(post, post, corpusN, idCol, k)
+
+  /** BM25 with the scoring scan and the statistics source split:
+    * `scoredPost` supplies the candidates (e.g. a pruned index);
+    * `statsPost` supplies df/idf/dl/avgdl and the query workload. With
+    * both the same frame this is plain BM25; with a pruned scoring side
+    * every surviving (query, doc) pair keeps its EXACT full-index score —
+    * pruning moves candidacy, never scores (the law PrunedIndexSpec
+    * asserts).
+    */
+  def bm25TopKOver(scoredPost: DataFrame, statsPost: DataFrame,
+      corpusN: DataFrame, idCol: String, k: Int): DataFrame = {
+    val dl = statsPost.groupBy(idCol).agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_d"), sum("dl").as("tot"))
       .withColumn("avgdl1000", expr("tot * 1000L div n_d"))
       .select("avgdl1000")
-    val lex = lexiconOf(post, corpusN)
+    val lex = lexiconOf(statsPost, corpusN)
     val top = lex.orderBy(desc("df"), asc("token"))
       .limit(NQueries * TermsPerQuery)
     val qt = top
@@ -238,7 +250,7 @@ object SearchOps {
         Window.orderBy(desc("df"), asc("token"))).cast("long") - 1)
       .withColumn("query_id", expr(s"r div $TermsPerQuery"))
       .select(col("query_id"), col("token"), col("idf"))
-    val scored = post
+    val scored = scoredPost
       .join(broadcast(qt), "token")
       .join(dl.hint("shuffle_hash"), idCol)
       .crossJoin(broadcast(stats))
@@ -250,5 +262,57 @@ object SearchOps {
       .groupBy(col("query_id"), col(idCol))
       .agg(sum("contrib").as("score"))
     rankTopK(scored, idCol, k)
+  }
+
+  /** Impact-ordered static index pruning (Carmel et al. 2001 family,
+    * public method): keep only each term's top-`p` postings by impact
+    * (tf desc, id asc — with uniform doc lengths tf IS the impact order).
+    * The serving-index size becomes |lexicon|·p — FIXED per term however
+    * hot the term is, which is what makes a memory-resident serving tier
+    * plannable at 100 TB (the Zipf-head terms that dominate index bytes
+    * are exactly the ones truncation bounds).
+    *
+    * The rank is the repo's two-stage partial top-k ON THE TERM KEY:
+    * stage 1 ranks within (token, id-hash subgroup) — a Zipf-hot term's
+    * df-sized posting list is cut across 16 parallel tasks, no task holds
+    * a full hot list; stage 2 ranks ≤ 16·p survivors per term.
+    */
+  def prunePostings(post: DataFrame, idCol: String, p: Int): DataFrame = {
+    val order = Seq(desc("tf"), asc(idCol))
+    post
+      .withColumn("__sub", pmod(xxhash64(col(idCol)), lit(16L)))
+      .withColumn("__subrank", row_number().over(
+        Window.partitionBy(col("token"), col("__sub")).orderBy(order: _*)))
+      .filter(col("__subrank") <= p)
+      .withColumn("__prank", row_number().over(
+        Window.partitionBy("token").orderBy(order: _*)))
+      .filter(col("__prank") <= p)
+      .select(col("token"), col(idCol), col("tf"))
+  }
+
+  /** Postings kept per term in the pruned serving index. */
+  val PrunedPostingsPerTerm = 64
+
+  /** BM25 over the PRUNED index with FULL-index statistics (oracled as
+    * q_doc_bm25_pruned_topk): candidates come from the truncated posting
+    * lists, but df/idf/dl/avgdl stay exact, so every surviving (term,
+    * doc) posting contributes its bit-exact full-index term score; a
+    * doc's total is the sum over its SURVIVING postings — a provable
+    * LOWER BOUND on its full score (truncation only removes
+    * contributions; the ≤ law PrunedIndexSpec asserts). Lossless bound:
+    * with p ≥ max df the ranking is exactly [[docBm25TopK]] (spec-gated);
+    * at serving p the recall against the full ranking is the measured
+    * dial — pessimistic on this fixture, whose tiny synthetic vocabulary
+    * ties tf values far more than natural Zipf text, making the tf-order
+    * cut near-arbitrary among tied postings.
+    */
+  def docBm25PrunedTopK(spark: SparkSession, sfDir: String,
+      p: Int = PrunedPostingsPerTerm, k: Int = 10): DataFrame = {
+    val corpus = TrainingOps.docs(spark, sfDir)
+    val post = postingsOf(corpus, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pruned = prunePostings(post, "doc_id", p)
+    bm25TopKOver(pruned, post, corpus.agg(count(lit(1)).as("n_docs")),
+      "doc_id", k)
   }
 }

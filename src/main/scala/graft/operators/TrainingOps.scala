@@ -2363,6 +2363,44 @@ object TrainingOps {
     * (lang, token-hash subgroup) and keeps k, stage 2 ranks the
     * ≤ k×subgroups survivors per language.
     */
+  // ------------------------------------------- per-host document caps ---
+
+  /** Default per-source document cap (the Gopher-style domain-balancing
+    * rule: rate sampling — [[mixtureSample]] — balances LANGUAGES; hard
+    * caps are what stops a single mega-domain from dominating a shard).
+    */
+  val HostCapDefault = 100
+
+  /** Per-host document cap (oracled as q_doc_host_cap): every source
+    * keeps at most `cap` documents, chosen as the `cap` smallest by the
+    * engine-portable 60-bit hash of the doc id — a uniform,
+    * deterministic, repartition-invariant sample (the [[mixtureSample]]
+    * membership discipline, but an exact COUNT bound instead of a rate:
+    * a 10^9-doc mega-domain keeps exactly `cap`, not rate·10^9).
+    *
+    * Scale shape: one uniform (source) key; the rank is the two-stage
+    * partial top-k (subgroup = hash % 16) because per-source candidate
+    * sets are domain-sized — no task ranks a mega-domain's full doc list.
+    * Emits every doc with its keep_rank and the kept verdict, so the
+    * dropped mass is visible, never silent.
+    */
+  def docHostCap(spark: SparkSession, sfDir: String,
+      cap: Int = HostCapDefault): DataFrame = {
+    val order = Seq(asc("h"), asc("doc_id"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        hash60(col("doc_id").cast("string")).as("h"))
+      .withColumn("__sub", pmod(col("h"), lit(16L)))
+      .withColumn("__subrank", row_number().over(
+        Window.partitionBy(col("source"), col("__sub"))
+          .orderBy(order: _*)))
+      .filter(col("__subrank") <= cap)
+      .withColumn("keep_rank", row_number().over(
+        Window.partitionBy("source").orderBy(order: _*)).cast("long"))
+      .filter(col("keep_rank") <= cap)
+      .select(col("doc_id"), col("source"), col("keep_rank"))
+  }
+
   // ------------------------------------------------ BPE merge training ---
 
   /** Fixed merge count — fixed (not convergence-driven) so the DuckDB
