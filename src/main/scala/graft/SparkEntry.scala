@@ -53,6 +53,8 @@ object SparkEntry {
     "q_doc_lm_score" -> ((s, d) => TrainingOps.lmFamiliarity(s, d)),
     "q_doc_vocab" -> ((s, d) => TrainingOps.vocabTopK(s, d)),
     "q_doc_bpe_merges" -> ((s, d) => TrainingOps.bpeMerges(s, d)),
+    "q_doc_bpe_encode" -> ((s, d) => TrainingOps.bpeEncode(s, d)),
+    "q_doc_dense_ids" -> ((s, d) => TrainingOps.denseIds(s, d)),
     "q_doc_host_cap" -> ((s, d) => TrainingOps.docHostCap(s, d)),
     "q_doc_freq_spectrum" -> ((s, d) => TrainingOps.tokenFrequencySpectrum(s, d)),
     "q_doc_len_quantiles" -> ((s, d) => TrainingOps.docLengthQuantiles(s, d)),
@@ -1052,6 +1054,16 @@ object SparkEntry {
     val bpeSelect = (1 to TrainingOps.BpeSteps)
       .map(k => s"SELECT CAST($k AS BIGINT) AS step, lhs, rhs, pair_count FROM b$k")
       .mkString("\nUNION ALL\n")
+    // Encode-side replay: the K merges apply innermost-first (training
+    // order) as nested replaces inside one list_transform lambda; the
+    // merge pair values come from cross-joining the K one-row b$k CTEs.
+    val bpeEncodeExpr = (1 to TrainingOps.BpeSteps).foldLeft("x") {
+      (acc, k) =>
+        s"replace($acc, chr(31) || m$k.lhs || chr(31) || chr(31) || " +
+          s"m$k.rhs || chr(31), chr(31) || m$k.lhs || m$k.rhs || chr(31))"
+    }
+    val bpeEncodeJoins = (1 to TrainingOps.BpeSteps)
+      .map(k => s", b$k m$k").mkString
 
     Map(
       "q_doc_exact_dedup" ->
@@ -1229,6 +1241,51 @@ object SparkEntry {
            |  FROM wf),
            |$bpeIters
            |$bpeSelect""".stripMargin,
+      "q_doc_bpe_encode" ->
+        s"""WITH toks AS (
+           |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+           |                            x -> x <> '')) AS token
+           |  FROM documents),
+           |wf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+           |       FROM toks GROUP BY 1),
+           |w0 AS (
+           |  SELECT chr(31) || array_to_string(
+           |           list_concat(string_split(token, ''), ['$$']),
+           |           chr(31) || chr(31)) || chr(31) AS w, freq
+           |  FROM wf),
+           |$bpeIters,
+           |dw AS (
+           |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+           |                             x -> x <> '') AS ws
+           |  FROM documents),
+           |wrapped AS (
+           |  SELECT doc_id, ws,
+           |         list_transform(ws, t -> chr(31) || array_to_string(
+           |             list_concat(string_split(t, ''), ['$$']),
+           |             chr(31) || chr(31)) || chr(31)) AS e0
+           |  FROM dw),
+           |encoded AS (
+           |  SELECT doc_id, ws,
+           |         list_transform(e0, x -> $bpeEncodeExpr) AS enc
+           |  FROM wrapped$bpeEncodeJoins)
+           |SELECT doc_id,
+           |       CAST(len(ws) AS BIGINT) AS n_words,
+           |       CAST(COALESCE(list_sum(list_transform(ws,
+           |           t -> length(t))), 0) AS BIGINT) AS word_chars,
+           |       CAST(COALESCE(list_sum(list_transform(enc,
+           |           x -> length(x) - length(replace(x, chr(31), '')))),
+           |         0) // 2 AS BIGINT) AS n_bpe_tokens,
+           |       md5(array_to_string(enc, chr(30))) AS enc_md5
+           |FROM encoded""".stripMargin,
+      "q_doc_dense_ids" ->
+        s"""SELECT doc_id,
+           |  CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+           |    AS dense_id,
+           |  CAST((ROW_NUMBER() OVER (ORDER BY doc_id) - 1)
+           |    // ${TrainingOps.DenseShardSize} AS BIGINT) AS shard,
+           |  CAST((ROW_NUMBER() OVER (ORDER BY doc_id) - 1)
+           |    % ${TrainingOps.DenseShardSize} AS BIGINT) AS pos_in_shard
+           |FROM documents""".stripMargin,
       "q_doc_host_cap" ->
         s"""WITH h AS (
            |  SELECT doc_id, source,

@@ -2499,6 +2499,69 @@ object TrainingOps {
     merges.toSeq.toDF("step", "lhs", "rhs", "pair_count")
   }
 
+  /** BPE ENCODING — the apply side of [[bpeMerges]], completing the
+    * tokenizer loop (vocabTopK seeds → bpeMerges trains → bpeEncode
+    * tokenizes → sequencePacking packs). The trained merge table is K
+    * tiny rows collected to the driver and inlined as a literal replace
+    * chain (at 100 TB the merges are a ~50k-row artifact shipped with
+    * the job, never joined against the corpus); encoding is then a fully
+    * ROW-LOCAL projection — each word wraps as a separator-delimited
+    * symbol string and every merge applies in training order as the same
+    * greedy left-to-right non-overlapping `replace` the trainer used,
+    * inside one `transform` over the word array. The plan is
+    * scan → project: NO shuffle, no join, no window (plan-gated).
+    *
+    * Output per doc: `n_words`, `word_chars` (characters entering the
+    * tokenizer), `n_bpe_tokens` (symbols after all merges — the number a
+    * token-budget pipeline bills; starts at word_chars + n_words from
+    * the end-of-word sentinels and drops by one per merge hit), and
+    * `enc_md5` — md5 over the full encoded symbol stream, so an encoder
+    * that merges wrongly, reorders, or miscounts cannot hash-match the
+    * oracle even when token counts collide.
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String,
+      steps: Int = BpeSteps): DataFrame = {
+    val d = docs(spark, sfDir)
+    bpeEncodeFrom(spark, d, d, steps)
+  }
+
+  /** [[bpeEncode]] over any (doc_id, text) corpus, with merges trained
+    * on `trainCorpus` (any `text` frame — production points this at the
+    * curated tokenizer-training slice, not the full corpus).
+    */
+  def bpeEncodeFrom(spark: SparkSession, corpus: DataFrame,
+      trainCorpus: DataFrame, steps: Int): DataFrame = {
+    val sep2 = BpeSep + BpeSep
+    val merges = bpeMergesFrom(spark, trainCorpus, steps)
+      .orderBy("step")
+      .collect() // K driver rows — the trained artifact, not data
+      .map(r => (r.getString(1), r.getString(2)))
+    val encodeWord: Column => Column = raw => {
+      val wrapped = concat(lit(BpeSep),
+        concat_ws(sep2, concat(
+          filter(split(raw, ""), c => c =!= ""), array(lit(BpeEow)))),
+        lit(BpeSep))
+      merges.foldLeft(wrapped) { case (acc, (l, r)) =>
+        replace(acc, lit(BpeSep + l + sep2 + r + BpeSep),
+          lit(BpeSep + l + r + BpeSep))
+      }
+    }
+    corpus
+      .withColumn("ws", filter(split(col("text"), "\\s+"), t => t =!= ""))
+      .withColumn("enc", transform(col("ws"), encodeWord))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        coalesce(aggregate(col("ws"), lit(0L),
+          (acc, w) => acc + length(w).cast("long")), lit(0L))
+          .as("word_chars"),
+        // each symbol contributes exactly two separator chars
+        shiftright(coalesce(aggregate(col("enc"), lit(0L),
+          (acc, x) => acc + (length(x) -
+            length(replace(x, lit(BpeSep), lit("")))).cast("long")),
+          lit(0L)), 1).as("n_bpe_tokens"),
+        md5(concat_ws("\u001e", col("enc"))).as("enc_md5"))
+  }
+
   def vocabTopK(spark: SparkSession, sfDir: String): DataFrame =
     vocabTopKFrom(docs(spark, sfDir), VocabTopK)
 
@@ -2571,6 +2634,65 @@ object TrainingOps {
       .groupBy("lang", "p", "n_docs")
       .agg(min("n_chars").as("q_len"))
       .select("lang", "p", "q_len", "n_docs")
+  }
+
+  /** Bucket shift for [[denseIds]]: bucket = doc_id >> shift, an
+    * ORDER-PRESERVING coarsening (arithmetic shift — correct even for
+    * negative ids, unlike truncating division). 2^6 = 64 ids/bucket at
+    * fixture scale; the 100 TB dial math: with 10^10 ids and shift 20
+    * (2^20 ids/bucket) the bucket table is ~10^4 rows — the
+    * single-partition cumulative window sees that table, never the
+    * corpus. Size shift so id-range >> shift stays ≤ ~10^6.
+    */
+  val DenseIdBucketShift = 6
+
+  /** Rows per training shard for [[denseIds]]. */
+  val DenseShardSize = 100L
+
+  /** DENSE ID / SHARD ASSIGNMENT — give every document a contiguous
+    * 0-based index (by doc_id order) and a (shard, pos_in_shard) slot,
+    * the step that turns a kept corpus into NUMBERED training shards.
+    * The naive plan is `row_number() OVER (ORDER BY doc_id)` — a global
+    * sort into ONE window partition, the canonical scale-killer. This is
+    * the histogram-cumulative shape instead ([[docLengthQuantiles]]'s
+    * discipline applied to ranking):
+    *
+    *   1. bucket = doc_id >> [[DenseIdBucketShift]] — order-preserving,
+    *      pure function of the row;
+    *   2. per-bucket counts (map-side combined, uniform keys);
+    *   3. exclusive prefix sum over the BUCKET TABLE (bounded by
+    *      id-range >> shift — thousands of rows, not billions; the only
+    *      single-partition step sees only this aggregate);
+    *   4. per-bucket `row_number` windows (each partition ≤ bucket
+    *      occupancy) + broadcast offset join;
+    *   5. dense_id = offset + rn − 1, shard/pos by integer division.
+    *
+    * dense_id is a pure function of the data — repartition-invariant,
+    * re-run-stable (the property that makes shard manifests resumable).
+    */
+  def denseIds(spark: SparkSession, sfDir: String): DataFrame =
+    denseIdsFrom(docs(spark, sfDir), DenseIdBucketShift, DenseShardSize)
+
+  /** [[denseIds]] over any frame with a unique numeric `doc_id`. */
+  def denseIdsFrom(corpus: DataFrame, bucketShift: Int, shardSize: Long)
+      : DataFrame = {
+    val withB = corpus.select(col("doc_id"),
+      shiftright(col("doc_id"), bucketShift).as("b"))
+    val offsets = withB.groupBy("b").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum("c").over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("b", "off")
+    val rn = row_number()
+      .over(Window.partitionBy("b").orderBy("doc_id")).cast("long")
+    withB
+      .withColumn("rn", rn)
+      .join(broadcast(offsets), Seq("b"))
+      .withColumn("dense_id", col("off") + col("rn") - 1)
+      .select(col("doc_id"), col("dense_id"),
+        // integral div, not `/` (which widens to double)
+        expr(s"dense_id div $shardSize").as("shard"),
+        pmod(col("dense_id"), lit(shardSize)).as("pos_in_shard"))
   }
 
   // -------------------------------------------------------------------

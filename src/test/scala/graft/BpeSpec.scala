@@ -67,4 +67,60 @@ class BpeSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  // ------------------------------------------------- encode (apply) ---
+
+  private def encode(train: Seq[String], docs: Seq[(Long, String)],
+      steps: Int): Map[Long, (Long, Long, Long)] = {
+    import spark.implicits._
+    TrainingOps.bpeEncodeFrom(spark, docs.toDF("doc_id", "text"),
+        train.toDF("text"), steps)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  test("encode hand case: merges (a,a) then (a,b) tokenize aaab as " +
+      "[aa,ab,$] — hand-replayed counts") {
+    // train on 'aaab' x3: step1 (a,a,6)... on one word 'aaab':
+    // (a,a)=2, (a,b)=1, (b,$)=1 → merge1 (a,a); [aa,a,b,$]:
+    // (aa,a)=1,(a,b)=1,(b,$)=1 → tie lex asc → merge2 (a,b).
+    // encoding 'aaab' applies both: [aa,ab,$] → 3 tokens;
+    // 'ab' → [ab,$] → 2; 'ba' (no merge hits except none) → [b,a,$] → 3
+    val got = encode(Seq("aaab"), Seq((1L, "aaab"), (2L, "ab"),
+      (3L, "ba")), steps = 2)
+    assert(got(1L) == ((1L, 4L, 3L)), s"${got(1L)}")
+    assert(got(2L) == ((1L, 2L, 2L)), s"${got(2L)}")
+    assert(got(3L) == ((1L, 2L, 3L)), s"${got(3L)}")
+  }
+
+  test("encode: zero merges hit → one symbol per char plus the " +
+      "end-of-word sentinel; empty doc → all-zero row, never dropped") {
+    val got = encode(Seq("aaab"), Seq((1L, "xyz zz"), (2L, "  ")), 1)
+    // 'xyz' -> 4 symbols, 'zz' -> 3 (merge (a,a) never hits)
+    assert(got(1L) == ((2L, 5L, 7L)), s"${got(1L)}")
+    assert(got(2L) == ((0L, 0L, 0L)), s"${got(2L)}")
+  }
+
+  test("encode: more merges never increase the total token count " +
+      "(each merge hit drops it by one — monotone on the sf corpus)") {
+    val k0 = TrainingOps.bpeEncode(spark, sf(), steps = 1)
+      .agg(sum("n_bpe_tokens")).collect()(0).getLong(0)
+    val k6 = TrainingOps.bpeEncode(spark, sf())
+      .agg(sum("n_bpe_tokens")).collect()(0).getLong(0)
+    assert(k6 <= k0, s"steps=6 total $k6 > steps=1 total $k0")
+  }
+
+  test("encode plan is scan → project: no exchange, no join, no window " +
+      "(the merge table rides in as literals)") {
+    import spark.implicits._
+    val enc = TrainingOps.bpeEncodeFrom(spark,
+      Seq((1L, "aaab ab")).toDF("doc_id", "text"),
+      Seq("aaab").toDF("text"), 2)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
