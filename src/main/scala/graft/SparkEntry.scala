@@ -55,6 +55,8 @@ object SparkEntry {
     "q_doc_bpe_merges" -> ((s, d) => TrainingOps.bpeMerges(s, d)),
     "q_doc_bpe_encode" -> ((s, d) => TrainingOps.bpeEncode(s, d)),
     "q_doc_dense_ids" -> ((s, d) => TrainingOps.denseIds(s, d)),
+    "q_doc_temperature_mix" ->
+      ((s, d) => TrainingOps.temperatureMixtureRates(s, d)),
     "q_doc_host_cap" -> ((s, d) => TrainingOps.docHostCap(s, d)),
     "q_doc_freq_spectrum" -> ((s, d) => TrainingOps.tokenFrequencySpectrum(s, d)),
     "q_doc_len_quantiles" -> ((s, d) => TrainingOps.docLengthQuantiles(s, d)),
@@ -1277,6 +1279,32 @@ object SparkEntry {
            |         0) // 2 AS BIGINT) AS n_bpe_tokens,
            |       md5(array_to_string(enc, chr(30))) AS enc_md5
            |FROM encoded""".stripMargin,
+      "q_doc_temperature_mix" ->
+        """WITH lm AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS mass
+          |            FROM documents GROUP BY 1),
+          |w0 AS (SELECT lang, mass,
+          |              CAST(FLOOR(sqrt(mass)) AS BIGINT) AS s0 FROM lm),
+          |w AS (SELECT lang, mass,
+          |        CASE WHEN (s0 + 2) * (s0 + 2) <= mass THEN s0 + 2
+          |             WHEN (s0 + 1) * (s0 + 1) <= mass THEN s0 + 1
+          |             WHEN s0 * s0 <= mass THEN s0
+          |             WHEN (s0 - 1) * (s0 - 1) <= mass THEN s0 - 1
+          |             ELSE GREATEST(s0 - 2, 0) END AS weight
+          |      FROM w0),
+          |tt AS (SELECT CAST(SUM(weight) AS BIGINT) AS tot FROM w),
+          |qb AS (SELECT lang, mass, weight,
+          |              CAST((weight * 1000) // tot AS BIGINT) AS bq,
+          |              CAST((weight * 1000) % tot AS BIGINT) AS rem
+          |       FROM w, tt),
+          |lo AS (SELECT CAST(1000 - SUM(bq) AS BIGINT) AS leftover FROM qb),
+          |rk AS (SELECT lang,
+          |              ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC)
+          |                AS rr
+          |       FROM qb)
+          |SELECT q.lang, q.mass, q.weight,
+          |       CAST(q.bq + CASE WHEN r.rr <= l.leftover THEN 1 ELSE 0 END
+          |            AS BIGINT) AS rate_permille
+          |FROM qb q JOIN rk r USING (lang), lo l""".stripMargin,
       "q_doc_dense_ids" ->
         s"""SELECT doc_id,
            |  CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)

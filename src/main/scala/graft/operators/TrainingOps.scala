@@ -218,6 +218,48 @@ object TrainingOps {
           .otherwise(600L).as("rate_permille"))
       .withColumn("sampled", col("bucket") < col("rate_permille"))
 
+  /** TEMPERATURE-FLATTENED MIXTURE RATES — compute the per-language rate
+    * table [[mixtureSample]] consumes, the way multilingual pipelines
+    * actually set it (sampling ∝ mass^(1/T), T = 2 here: the flattening
+    * that up-weights tail languages without drowning the head). Two exact
+    * integer moves keep it oracle-provable:
+    *
+    *   - weight = isqrt(mass) computed as float sqrt + a ±2 CASE
+    *     correction picking the true integer root — immune to the 1-ulp
+    *     double-sqrt differences that would hash-mismatch across engines;
+    *   - the per-mille budget (1000) splits over weights by Hamilton
+    *     largest-remainder ([[graft.politeness.Scheduler.hostBudgets]],
+    *     reused verbatim on (lang, weight)): Σ rate_permille == 1000
+    *     EXACTLY, each language within 1 of its real share.
+    *
+    * Scale shape: one map-side-combined sum by lang is the only pass over
+    * the corpus; everything after runs on the language table (bounded by
+    * the number of languages — hundreds, not billions).
+    */
+  def temperatureMixtureRates(spark: SparkSession, sfDir: String)
+      : DataFrame =
+    temperatureMixtureRatesFrom(docs(spark, sfDir))
+
+  /** [[temperatureMixtureRates]] over any (lang, n_chars) frame. */
+  def temperatureMixtureRatesFrom(corpus: DataFrame): DataFrame = {
+    val mass = corpus.groupBy("lang")
+      .agg(sum("n_chars").cast("long").as("mass"))
+      .withColumn("s0", floor(sqrt(col("mass"))).cast("long"))
+      .withColumn("weight", expr(
+        """CASE WHEN (s0 + 2) * (s0 + 2) <= mass THEN s0 + 2
+          |     WHEN (s0 + 1) * (s0 + 1) <= mass THEN s0 + 1
+          |     WHEN s0 * s0 <= mass THEN s0
+          |     WHEN (s0 - 1) * (s0 - 1) <= mass THEN s0 - 1
+          |     ELSE greatest(s0 - 2, 0) END""".stripMargin))
+    val rates = graft.politeness.Scheduler.hostBudgets(
+      mass.select(col("lang"), col("weight")), "lang", "weight", 1000L)
+    rates
+      .select(col("host").as("lang"), col("mass").as("weight"),
+        col("quota").as("rate_permille"))
+      .join(broadcast(mass.select("lang", "mass")), Seq("lang"))
+      .select("lang", "mass", "weight", "rate_permille")
+  }
+
   /** 60-bit SimHash over whitespace tokens: per-bit majority vote of token
     * hashes, weighted by multiplicity.
     */

@@ -47,4 +47,34 @@ class MixtureSampleSpec extends SparkTestBase {
         s"$lang kept $kept/$n, expected ~$rate ± $tol")
     }
   }
+
+  // --------------------------------------- temperature-flattened rates ---
+
+  test("temperature rates: sum to exactly 1000, isqrt weights exact " +
+      "(w^2 <= mass < (w+1)^2)") {
+    val rows = TrainingOps.temperatureMixtureRates(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.map(_._4).sum == 1000L, rows.mkString(","))
+    rows.foreach { case (lang, mass, w, _) =>
+      assert(w * w <= mass && mass < (w + 1) * (w + 1),
+        s"$lang: isqrt($mass) != $w")
+    }
+  }
+
+  test("temperature rates: T=2 flattening — a 4x mass advantage becomes " +
+      "a ~2x rate advantage (within Hamilton's ±1 rounding)") {
+    import spark.implicits._
+    val corpus = (
+      (1 to 40).map(i => (i.toLong, "big", 10000L)) ++
+      (1 to 10).map(i => (100L + i, "small", 10000L))).toDF(
+        "doc_id", "lang", "n_chars")
+    val got = TrainingOps.temperatureMixtureRatesFrom(corpus)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // masses 400k vs 100k → weights 632 vs 316 → rates ~667 vs ~333
+    val ratio = got("big").toDouble / got("small")
+    assert(math.abs(ratio - 2.0) < 0.02,
+      s"flattened ratio $ratio should be ~2, rates $got")
+    assert(got.values.sum == 1000L)
+  }
 }
