@@ -57,6 +57,8 @@ object SparkEntry {
     "q_doc_dense_ids" -> ((s, d) => TrainingOps.denseIds(s, d)),
     "q_doc_temperature_mix" ->
       ((s, d) => TrainingOps.temperatureMixtureRates(s, d)),
+    "q_doc_winnow" -> ((s, d) => TrainingOps.winnowFingerprints(s, d)),
+    "q_doc_winnow_pairs" -> ((s, d) => TrainingOps.winnowedPairs(s, d)),
     "q_doc_host_cap" -> ((s, d) => TrainingOps.docHostCap(s, d)),
     "q_doc_freq_spectrum" -> ((s, d) => TrainingOps.tokenFrequencySpectrum(s, d)),
     "q_doc_len_quantiles" -> ((s, d) => TrainingOps.docLengthQuantiles(s, d)),
@@ -1279,6 +1281,61 @@ object SparkEntry {
            |         0) // 2 AS BIGINT) AS n_bpe_tokens,
            |       md5(array_to_string(enc, chr(30))) AS enc_md5
            |FROM encoded""".stripMargin,
+      "q_doc_winnow" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+           |                             x -> x <> '') AS t
+           |  FROM documents),
+           |hsx AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(t) >= 3 THEN
+           |      list_transform(range(1, len(t) - 1), i ->
+           |        ${h60("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")})
+           |    ELSE [] END AS hs
+           |  FROM tok),
+           |wins AS (
+           |  SELECT doc_id,
+           |    list_transform(
+           |      range(1, GREATEST(len(hs) - ${TrainingOps.WinnowWindow} + 1,
+           |                        1) + 1),
+           |      i -> list_min(hs[i:i + ${TrainingOps.WinnowWindow} - 1]))
+           |      AS mins
+           |  FROM hsx WHERE len(hs) >= 1)
+           |SELECT doc_id, fp, CAST(COUNT(*) AS BIGINT) AS n_windows
+           |FROM (SELECT doc_id, unnest(mins) AS fp FROM wins)
+           |GROUP BY 1, 2""".stripMargin,
+      "q_doc_winnow_pairs" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+           |                             x -> x <> '') AS t
+           |  FROM documents),
+           |hsx AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(t) >= 3 THEN
+           |      list_transform(range(1, len(t) - 1), i ->
+           |        ${h60("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")})
+           |    ELSE [] END AS hs
+           |  FROM tok),
+           |wins AS (
+           |  SELECT doc_id,
+           |    list_transform(
+           |      range(1, GREATEST(len(hs) - ${TrainingOps.WinnowWindow} + 1,
+           |                        1) + 1),
+           |      i -> list_min(hs[i:i + ${TrainingOps.WinnowWindow} - 1]))
+           |      AS mins
+           |  FROM hsx WHERE len(hs) >= 1),
+           |fps AS (
+           |  SELECT DISTINCT doc_id, unnest(mins) AS fp FROM wins),
+           |dfreq AS (
+           |  SELECT fp FROM fps GROUP BY fp
+           |  HAVING COUNT(*) <= ${TrainingOps.WinnowMaxDf}
+           |     AND COUNT(*) >= 2),
+           |rare AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfreq USING (fp))
+           |SELECT x.doc_id AS a, y.doc_id AS b,
+           |       CAST(COUNT(*) AS BIGINT) AS n_shared
+           |FROM rare x JOIN rare y ON x.fp = y.fp AND x.doc_id < y.doc_id
+           |GROUP BY 1, 2
+           |HAVING COUNT(*) >= ${TrainingOps.WinnowMinShared}""".stripMargin,
       "q_doc_temperature_mix" ->
         """WITH lm AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS mass
           |            FROM documents GROUP BY 1),

@@ -392,6 +392,86 @@ object TrainingOps {
   /** The shingle kernel behind [[shingles]] over ANY (doc_id, text)
     * corpus — distinct word-3-gram 60-bit hashes per doc.
     */
+  /** Winnowing window: each fingerprint is the minimum hash over
+    * [[WinnowWindow]] consecutive shingles; any match of length ≥
+    * window + shingle − 1 tokens (= 6 here) is GUARANTEED to share a
+    * fingerprint (Schleimer et al. 2003, theorem 1 — public method).
+    */
+  val WinnowWindow = 4
+
+  /** Hot-fingerprint guard for [[winnowedPairs]] (the containment-pairs
+    * df discipline): a fingerprint shared by more docs is boilerplate,
+    * not evidence, and would quadratically fan the self-join.
+    */
+  val WinnowMaxDf = 20L
+
+  /** Minimum shared fingerprints before a pair is reported. */
+  val WinnowMinShared = 2L
+
+  /** WINNOWING FINGERPRINTS (MOSS, Schleimer et al. 2003): per document,
+    * the local-minimum selection over a sliding window of shingle hashes
+    * — the published way to pick O(n/w) position-robust fingerprints with
+    * a GUARANTEE (unlike MinHash's probabilistic recall): every shared
+    * run of ≥ window+shingle−1 tokens shares at least one selected
+    * fingerprint. Complements the family: MinHash bounds Jaccard,
+    * containment catches excerpts, winnowing certifies contiguous
+    * overlap at a known length threshold.
+    *
+    * Entirely ROW-LOCAL until the final per-(doc, fp) count: the ordered
+    * shingle-hash array, the window minima, and the selection all run as
+    * array transforms inside one projection; the only shuffle is the
+    * uniform-key (doc_id, fp) combine. Short docs (fewer shingles than
+    * the window) emit the single whole-doc minimum rather than nothing —
+    * a one-window degenerate case, stated here because the oracle
+    * mirrors it.
+    *
+    * Output: (doc_id, fp, n_windows) — n_windows counts the windows
+    * whose minimum equals fp (value-level, so ties and repeated shingles
+    * need no argmin tie-break that float-free SQL can't express).
+    */
+  def winnowFingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    winnowFingerprintsFrom(docs(spark, sfDir), WinnowWindow)
+
+  /** [[winnowFingerprints]] over any (doc_id, text) corpus. */
+  def winnowFingerprintsFrom(corpus: DataFrame, w: Int): DataFrame =
+    corpus.repartition(col("doc_id"))
+      .withColumn("t", filter(split(col("text"), "\\s+"), x => x =!= ""))
+      .withColumn("hs",
+        when(size(col("t")) >= 3,
+          transform(sequence(lit(1), size(col("t")) - 2),
+            i => hash60(concat_ws(" ",
+              element_at(col("t"), i),
+              element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2)))))
+          .otherwise(array().cast("array<long>")))
+      .filter(size(col("hs")) >= 1)
+      .withColumn("mins",
+        transform(sequence(lit(1), greatest(size(col("hs")) - w + 1, lit(1))),
+          i => array_min(slice(col("hs"), i, lit(w)))))
+      .select(col("doc_id"), explode(col("mins")).as("fp"))
+      .groupBy("doc_id", "fp")
+      .agg(count(lit(1)).as("n_windows"))
+
+  /** Fingerprint-sharing pairs over [[winnowFingerprints]]: docs sharing
+    * ≥ [[WinnowMinShared]] winnowed fingerprints, with the
+    * [[WinnowMaxDf]] hot-fingerprint guard bounding self-join fan-out
+    * (df² per key, Zipf-hot boilerplate prints never enter). ids-only
+    * join; candidate mass is Σ df² over rare prints.
+    */
+  def winnowedPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = winnowFingerprints(spark, sfDir).select("doc_id", "fp")
+    val df = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowMaxDf && col("df") >= 2)
+    val rare = fps.join(df.select("fp"), Seq("fp"))
+    val a = rare.select(col("fp"), col("doc_id").as("a"))
+    val b = rare.select(col("fp"), col("doc_id").as("b"))
+    a.join(b, Seq("fp"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+  }
+
   def shinglesOf(corpus: DataFrame): DataFrame = {
     // spread the docs across the session's shuffle partitions BEFORE the
     // ~200×-per-row explode: the sf corpus is one small parquet file →
