@@ -57,6 +57,8 @@ object SparkEntry {
     "q_doc_dense_ids" -> ((s, d) => TrainingOps.denseIds(s, d)),
     "q_doc_temperature_mix" ->
       ((s, d) => TrainingOps.temperatureMixtureRates(s, d)),
+    "q_doc_temp_mix_sample" ->
+      ((s, d) => TrainingOps.temperatureMixtureSample(s, d)),
     "q_doc_winnow" -> ((s, d) => TrainingOps.winnowFingerprints(s, d)),
     "q_doc_winnow_pairs" -> ((s, d) => TrainingOps.winnowedPairs(s, d)),
     "q_doc_host_cap" -> ((s, d) => TrainingOps.docHostCap(s, d)),
@@ -988,6 +990,36 @@ object SparkEntry {
     */
   private def trainingOracles: Map[String, String] = {
     val h60 = (e: String) => s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+    // temperature-flattened mixture-rate CTE chain (exact isqrt weights +
+    // Hamilton largest-remainder per-mille split) — shared by
+    // q_doc_temperature_mix and the composed q_doc_temp_mix_sample
+    val tempMixCtes =
+      """lm AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS mass
+        |       FROM documents GROUP BY 1),
+        |w0 AS (SELECT lang, mass,
+        |              CAST(FLOOR(sqrt(mass)) AS BIGINT) AS s0 FROM lm),
+        |w AS (SELECT lang, mass,
+        |        CASE WHEN (s0 + 2) * (s0 + 2) <= mass THEN s0 + 2
+        |             WHEN (s0 + 1) * (s0 + 1) <= mass THEN s0 + 1
+        |             WHEN s0 * s0 <= mass THEN s0
+        |             WHEN (s0 - 1) * (s0 - 1) <= mass THEN s0 - 1
+        |             ELSE GREATEST(s0 - 2, 0) END AS weight
+        |      FROM w0),
+        |tt AS (SELECT CAST(SUM(weight) AS BIGINT) AS tot FROM w),
+        |qb AS (SELECT lang, mass, weight,
+        |              CAST((weight * 1000) // tot AS BIGINT) AS bq,
+        |              CAST((weight * 1000) % tot AS BIGINT) AS rem
+        |       FROM w, tt),
+        |lo AS (SELECT CAST(1000 - SUM(bq) AS BIGINT) AS leftover FROM qb),
+        |rk AS (SELECT lang,
+        |              ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC)
+        |                AS rr
+        |       FROM qb),
+        |trates AS (
+        |  SELECT q.lang, q.mass, q.weight,
+        |         CAST(q.bq + CASE WHEN r.rr <= l.leftover THEN 1 ELSE 0 END
+        |              AS BIGINT) AS rate_permille
+        |  FROM qb q JOIN rk r USING (lang), lo l)""".stripMargin
     // shared CTE chain: corpus with synthetic near-dups → tokens →
     // distinct word-3-gram shingles → k=8 minhash signatures
     val nearDupCtes =
@@ -1337,31 +1369,16 @@ object SparkEntry {
            |GROUP BY 1, 2
            |HAVING COUNT(*) >= ${TrainingOps.WinnowMinShared}""".stripMargin,
       "q_doc_temperature_mix" ->
-        """WITH lm AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS mass
-          |            FROM documents GROUP BY 1),
-          |w0 AS (SELECT lang, mass,
-          |              CAST(FLOOR(sqrt(mass)) AS BIGINT) AS s0 FROM lm),
-          |w AS (SELECT lang, mass,
-          |        CASE WHEN (s0 + 2) * (s0 + 2) <= mass THEN s0 + 2
-          |             WHEN (s0 + 1) * (s0 + 1) <= mass THEN s0 + 1
-          |             WHEN s0 * s0 <= mass THEN s0
-          |             WHEN (s0 - 1) * (s0 - 1) <= mass THEN s0 - 1
-          |             ELSE GREATEST(s0 - 2, 0) END AS weight
-          |      FROM w0),
-          |tt AS (SELECT CAST(SUM(weight) AS BIGINT) AS tot FROM w),
-          |qb AS (SELECT lang, mass, weight,
-          |              CAST((weight * 1000) // tot AS BIGINT) AS bq,
-          |              CAST((weight * 1000) % tot AS BIGINT) AS rem
-          |       FROM w, tt),
-          |lo AS (SELECT CAST(1000 - SUM(bq) AS BIGINT) AS leftover FROM qb),
-          |rk AS (SELECT lang,
-          |              ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC)
-          |                AS rr
-          |       FROM qb)
-          |SELECT q.lang, q.mass, q.weight,
-          |       CAST(q.bq + CASE WHEN r.rr <= l.leftover THEN 1 ELSE 0 END
-          |            AS BIGINT) AS rate_permille
-          |FROM qb q JOIN rk r USING (lang), lo l""".stripMargin,
+        s"""WITH $tempMixCtes
+           |SELECT lang, mass, weight, rate_permille FROM trates""".stripMargin,
+      "q_doc_temp_mix_sample" ->
+        s"""WITH $tempMixCtes
+           |SELECT d.doc_id, d.lang,
+           |       ${h60("'sample:' || d.doc_id")} % 1000 AS bucket,
+           |       t.rate_permille,
+           |       (${h60("'sample:' || d.doc_id")} % 1000
+           |        < t.rate_permille) AS sampled
+           |FROM documents d JOIN trates t ON d.lang = t.lang""".stripMargin,
       "q_doc_dense_ids" ->
         s"""SELECT doc_id,
            |  CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)

@@ -260,6 +260,27 @@ object TrainingOps {
       .select("lang", "mass", "weight", "rate_permille")
   }
 
+  /** [[mixtureSample]] with its rate table COMPUTED IN-PLAN by
+    * [[temperatureMixtureRatesFrom]] instead of fixed dials — the two
+    * stages composed in one query: a first corpus pass builds the
+    * languages-sized rate table (broadcast back), a second row-local
+    * pass assigns salted buckets and keep verdicts. Membership stays a
+    * pure function of (doc_id, corpus language masses): re-runs and
+    * repartitionings select the identical subset.
+    */
+  def temperatureMixtureSample(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val rates = temperatureMixtureRatesFrom(docs(spark, sfDir))
+      .select("lang", "rate_permille")
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        (hash60(concat(lit("sample:"), col("doc_id"))) % 1000)
+          .as("bucket"))
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("sampled", col("bucket") < col("rate_permille"))
+      .select("doc_id", "lang", "bucket", "rate_permille", "sampled")
+  }
+
   /** 60-bit SimHash over whitespace tokens: per-bit majority vote of token
     * hashes, weighted by multiplicity.
     */

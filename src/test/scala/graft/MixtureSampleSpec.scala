@@ -77,4 +77,22 @@ class MixtureSampleSpec extends SparkTestBase {
       s"flattened ratio $ratio should be ~2, rates $got")
     assert(got.values.sum == 1000L)
   }
+
+  test("composed temperature sample: verdicts equal the fixed sampler's " +
+      "law under the computed table, rates consistent per language") {
+    val rows = TrainingOps.temperatureMixtureSample(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, b, rate, s) =>
+      assert(s == (b < rate)) }
+    // every doc of a language sees the same computed rate
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      assert(rs.map(_._4).distinct.size == 1, s"$lang rates differ") }
+    // and the rates are exactly the rate-table's
+    val table = TrainingOps.temperatureMixtureRates(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      assert(rs.head._4 == table(lang), s"$lang rate mismatch") }
+  }
 }
