@@ -65,6 +65,8 @@ object SparkEntry {
     "q_doc_freq_spectrum" -> ((s, d) => TrainingOps.tokenFrequencySpectrum(s, d)),
     "q_doc_len_quantiles" -> ((s, d) => TrainingOps.docLengthQuantiles(s, d)),
     "q_doc_assemble" -> ((s, d) => TrainingOps.assembleCorpus(s, d)),
+    "q_doc_source_feedback" ->
+      ((s, d) => TrainingOps.sourceQualityFeedback(s, d)),
     "q_doc_simhash" -> ((s, d) => TrainingOps.simhash(s, d)),
     "q_doc_simhash_dups" -> ((s, d) => TrainingOps.simhashNearDups(s, d)),
     "q_doc_decontaminate" -> ((s, d) => TrainingOps.decontaminate(s, d)),
@@ -1101,42 +1103,10 @@ object SparkEntry {
     val bpeEncodeJoins = (1 to TrainingOps.BpeSteps)
       .map(k => s", b$k m$k").mkString
 
-    Map(
-      "q_doc_exact_dedup" ->
-        """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
-          |       CAST(COUNT(*) AS BIGINT) AS dup_count
-          |FROM documents GROUP BY 1""".stripMargin,
-      "q_doc_fingerprints" ->
-        s"""SELECT doc_id,
-           |  ${h60("text")} AS fingerprint,
-           |  ${h60("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")} AS norm_fingerprint
-           |FROM documents""".stripMargin,
-      "q_doc_tokens" ->
-        """SELECT doc_id,
-          |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_pieces,
-          |  CAST(length(text) AS BIGINT) AS n_chars_actual
-          |FROM documents""".stripMargin,
-      "q_doc_langid" ->
-        """SELECT doc_id,
-          |  CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS cjk_chars,
-          |  CAST(length(text) AS BIGINT) AS total_chars,
-          |  CASE WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) * 10
-          |            > length(text) * 3
-          |       THEN 'zh' ELSE 'en' END AS pred_lang
-          |FROM documents""".stripMargin,
-      "q_doc_quality" ->
-        """SELECT doc_id,
-          |  CAST(length(text) AS BIGINT) AS n,
-          |  CAST(len(regexp_extract_all(text, '[,.;:!?]')) AS BIGINT) AS punct_count,
-          |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS stopword_count,
-          |  CAST((CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END)
-          |     + (CASE WHEN len(regexp_extract_all(text, '[,.;:!?]')) * 100 <= length(text) * 10 THEN 1 ELSE 0 END)
-          |     + (CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) > 0 THEN 1 ELSE 0 END)
-          |     AS BIGINT) AS quality_score
-          |FROM documents""".stripMargin,
-      "q_doc_assemble" ->
-        s"""WITH $nearDupCtes,
+    // full corpus-assembly oracle — shared by q_doc_assemble and the
+    // per-source feedback rollup q_doc_source_feedback
+    val assembleSql =
+      s"""WITH $nearDupCtes,
            |plain AS (SELECT doc_id, shh FROM sh WHERE doc_id < 100000),
            |bench AS (SELECT DISTINCT shh FROM plain WHERE doc_id % 97 = 0),
            |train AS (SELECT doc_id, shh FROM plain WHERE doc_id % 97 <> 0),
@@ -1202,7 +1172,64 @@ object SparkEntry {
            |            WHEN NOT pass_dedup THEN 'duplicate'
            |            WHEN NOT pass_sample THEN 'sampled_out'
            |            ELSE 'kept' END AS drop_reason
-           |FROM flags""".stripMargin,
+           |FROM flags""".stripMargin
+
+    Map(
+      "q_doc_exact_dedup" ->
+        """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
+          |       CAST(COUNT(*) AS BIGINT) AS dup_count
+          |FROM documents GROUP BY 1""".stripMargin,
+      "q_doc_fingerprints" ->
+        s"""SELECT doc_id,
+           |  ${h60("text")} AS fingerprint,
+           |  ${h60("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")} AS norm_fingerprint
+           |FROM documents""".stripMargin,
+      "q_doc_tokens" ->
+        """SELECT doc_id,
+          |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_pieces,
+          |  CAST(length(text) AS BIGINT) AS n_chars_actual
+          |FROM documents""".stripMargin,
+      "q_doc_langid" ->
+        """SELECT doc_id,
+          |  CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS cjk_chars,
+          |  CAST(length(text) AS BIGINT) AS total_chars,
+          |  CASE WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) * 10
+          |            > length(text) * 3
+          |       THEN 'zh' ELSE 'en' END AS pred_lang
+          |FROM documents""".stripMargin,
+      "q_doc_quality" ->
+        """SELECT doc_id,
+          |  CAST(length(text) AS BIGINT) AS n,
+          |  CAST(len(regexp_extract_all(text, '[,.;:!?]')) AS BIGINT) AS punct_count,
+          |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS stopword_count,
+          |  CAST((CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END)
+          |     + (CASE WHEN len(regexp_extract_all(text, '[,.;:!?]')) * 100 <= length(text) * 10 THEN 1 ELSE 0 END)
+          |     + (CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) > 0 THEN 1 ELSE 0 END)
+          |     AS BIGINT) AS quality_score
+          |FROM documents""".stripMargin,
+      "q_doc_assemble" -> assembleSql,
+      "q_doc_source_feedback" ->
+        s"""WITH asm AS (
+           |$assembleSql)
+           |SELECT d.source,
+           |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |       CAST(SUM(CASE WHEN a.kept THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_kept,
+           |       CAST(SUM(CASE WHEN a.drop_reason = 'quality'
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality,
+           |       CAST(SUM(CASE WHEN a.drop_reason = 'repetition'
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_repetition,
+           |       CAST(SUM(CASE WHEN a.drop_reason = 'contaminated'
+           |                THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_drop_contaminated,
+           |       CAST(SUM(CASE WHEN a.drop_reason = 'duplicate'
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_duplicate,
+           |       CAST((SUM(CASE WHEN a.kept THEN 1 ELSE 0 END) + 1) * 1000
+           |            // (COUNT(*) + 2) AS BIGINT)
+           |         AS keep_permille_smoothed
+           |FROM asm a JOIN documents d USING (doc_id)
+           |GROUP BY 1""".stripMargin,
       "q_doc_mixture_sample" ->
         s"""SELECT doc_id, lang,
            |  ${h60("'sample:' || doc_id")} % 1000 AS bucket,

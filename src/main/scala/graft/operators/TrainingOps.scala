@@ -281,6 +281,45 @@ object TrainingOps {
       .select("doc_id", "lang", "bucket", "rate_permille", "sampled")
   }
 
+  /** SOURCE QUALITY FEEDBACK — the crawl ↔ corpus bridge: roll the
+    * per-document [[assembleCorpus]] verdicts up to the SOURCE that
+    * crawled them, producing the signal a frontier scheduler consumes to
+    * demote sources whose pages keep failing the training-data gates
+    * (the production loop: corpus yield re-weights crawl priority; a
+    * source feeding duplicates or boilerplate stops earning fetch
+    * budget). Per source: doc/kept counts, per-gate drop counts, and
+    * `keep_permille_smoothed` — add-one-smoothed integer yield
+    * ((kept+1)·1000 div (docs+2)), so a two-doc source can't be zeroed
+    * or sainted by luck; multiply it onto opic/PageRank mass (the
+    * [[graft.politeness.Scheduler.hostBudgets]] input) at the source
+    * key the deployment shares.
+    *
+    * Scale shape: the assemble verdicts are already per-doc; this adds
+    * one uniform doc_id join (source rides in) and one map-side-combined
+    * groupBy(source) — output is sources-sized.
+    */
+  def sourceQualityFeedback(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val asm = assembleCorpus(spark, sfDir)
+      .select("doc_id", "kept", "drop_reason")
+    docs(spark, sfDir).select("doc_id", "source")
+      .join(asm, Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("drop_reason") === "quality", 1L).otherwise(0L))
+          .as("n_drop_quality"),
+        sum(when(col("drop_reason") === "repetition", 1L).otherwise(0L))
+          .as("n_drop_repetition"),
+        sum(when(col("drop_reason") === "contaminated", 1L).otherwise(0L))
+          .as("n_drop_contaminated"),
+        sum(when(col("drop_reason") === "duplicate", 1L).otherwise(0L))
+          .as("n_drop_duplicate"))
+      .withColumn("keep_permille_smoothed",
+        expr("((n_kept + 1) * 1000) div (n_docs + 2)"))
+  }
+
   /** 60-bit SimHash over whitespace tokens: per-bit majority vote of token
     * hashes, weighted by multiplicity.
     */

@@ -45,4 +45,36 @@ class AssembleCorpusSpec extends SparkTestBase {
     assert(rows.filter(b(_, "is_benchmark")).map(_.getAs[Long]("doc_id"))
       .forall(_ % 97 == 0))
   }
+
+  test("source feedback: per-source rollup matches a direct recompute of " +
+      "the verdicts, counts conserve, smoothing stays in (0, 1000]") {
+    import org.apache.spark.sql.functions._
+    val fb = TrainingOps.sourceQualityFeedback(spark, sf())
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val truth = TrainingOps.assembleCorpus(spark, sf())
+      .join(TrainingOps.docs(spark, sf()).select("doc_id", "source"),
+        Seq("doc_id"))
+      .collect()
+      .groupBy(_.getAs[String]("source"))
+    assert(fb.keySet == truth.keySet)
+    truth.foreach { case (src, docs) =>
+      val r = fb(src)
+      val kept = docs.count(_.getAs[Boolean]("kept")).toLong
+      val n = docs.length.toLong
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_kept") == kept)
+      assert(r.getAs[Long]("n_drop_quality") ==
+        docs.count(_.getAs[String]("drop_reason") == "quality"))
+      assert(r.getAs[Long]("n_drop_duplicate") ==
+        docs.count(_.getAs[String]("drop_reason") == "duplicate"))
+      val sm = r.getAs[Long]("keep_permille_smoothed")
+      assert(sm == (kept + 1) * 1000 / (n + 2))
+      assert(sm > 0 && sm <= 1000)
+      // drops never exceed what wasn't kept
+      val drops = Seq("n_drop_quality", "n_drop_repetition",
+        "n_drop_contaminated", "n_drop_duplicate")
+        .map(r.getAs[Long](_)).sum
+      assert(kept + drops <= n)
+    }
+  }
 }
