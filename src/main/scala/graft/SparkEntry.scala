@@ -85,6 +85,7 @@ object SparkEntry {
     "q_doc_postings" -> ((s, d) => SearchOps.docPostings(s, d)),
     "q_doc_tfidf_topk" -> ((s, d) => SearchOps.docTfidfTopK(s, d)),
     "q_doc_bm25_topk" -> ((s, d) => SearchOps.docBm25TopK(s, d)),
+    "q_doc_phrase_topk" -> ((s, d) => SearchOps.docPhraseTopK(s, d)),
     "q_doc_bm25_pruned_topk" -> ((s, d) => SearchOps.docBm25PrunedTopK(s, d)),
     "q_pair_caption_search" -> ((s, _) => SearchOps.captionTfidfTopK(s)),
     "q_emb_topk" -> ((s, d) => TrainingOps.bruteForceTopK(s, d)),
@@ -1586,6 +1587,48 @@ object SparkEntry {
           |  FROM scored)
           |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank
           |FROM ranked WHERE rank <= 10""".stripMargin,
+      "q_doc_phrase_topk" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+           |                             x -> x <> '') AS t
+           |  FROM documents),
+           |pp AS (
+           |  SELECT doc_id, unnest(t) AS token,
+           |         unnest(range(1, len(t) + 1)) AS pos
+           |  FROM tok WHERE len(t) >= 1),
+           |posl AS (
+           |  SELECT token, doc_id, list_sort(list(pos)) AS positions
+           |  FROM pp GROUP BY 1, 2),
+           |big AS (
+           |  SELECT t1, t2, COUNT(*) AS c FROM (
+           |    SELECT unnest(t[1:len(t) - 1]) AS t1,
+           |           unnest(t[2:len(t)]) AS t2
+           |    FROM tok WHERE len(t) >= 2)
+           |  GROUP BY 1, 2),
+           |topb AS (
+           |  SELECT t1, t2,
+           |         ROW_NUMBER() OVER (ORDER BY c DESC, t1 ASC, t2 ASC) - 1
+           |           AS query_id
+           |  FROM big ORDER BY c DESC, t1 ASC, t2 ASC
+           |  LIMIT ${SearchOps.NPhrases}),
+           |j1 AS (SELECT q.query_id, p.doc_id, p.positions AS p1
+           |       FROM topb q JOIN posl p ON p.token = q.t1),
+           |j2 AS (SELECT q.query_id, p.doc_id, p.positions AS p2
+           |       FROM topb q JOIN posl p ON p.token = q.t2),
+           |sc AS (
+           |  SELECT j1.query_id, j1.doc_id,
+           |         CAST(len(list_intersect(
+           |           list_transform(j1.p1, x -> x + 1), j2.p2)) AS BIGINT)
+           |           AS score
+           |  FROM j1 JOIN j2
+           |    ON j1.query_id = j2.query_id AND j1.doc_id = j2.doc_id),
+           |rk AS (
+           |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |           ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+           |  FROM sc WHERE score >= 1)
+           |SELECT query_id, doc_id, score, rank FROM rk
+           |WHERE rank <= 10""".stripMargin,
       "q_doc_bm25_topk" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -181,6 +181,79 @@ object SearchOps {
     rankTopK(scored, "image_id", k)
   }
 
+  /** How many corpus-derived 2-token phrase queries [[docPhraseTopK]]
+    * runs (the most frequent adjacent bigrams, count desc then lexical).
+    */
+  val NPhrases = 8
+
+  /** PHRASE SEARCH over positional postings — exact adjacency matching,
+    * the retrieval feature bag-of-words scoring cannot express ("new
+    * york" must not match "york… new"). Positional postings carry each
+    * term's sorted in-doc position list; a 2-token phrase (t1, t2)
+    * matches where shift(positions(t1)) ∩ positions(t2) is non-empty,
+    * and scores by the occurrence count — all row-local array math once
+    * the two posting lists meet.
+    *
+    * Scale shape: the phrase workload (derived from the corpus's own
+    * top adjacent bigrams, so the oracle rebuilds it from the same
+    * parquet) broadcasts onto the postings TWICE — each join prunes to
+    * Σ df(term) candidate rows; the t1/t2 sides then meet on uniform
+    * (query_id, doc_id) keys, so candidate mass is bounded by the RARER
+    * term's df per query (the classic phrase-query cost model). Position
+    * lists ride as arrays — one row per (term, doc), not per occurrence,
+    * through every join. Ranking is the shared two-stage [[rankTopK]].
+    */
+  def docPhraseTopK(spark: SparkSession, sfDir: String, k: Int = 10)
+      : DataFrame = {
+    val tok = tokenized(TrainingOps.docs(spark, sfDir))
+    val bigr = tok
+      .select(explode(when(size(col("t")) >= 2,
+        expr("transform(sequence(1, size(t) - 1), i -> " +
+          "struct(element_at(t, i) AS t1, element_at(t, i + 1) AS t2))"))
+        .otherwise(array().cast(
+          "array<struct<t1:string,t2:string>>"))).as("p"))
+      .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .agg(count(lit(1)).as("c"))
+    // bounded top-NPhrases (orderBy.limit = TakeOrderedAndProject), then
+    // a row_number over the NPhrases survivors only
+    val topb = bigr.orderBy(desc("c"), asc("t1"), asc("t2"))
+      .limit(NPhrases)
+      .withColumn("query_id", row_number().over(
+        Window.orderBy(desc("c"), asc("t1"), asc("t2"))).cast("long") - 1)
+      .select("query_id", "t1", "t2")
+    phraseTopKFrom(TrainingOps.docs(spark, sfDir), topb, k)
+  }
+
+  private def tokenized(corpus: DataFrame): DataFrame =
+    corpus.withColumn("t",
+      filter(split(col("text"), "\\s+"), x => x =!= ""))
+
+  /** [[docPhraseTopK]]'s matching kernel over any (doc_id, text) corpus
+    * and an explicit phrase table (query_id, t1, t2).
+    */
+  def phraseTopKFrom(corpus: DataFrame, phrases: DataFrame, k: Int)
+      : DataFrame = {
+    val posl = tokenized(corpus)
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "token")))
+      .groupBy("token", "doc_id")
+      .agg(sort_array(collect_list(col("pos").cast("long")))
+        .as("positions"))
+    val j1 = posl.join(
+      broadcast(phrases.select(col("query_id"), col("t1").as("token"))),
+      "token")
+      .select(col("query_id"), col("doc_id"), col("positions").as("p1"))
+    val j2 = posl.join(
+      broadcast(phrases.select(col("query_id"), col("t2").as("token"))),
+      "token")
+      .select(col("query_id"), col("doc_id"), col("positions").as("p2"))
+    val scored = j1.join(j2, Seq("query_id", "doc_id"))
+      .withColumn("score", size(array_intersect(
+        transform(col("p1"), x => x + 1), col("p2"))).cast("long"))
+      .filter(col("score") >= 1)
+      .select("query_id", "doc_id", "score")
+    rankTopK(scored, "doc_id", k)
+  }
+
   /** BM25 dials, scaled ×1000 to stay in integer math: k1 = 1.2 (term-
     * frequency saturation), b = 0.75 (length normalization) — the
     * Robertson/Sparck-Jones defaults every production engine ships.

@@ -134,4 +134,47 @@ class SearchOpsSpec extends SparkTestBase {
         "two-stage partial top-k must be in the plan:\n" + plan)
     }
   }
+
+  // ------------------------------------------------------ phrase search ---
+
+  private def phraseHits(docs: Seq[(Long, String)],
+      phrases: Seq[(Long, String, String)]): Map[(Long, Long), Long] = {
+    import spark.implicits._
+    SearchOps.phraseTopKFrom(docs.toDF("doc_id", "text"),
+        phrases.toDF("query_id", "t1", "t2"), k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+  }
+
+  test("phrase search hand case: adjacency and order are enforced, " +
+      "occurrences counted exactly") {
+    val docs = Seq(
+      (1L, "new york new york"),   // 2 adjacent occurrences
+      (2L, "york new"),            // reversed — no match
+      (3L, "new x york"),          // gap — no match
+      (4L, "a new york b"),        // 1 occurrence
+      (5L, "new new york"))        // 1 occurrence (first 'new' not adj)
+    val got = phraseHits(docs, Seq((0L, "new", "york")))
+    assert(got == Map((0L, 1L) -> 2L, (0L, 4L) -> 1L, (0L, 5L) -> 1L),
+      got.toString)
+  }
+
+  test("phrase search: repeated-token phrase (t1 == t2) counts " +
+      "self-adjacency correctly") {
+    val got = phraseHits(Seq((1L, "go go go"), (2L, "go stop go")),
+      Seq((0L, "go", "go")))
+    assert(got == Map((0L, 1L) -> 2L), got.toString)
+  }
+
+  test("phrase search plan: phrase table broadcasts twice, candidate " +
+      "join on uniform keys, no cartesian, two-stage rank present") {
+    val df = SearchOps.docPhraseTopK(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("NestedLoop"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      "phrase sides must broadcast:\n" + plan)
+    assert(plan.contains("__subrank"),
+      "two-stage partial top-k must be in the plan:\n" + plan)
+  }
 }
