@@ -492,25 +492,42 @@ object TrainingOps {
   def winnowFingerprints(spark: SparkSession, sfDir: String): DataFrame =
     winnowFingerprintsFrom(docs(spark, sfDir), WinnowWindow)
 
-  /** [[winnowFingerprints]] over any (doc_id, text) corpus. */
-  def winnowFingerprintsFrom(corpus: DataFrame, w: Int): DataFrame =
-    corpus.repartition(col("doc_id"))
+  /** [[winnowFingerprints]] over any (doc_id, text) corpus.
+    *
+    * The window minima run as a SLIDING ROW-FRAME min over posexploded
+    * (doc_id, idx, h) rows — partitioned by doc, ordered by idx, frame
+    * [current, w−1 following] (end-truncation gives the short-doc
+    * degenerate case for free). The earlier array formulation
+    * (`transform(windows, i → array_min(slice(hs, i, w)))`) LOOKED
+    * row-local but measured 621 s at sf0.1: CollapseProject inlines the
+    * full shingle-hash `transform` into every window lambda, recomputing
+    * all m md5s per window — O(m²) hashes per doc. The frame version
+    * hashes each shingle once and pays O(m·w) comparisons; its doc_id
+    * exchange is then REUSED by the (doc_id, fp) count (a subset of the
+    * grouping keys — no second shuffle, plan-gated).
+    */
+  def winnowFingerprintsFrom(corpus: DataFrame, w: Int): DataFrame = {
+    val shingleRows = corpus.repartition(col("doc_id"))
       .withColumn("t", filter(split(col("text"), "\\s+"), x => x =!= ""))
-      .withColumn("hs",
-        when(size(col("t")) >= 3,
-          transform(sequence(lit(1), size(col("t")) - 2),
-            i => hash60(concat_ws(" ",
-              element_at(col("t"), i),
-              element_at(col("t"), i + 1),
-              element_at(col("t"), i + 2)))))
-          .otherwise(array().cast("array<long>")))
-      .filter(size(col("hs")) >= 1)
-      .withColumn("mins",
-        transform(sequence(lit(1), greatest(size(col("hs")) - w + 1, lit(1))),
-          i => array_min(slice(col("hs"), i, lit(w)))))
-      .select(col("doc_id"), explode(col("mins")).as("fp"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ",
+            element_at(col("t"), i),
+            element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2)))).as(Seq("idx", "sh")))
+      .select(col("doc_id"), col("idx"), hash60(col("sh")).as("h"))
+    shingleRows
+      .withColumn("m", count(lit(1))
+        .over(Window.partitionBy("doc_id")))
+      .withColumn("fp", min("h").over(
+        Window.partitionBy("doc_id").orderBy("idx")
+          .rowsBetween(Window.currentRow, w - 1)))
+      // window starts: one per idx in [0, max(m-w, 0)]
+      .filter(col("idx") <= greatest(col("m") - w, lit(0)))
       .groupBy("doc_id", "fp")
       .agg(count(lit(1)).as("n_windows"))
+  }
 
   /** Fingerprint-sharing pairs over [[winnowFingerprints]]: docs sharing
     * ≥ [[WinnowMinShared]] winnowed fingerprints, with the

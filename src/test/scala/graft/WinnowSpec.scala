@@ -76,11 +76,18 @@ class WinnowSpec extends SparkTestBase {
       assert(a < b && n >= TrainingOps.WinnowMinShared) }
   }
 
-  test("plan: fingerprints are row-local to one uniform-key aggregate " +
-      "(no join, no window); pairs never plan a cartesian") {
-    val p1 = TrainingOps.winnowFingerprints(spark, sf())
-      .queryExecution.executedPlan.toString
-    assert(!p1.contains("Join") && !p1.contains("Window"), p1)
+  test("plan: one doc_id exchange feeds both the sliding-min windows and " +
+      "the (doc, fp) count (subset-key reuse); no join; pairs never plan " +
+      "a cartesian") {
+    val qe = TrainingOps.winnowFingerprints(spark, sf()).queryExecution
+    val p1 = qe.executedPlan.toString
+    assert(!p1.contains("Join"), p1)
+    assert(p1.contains("hashpartitioning(doc_id"),
+      "sliding min must partition by doc:\n" + p1)
+    val exchanges = p1.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1,
+      s"the (doc_id, fp) aggregate must reuse the doc_id exchange, " +
+        s"found $exchanges:\n" + p1)
     val p2 = TrainingOps.winnowedPairs(spark, sf())
       .queryExecution.executedPlan.toString
     assert(!p2.contains("Cartesian") && !p2.contains("NestedLoop"), p2)
