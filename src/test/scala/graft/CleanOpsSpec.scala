@@ -81,8 +81,8 @@ class CleanOpsSpec extends SparkTestBase {
   }
 
   test("adaptive delay: exact integer p95 per host matches a direct " +
-      "computation; delay is floored at the base; ONE exchange feeds both " +
-      "windows") {
+      "computation; delay is floored at the base; histogram-cumulative " +
+      "plan shape") {
     val out = CrawlOps.adaptiveDelay(spark, sf())
     val got = out.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -99,9 +99,15 @@ class CleanOpsSpec extends SparkTestBase {
       assert(delay == math.max(1000L, p95 * 2))
     }
     // the AQE plan string repeats the plan under "== Initial Plan ==" —
-    // gate on the final section only
+    // gate on the final section only. Histogram-cumulative shape: the
+    // (host, lat) count combines map-side BEFORE any window, and no
+    // full-history sort (rangepartitioning) appears anywhere.
     val p = plan(out).split("== Initial Plan ==")(0)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
-      "both windows must share one host exchange:\n" + p)
+    assert(p.contains("partial_count"),
+      "latency histogram must combine map-side:\n" + p)
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      "no global/per-host history sort belongs here:\n" + p)
+    assert(p.contains("hashpartitioning(host"),
+      "cumulative window must partition by host:\n" + p)
   }
 }
