@@ -47,6 +47,8 @@ object SparkEntry {
     "q_doc_tokens" -> ((s, d) => TrainingOps.tokenCounts(s, d)),
     "q_doc_langid" -> ((s, d) => TrainingOps.langId(s, d)),
     "q_doc_quality" -> ((s, d) => TrainingOps.qualityScores(s, d)),
+    "q_doc_quality_classifier" ->
+      ((s, d) => TrainingOps.docQualityClassifier(s, d)),
     "q_doc_repetition" -> ((s, d) => TrainingOps.repetitionStats(s, d)),
     "q_doc_mixture_sample" -> ((s, d) => TrainingOps.mixtureSample(s, d)),
     "q_doc_pack" -> ((s, d) => TrainingOps.sequencePacking(s, d)),
@@ -1209,6 +1211,45 @@ object SparkEntry {
           |     + (CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) > 0 THEN 1 ELSE 0 END)
           |     AS BIGINT) AS quality_score
           |FROM documents""".stripMargin,
+      "q_doc_quality_classifier" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(string_split_regex(text,
+           |    '\\s+'), x -> x <> '')) AS token
+           |  FROM documents),
+           |tf AS (
+           |  SELECT doc_id, ${h60("token")} % ${TrainingOps.QcBuckets} AS b,
+           |         CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM toks GROUP BY 1, 2),
+           |lab AS (
+           |  SELECT doc_id,
+           |    ((CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END)
+           |   + (CASE WHEN len(regexp_extract_all(text, '[,.;:!?]')) * 100
+           |            <= length(text) * 10 THEN 1 ELSE 0 END)
+           |   + (CASE WHEN len(regexp_extract_all(lower(text),
+           |            '\\b(the|a|of|and|to|in|is)\\b')) > 0
+           |      THEN 1 ELSE 0 END)) >= 2 AS pos
+           |  FROM documents WHERE doc_id % ${TrainingOps.QcHeldInMod} = 0),
+           |sizes AS (
+           |  SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+           |           AS n_pos,
+           |         CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT)
+           |           AS n_neg
+           |  FROM lab),
+           |wts AS (
+           |  SELECT b,
+           |         CAST(SUM(CASE WHEN pos THEN tf ELSE 0 END) * s.n_neg
+           |            - SUM(CASE WHEN NOT pos THEN tf ELSE 0 END) * s.n_pos
+           |           AS BIGINT) AS w
+           |  FROM tf JOIN lab USING (doc_id), sizes s
+           |  GROUP BY b, s.n_pos, s.n_neg),
+           |sc AS (
+           |  SELECT t.doc_id, CAST(SUM(t.tf * w.w) AS BIGINT) AS score
+           |  FROM tf t JOIN wts w USING (b) GROUP BY 1)
+           |SELECT d.doc_id,
+           |       CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+           |       COALESCE(s.score, 0) > 0 AS predicted_hq,
+           |       d.doc_id % ${TrainingOps.QcHeldInMod} = 0 AS is_heldin
+           |FROM documents d LEFT JOIN sc s USING (doc_id)""".stripMargin,
       "q_doc_assemble" -> assembleSql,
       "q_doc_source_feedback" ->
         s"""WITH asm AS (

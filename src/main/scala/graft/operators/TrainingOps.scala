@@ -131,7 +131,11 @@ object TrainingOps {
     * score = number of passed checks (0..3).
     */
   def qualityScores(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
+    qualityScoresOf(docs(spark, sfDir))
+
+  /** [[qualityScores]] over any (doc_id, text) corpus. */
+  def qualityScoresOf(corpus: DataFrame): DataFrame =
+    corpus
       .withColumn("n", length(col("text")).cast("long"))
       .withColumn("punct_count",
         regexp_count(col("text"), lit("[,.;:!?]")).cast("long"))
@@ -144,6 +148,87 @@ object TrainingOps {
           when(col("punct_count") * 100 <= col("n") * 10, 1).otherwise(0) +
           when(col("stopword_count") > 0, 1).otherwise(0))
           .cast("long").as("quality_score"))
+
+  /** Feature-hash buckets for [[docQualityClassifier]] — the fastText
+    * trick (Joulin et al. 2016): the weight table is FIXED-SIZE however
+    * large the vocabulary grows, so it always broadcasts.
+    */
+  val QcBuckets = 4096L
+
+  /** Held-in labeled slice for [[docQualityClassifier]] (doc_id % 10 —
+    * production swaps in human/curated labels).
+    */
+  val QcHeldInMod = 10L
+
+  /** HASHED-BAG LINEAR QUALITY CLASSIFIER — the supervised quality
+    * filter of the CCNet/fastText lineage (the complement of
+    * [[lmFamiliarity]]'s LM side): train a linear scorer on a labeled
+    * held-in slice, apply it to every document. Tokens hash into
+    * [[QcBuckets]] buckets (fixed-size model, always broadcastable);
+    * the weight of bucket b is the CROSS-NORMALIZED class difference
+    * `pos_tf(b)·n_neg − neg_tf(b)·n_pos` — integer-exact class
+    * balancing (dividing by class size would need floats; cross-
+    * multiplying by the opposite class size is the same ordering with
+    * no rounding). A doc's score is Σ tf·w over its buckets;
+    * `predicted_hq` = score > 0. Labels here derive from the heuristic
+    * gate on the held-in slice (so the whole thing is reproducible from
+    * the parquet alone); production swaps curated labels in unchanged.
+    *
+    * Scale shape: one tokenize pass → (doc, bucket) tf combine
+    * (uniform keys, map-side); training touches only held-in rows; the
+    * 4096-row weight table broadcasts into the scoring join; the final
+    * per-doc sum is a map-side-combined aggregate. Docs with no
+    * trained bucket restore via left join at score 0 — never dropped.
+    * int64 headroom: |w| ≤ bucket_tf_mass × class_size — safe through
+    * ~10^9 held-in token mass × 10^9 docs; past that the weights scale
+    * to per-mille rates.
+    *
+    * Honesty note (measured at sf0.01): the fixture's low-quality docs
+    * share the positives' VOCABULARY (the heuristic fails them on
+    * length/punctuation, not words), so the sign threshold degenerates
+    * there — every doc predicts positive while the SCORE still
+    * separates the classes ~4.8× (mean 4068 vs 851; the ordering law
+    * the spec gates). That is the real behavior of bag-of-words
+    * classifiers on homogeneous text: production thresholds the score
+    * on a validation split rather than at 0, and the planted-separable
+    * spec corpus shows the sign threshold working where vocabulary
+    * actually differs.
+    */
+  def docQualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
+    qualityClassifierFrom(docs(spark, sfDir))
+
+  /** [[docQualityClassifier]] over any (doc_id, text) corpus. */
+  def qualityClassifierFrom(corpus: DataFrame): DataFrame = {
+    val tf = corpus
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), "\\s+"), t => t =!= ""))
+          .as("token"))
+      .select(col("doc_id"),
+        pmod(hash60(col("token")), lit(QcBuckets)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+    val labels = qualityScoresOf(corpus)
+      .filter(col("doc_id") % QcHeldInMod === 0)
+      .select(col("doc_id"), (col("quality_score") >= 2).as("pos"))
+    val sizes = labels.agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
+    val weights = tf.join(labels, Seq("doc_id"))
+      .groupBy("b")
+      .agg(sum(when(col("pos"), col("tf")).otherwise(0L)).as("pos_tf"),
+        sum(when(!col("pos"), col("tf")).otherwise(0L)).as("neg_tf"))
+      .crossJoin(broadcast(sizes))
+      .select(col("b"),
+        (col("pos_tf") * col("n_neg") - col("neg_tf") * col("n_pos"))
+          .as("w"))
+    val scores = tf.join(broadcast(weights), Seq("b"))
+      .groupBy("doc_id").agg(sum(col("tf") * col("w")).as("score"))
+    corpus.select("doc_id")
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        (coalesce(col("score"), lit(0L)) > 0).as("predicted_hq"),
+        (col("doc_id") % QcHeldInMod === 0).as("is_heldin"))
+  }
 
   /** Repetition quality signals (the Gopher repetition filters — Rae et
     * al. 2021 appx A1.1, public method): duplicate-token mass and
