@@ -61,6 +61,8 @@ object SparkEntry {
       ((s, d) => TrainingOps.temperatureMixtureRates(s, d)),
     "q_doc_temp_mix_sample" ->
       ((s, d) => TrainingOps.temperatureMixtureSample(s, d)),
+    "q_doc_stratified_sample" ->
+      ((s, d) => TrainingOps.stratifiedKSample(s, d)),
     "q_doc_winnow" -> ((s, d) => TrainingOps.winnowFingerprints(s, d)),
     "q_doc_winnow_pairs" -> ((s, d) => TrainingOps.winnowedPairs(s, d)),
     "q_doc_host_cap" -> ((s, d) => TrainingOps.docHostCap(s, d)),
@@ -1382,6 +1384,19 @@ object SparkEntry {
            |         0) // 2 AS BIGINT) AS n_bpe_tokens,
            |       md5(array_to_string(enc, chr(30))) AS enc_md5
            |FROM encoded""".stripMargin,
+      "q_doc_stratified_sample" ->
+        s"""WITH b AS (
+           |  SELECT doc_id, lang,
+           |         ${h60("'ksample:' || doc_id")} AS sample_key
+           |  FROM documents),
+           |r AS (
+           |  SELECT doc_id, lang, sample_key,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+           |           ORDER BY sample_key ASC, doc_id ASC) AS BIGINT)
+           |           AS rank
+           |  FROM b)
+           |SELECT doc_id, lang, sample_key, rank FROM r
+           |WHERE rank <= ${TrainingOps.StratumSampleK}""".stripMargin,
       "q_doc_winnow" ->
         s"""WITH tok AS (
            |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),

@@ -405,6 +405,44 @@ object TrainingOps {
         expr("((n_kept + 1) * 1000) div (n_docs + 2)"))
   }
 
+  /** Sample size per stratum for [[stratifiedKSample]]. */
+  val StratumSampleK = 25
+
+  /** DETERMINISTIC FIXED-SIZE STRATIFIED SAMPLE — k docs per language,
+    * completing the sampling family (rate-based [[mixtureSample]],
+    * computed-rate [[temperatureMixtureSample]], and this fixed-SIZE
+    * form — the eval-set / human-review draw, where the contract is a
+    * count, not a rate). The sample is the k smallest salted hashes per
+    * stratum: uniform (hash order is independent of content),
+    * reproducible (a pure function of doc_id — re-runs, retries and
+    * repartitionings draw the identical set), and incremental-friendly
+    * (a doc's sample key never changes, so yesterday's draw is a
+    * subset-law away). No RNG state, no `sampleBy` approximation.
+    *
+    * Scale shape: per-language candidate sets are corpus-sized, so the
+    * rank is the repo's TWO-STAGE partial top-k ([[vocabTopK]]'s shape):
+    * stage 1 keeps k per (lang, hash-subgroup) — a task sees its
+    * subgroup only — stage 2 ranks the ≤ 16k survivors. Any global
+    * top-k row is top-k in its subgroup, so the composition is exactly
+    * the global window.
+    */
+  def stratifiedKSample(spark: SparkSession, sfDir: String,
+      k: Int = StratumSampleK): DataFrame = {
+    val base = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        hash60(concat(lit("ksample:"), col("doc_id"))).as("sample_key"))
+    val order = Seq(asc("sample_key"), asc("doc_id"))
+    base
+      .withColumn("__sub", pmod(col("sample_key"), lit(16L)))
+      .withColumn("__r1", row_number().over(
+        Window.partitionBy("lang", "__sub").orderBy(order: _*)))
+      .filter(col("__r1") <= k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(order: _*)).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "lang", "sample_key", "rank")
+  }
+
   /** 60-bit SimHash over whitespace tokens: per-bit majority vote of token
     * hashes, weighted by multiplicity.
     */

@@ -95,4 +95,31 @@ class MixtureSampleSpec extends SparkTestBase {
     rows.groupBy(_._2).foreach { case (lang, rs) =>
       assert(rs.head._4 == table(lang), s"$lang rate mismatch") }
   }
+
+  test("stratified k-sample: exactly min(k, n) per language, ranks " +
+      "contiguous, and the two-stage rank equals the global hash-order " +
+      "truth") {
+    val k = TrainingOps.StratumSampleK
+    val got = TrainingOps.stratifiedKSample(spark, sf())
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    val byLangN = TrainingOps.docs(spark, sf())
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length == math.min(k.toLong, byLangN(lang)))
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length))
+    }
+    // truth: global sort by (sample_key, doc_id) within each language
+    val all = TrainingOps.docs(spark, sf())
+      .select(col("doc_id"), col("lang"),
+        TrainingOps.hash60(concat(lit("ksample:"), col("doc_id")))
+          .as("h"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(0)))
+    val truth = all.groupBy(_._1).view.mapValues(
+      _.sortBy(x => (x._2, x._3)).take(k).map(_._3).toSeq).toMap
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.sortBy(_._4).map(_._2).toSeq == truth(lang),
+        s"$lang sample differs from global-order truth") }
+  }
 }
