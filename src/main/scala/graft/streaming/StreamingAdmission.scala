@@ -145,6 +145,46 @@ object StreamingAdmission {
       () => { bsh.unpersist(); bsig.unpersist(); cand.unpersist(); () })
   }
 
+  /** [[admitBatch]] with the batch-side corpus gates composed IN FRONT —
+    * the production ordering (CCNet/RefinedWeb shape): quality and
+    * repetition are batch-bounded row-local checks, so they run BEFORE
+    * any shingling and a gated-out doc never pays the index probe.
+    * Verdicts gain `gate_reason` ∈ {quality, repetition, none}; gated
+    * docs are never admitted and never extend the index (so a stream
+    * can't be poisoned into rejecting future good docs by its own
+    * rejected garbage). Survivors flow through the UNCHANGED kernel —
+    * the spec asserts their verdicts are identical to ungated admission
+    * of the passing subset.
+    */
+  def admitBatchGated(batch: DataFrame, indexSigs: DataFrame,
+      indexSh: DataFrame,
+      maxBroadcastBytes: Long = TrainingOps.DefaultCosineMaxBroadcastBytes)
+      : AdmissionBatch = {
+    val gates = TrainingOps.qualityScoresOf(batch)
+      .select(col("doc_id"), (col("quality_score") >= 2).as("pass_q"))
+      .join(TrainingOps.repetitionStatsOf(batch)
+        .select(col("doc_id"), (!col("is_repetitive")).as("pass_r")),
+        Seq("doc_id"))
+      .select(col("doc_id"),
+        when(!col("pass_q"), "quality")
+          .when(!col("pass_r"), "repetition")
+          .otherwise("none").as("gate_reason"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val passed = batch.join(
+      gates.filter(col("gate_reason") === "none").select("doc_id"),
+      Seq("doc_id"))
+    val inner = admitBatch(passed, indexSigs, indexSh, maxBroadcastBytes)
+    val gatedOut = gates.filter(col("gate_reason") =!= "none")
+      .select(col("doc_id"), lit(0L).as("n_candidates"),
+        lit(0L).as("n_dup_matches"), lit(-1L).as("corpus_match"),
+        lit(-1L).as("intra_dropped_by"), lit(false).as("admit"),
+        col("gate_reason"))
+    val verdicts = inner.verdicts.withColumn("gate_reason", lit("none"))
+      .unionByName(gatedOut)
+    AdmissionBatch(verdicts, inner.deltaSigs, inner.deltaSh,
+      () => { gates.unpersist(); inner.release() })
+  }
+
   private def marker(workDir: String, batchId: Long) =
     Paths.get(workDir, s"commit_$batchId")
 
@@ -181,7 +221,8 @@ object StreamingAdmission {
     * @param workDir         verdicts_<id>/sigs_<id>/sh_<id>/commit_<id>
     */
   def admissionStream(docs: Dataset[DocRow], baselineSigsDir: String,
-      baselineShDir: String, workDir: String, checkpointDir: String)
+      baselineShDir: String, workDir: String, checkpointDir: String,
+      gated: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     docs.writeStream
       .outputMode(OutputMode.Append)
@@ -192,7 +233,9 @@ object StreamingAdmission {
           Files.createDirectories(Paths.get(workDir))
           val idxSigs = indexView(spark, baselineSigsDir, workDir, "sigs")
           val idxSh = indexView(spark, baselineShDir, workDir, "sh")
-          val ab = admitBatch(batch.toDF(), idxSigs, idxSh)
+          val ab =
+            if (gated) admitBatchGated(batch.toDF(), idxSigs, idxSh)
+            else admitBatch(batch.toDF(), idxSigs, idxSh)
           // overwrite: a crashed half-write without a marker is debris a
           // replay legitimately replaces
           try {

@@ -163,4 +163,47 @@ class StreamingAdmissionSpec extends SparkTestBase {
       .listFiles().map(_.length()).sum
     assert(sigBytesAfter == sigBytesBefore, "replay rewrote the delta")
   }
+
+  test("gated admission: quality/repetition gates run in front of the " +
+      "probe — gated docs never admit, never extend the index, and " +
+      "survivors' verdicts are identical to ungated admission of the " +
+      "passing subset") {
+    import spark.implicits._
+    val root = "target/test-admission-gate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val (sigsDir, shDir) = writeBaseline(root)
+    val idxSigs = spark.read.parquet(sigsDir)
+    val idxSh = spark.read.parquet(shDir)
+    val batch = Seq(
+      DocRow(301L, "!!x;; ??,, ::.."),           // fails length+punct
+      DocRow(302L, ("the " * 60).trim),          // passes quality, repeats
+      twin(303L, of = 3L, n = 35),               // passes gates, index dup
+      DocRow(304L, text(304L, 40))               // passes gates, fresh
+    ).toDF("doc_id", "text")
+
+    val gated = StreamingAdmission.admitBatchGated(batch, idxSigs, idxSh)
+    val v = gated.verdicts.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(v(301L).getAs[String]("gate_reason") == "quality" &&
+      !v(301L).getAs[Boolean]("admit"))
+    assert(v(302L).getAs[String]("gate_reason") == "repetition" &&
+      !v(302L).getAs[Boolean]("admit"))
+    assert(v(303L).getAs[String]("gate_reason") == "none" &&
+      !v(303L).getAs[Boolean]("admit") &&
+      v(303L).getAs[Long]("corpus_match") == 3L)
+    assert(v(304L).getAs[String]("gate_reason") == "none" &&
+      v(304L).getAs[Boolean]("admit"))
+    val deltaIds = gated.deltaSigs.select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(deltaIds == Set(304L), s"only the admitted doc extends: $deltaIds")
+
+    val plain = StreamingAdmission.admitBatch(
+      batch.filter(col("doc_id") >= 303L), idxSigs, idxSh)
+    val survivors = gated.verdicts.filter(col("gate_reason") === "none")
+      .drop("gate_reason").collect().map(_.toSeq).toSet
+    val expect = plain.verdicts.collect().map(_.toSeq).toSet
+    assert(survivors == expect,
+      "gating must not change the surviving docs' verdicts")
+    gated.release(); plain.release()
+  }
 }
