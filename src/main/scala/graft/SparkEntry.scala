@@ -35,6 +35,7 @@ object SparkEntry {
     "q_robots_gate" -> ((s, d) => CrawlOps.robotsGate(s, d)),
     "q_opic_priority" -> ((s, d) => CrawlOps.opicPriority(s, d)),
     "q_pagerank" -> ((s, d) => CrawlOps.pageRankPriority(s, d)),
+    "q_hits_scores" -> ((s, d) => CrawlOps.hitsScores(s, d)),
     "q_anchor_text" -> ((s, d) => CrawlOps.anchorTextTopTerms(s, d)),
     "q_url_distinct_kmv" -> ((s, d) => CrawlOps.distinctUrlsKmv(s, d)),
     "q_host_budgets" -> ((s, d) => CrawlOps.hostBudgetAllocation(s, d)),
@@ -188,6 +189,30 @@ object SparkEntry {
     val limitCase =
       """CASE source WHEN 'click' THEN 30 WHEN 'error' THEN 50
         | WHEN 'purchase' THEN 10 WHEN 'signup' THEN 999999 ELSE 25 END""".stripMargin
+    // HITS oracle: K unrolled iterations, each auth-sum → max-normalize →
+    // hub-sum → max-normalize (mirrors Scheduler.hits exactly)
+    val HitsOracleIters = 2
+    val hitsIters = (1 to HitsOracleIters).map { k =>
+      val S = graft.politeness.Scheduler.HitsScale
+      s"""a${k}r AS (
+         |  SELECT e.d, SUM(h.sc) AS sc FROM ed e
+         |  JOIN h${k - 1} h ON h.v = e.s GROUP BY e.d),
+         |a${k}n AS (
+         |  SELECT n.v, COALESCE(r.sc, 0) AS sc FROM nodes n
+         |  LEFT JOIN a${k}r r ON r.d = n.v),
+         |a${k}m AS (SELECT GREATEST(MAX(sc), 1) AS m FROM a${k}n),
+         |a$k AS (SELECT v, CAST((sc * $S) // m AS BIGINT) AS sc
+         |        FROM a${k}n, a${k}m),
+         |h${k}r AS (
+         |  SELECT e.s, SUM(a.sc) AS sc FROM ed e
+         |  JOIN a$k a ON a.v = e.d GROUP BY e.s),
+         |h${k}n AS (
+         |  SELECT n.v, COALESCE(r.sc, 0) AS sc FROM nodes n
+         |  LEFT JOIN h${k}r r ON r.s = n.v),
+         |h${k}m AS (SELECT GREATEST(MAX(sc), 1) AS m FROM h${k}n),
+         |h$k AS (SELECT v, CAST((sc * $S) // m AS BIGINT) AS sc
+         |        FROM h${k}n, h${k}m)""".stripMargin
+    }.mkString(",\n")
 
     Map(
       "q_dedup_bootstrap" ->
@@ -332,6 +357,20 @@ object SparkEntry {
           |  FROM counts)
           |SELECT dst, term, cnt, term_rank
           |FROM ranked WHERE term_rank <= 3""".stripMargin,
+      "q_hits_scores" ->
+        s"""WITH ed AS (
+           |  SELECT DISTINCT event_id % 211 AS s, event_id % 631 AS d
+           |  FROM events),
+           |nodes AS (
+           |  SELECT DISTINCT v FROM (
+           |    SELECT s AS v FROM ed UNION ALL SELECT d AS v FROM ed)),
+           |h0 AS (SELECT v,
+           |  CAST(${graft.politeness.Scheduler.HitsScale} AS BIGINT) AS sc
+           |  FROM nodes),
+           |$hitsIters
+           |SELECT h$HitsOracleIters.v AS node, h$HitsOracleIters.sc AS hub,
+           |       a$HitsOracleIters.sc AS auth
+           |FROM h$HitsOracleIters JOIN a$HitsOracleIters USING (v)""".stripMargin,
       "q_pagerank" ->
         """WITH ed AS (
           |  SELECT DISTINCT event_id % 211 AS s, event_id % 631 AS d
@@ -1107,6 +1146,7 @@ object SparkEntry {
     }
     val bpeEncodeJoins = (1 to TrainingOps.BpeSteps)
       .map(k => s", b$k m$k").mkString
+
 
     // full corpus-assembly oracle — shared by q_doc_assemble and the
     // per-source feedback rollup q_doc_source_feedback

@@ -439,6 +439,20 @@ object CrawlOps {
       .select(col("node"), col("rank"))
   }
 
+  /** HITS hub/authority scores over the same synthetic link graph as
+    * [[pageRankPriority]] (oracled as q_hits_scores) — hubs are the
+    * listing pages a crawler revisits for link discovery, authorities
+    * the content pages it fetches once; see
+    * [[graft.politeness.Scheduler.hits]].
+    */
+  def hitsScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(
+        (col("event_id") % 211).as("src"),
+        (col("event_id") % 631).as("dst"))
+    graft.politeness.Scheduler.hits(edges, "src", "dst", iterations = 2)
+  }
+
   /** Anchor-text aggregation: the link graph's text signal — for every
     * link target, the top-3 anchor terms pointing at it with their counts
     * (the classic web-search feature, and the caption/label side of a

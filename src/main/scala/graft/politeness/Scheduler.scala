@@ -192,6 +192,68 @@ object Scheduler {
     ranks.select(col("__v").as("node"), col("rank"))
   }
 
+  /** Integer scale for [[hits]] scores (max score after each
+    * normalization).
+    */
+  val HitsScale = 100000L
+
+  /** Fixed-iteration integer HITS (Kleinberg 1999, public method) — the
+    * hub/authority complement of [[pageRank]]: a good HUB links to good
+    * authorities, a good AUTHORITY is linked from good hubs. For a
+    * frontier this separates listing/section pages (hubs — crawl often,
+    * they mint links) from content pages (authorities — crawl once,
+    * they carry value); PageRank alone conflates the two.
+    *
+    * Each iteration: auth = Σ in-edge hub, hub = Σ out-edge auth — one
+    * map-side-combined sum per update on uniform node keys. Classic
+    * HITS L2-normalizes (float); here each step max-normalizes to
+    * [[HitsScale]] with integer division — the same scale-invariant
+    * RANKING, bit-exact in both engines. The max is a 1-row aggregate
+    * broadcast (never a driver round-trip); lineage checkpoints BETWEEN
+    * iterations only (the [[pageRank]] discipline — the returned frame
+    * is a lazy one-round plan). Overflow: scores ≤ HitsScale after each
+    * normalization, so a sum is ≤ max-degree · HitsScale — int64-safe
+    * through degree ~10^13.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val ed = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .distinct().persist()
+    val nodes = ed.select(col("__s").as("__v"))
+      .union(ed.select(col("__d").as("__v"))).distinct().persist()
+    var hub = nodes.select(col("__v"), lit(HitsScale).as("hub"))
+    var auth: DataFrame = null
+    def normalized(scores: DataFrame, c: String): DataFrame = {
+      val m = scores.agg(greatest(max(col(c)), lit(1L)).as("__m"))
+      scores.crossJoin(broadcast(m))
+        .select(col("__v"), expr(s"($c * $HitsScale) div __m").as(c))
+    }
+    (1 to iterations).foreach { it =>
+      val aRaw = ed.join(hub, col("__s") === col("__v"))
+        .groupBy(col("__d")).agg(sum("hub").as("auth"))
+      auth = normalized(
+        nodes.join(aRaw, col("__v") === col("__d"), "left")
+          .select(col("__v"), coalesce(col("auth"), lit(0L)).as("auth")),
+        "auth")
+      val hRaw = ed.join(auth, col("__d") === col("__v"))
+        .groupBy(col("__s")).agg(sum("auth").as("hub"))
+      hub = normalized(
+        nodes.join(hRaw, col("__v") === col("__s"), "left")
+          .select(col("__v"), coalesce(col("hub"), lit(0L)).as("hub")),
+        "hub")
+      if (it < iterations) {
+        hub = hub.localCheckpoint()
+        auth = auth.localCheckpoint()
+      }
+    }
+    val out = hub.join(auth, Seq("__v"))
+      .select(col("__v").as("node"), col("hub"), col("auth"))
+    ed.unpersist()
+    nodes.unpersist()
+    out
+  }
+
   /** Apportion a global per-tick fetch budget across hosts proportionally
     * to their priority mass — Hamilton's largest-remainder method, the
     * integer-exact apportionment (base = floor(budget·mass/total); the

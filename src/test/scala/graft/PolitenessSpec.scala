@@ -175,6 +175,53 @@ class PolitenessSpec extends SparkTestBase {
     assert(Seq(1L, 2L, 3L, 5L).forall(r3(_) > Scheduler.PageRankBase))
   }
 
+  test("HITS: K rounds equal the sequential integer recurrence; hubs and " +
+      "authorities separate on a star-plus-chain graph") {
+    // node 1 links three authorities (top hub); node 10 is linked by two
+    // hubs (top authority); 20→21 is an isolated edge so normalization
+    // sees multiple scales
+    val edgeSeq = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L),
+      (20L, 21L))
+    def seqHits(iters: Int): Map[Long, (Long, Long)] = {
+      val ed = edgeSeq.distinct
+      val nodes = (ed.map(_._1) ++ ed.map(_._2)).distinct
+      val S = Scheduler.HitsScale
+      var hub = nodes.map(_ -> S).toMap
+      var auth = Map.empty[Long, Long]
+      (1 to iters).foreach { _ =>
+        val aRaw = nodes.map(v =>
+          v -> ed.filter(_._2 == v).map(e => hub(e._1)).sum).toMap
+        val am = math.max(aRaw.values.max, 1L)
+        auth = aRaw.map { case (v, a) => v -> (a * S) / am }
+        val hRaw = nodes.map(v =>
+          v -> ed.filter(_._1 == v).map(e => auth(e._2)).sum).toMap
+        val hm = math.max(hRaw.values.max, 1L)
+        hub = hRaw.map { case (v, h) => v -> (h * S) / hm }
+      }
+      nodes.map(v => v -> ((hub(v), auth(v)))).toMap
+    }
+    val edges = edgeSeq.toDF("src", "dst")
+    Seq(1, 2).foreach { k =>
+      val got = Scheduler.hits(edges, "src", "dst", iterations = k)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === seqHits(k), s"iterations=$k")
+    }
+    val r = Scheduler.hits(edges, "src", "dst", iterations = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    // hub separation: 1 (3 authorities) tops, 2 (1 shared authority) next,
+    // authorities have hub 0
+    assert(r(1L)._1 == Scheduler.HitsScale)
+    assert(r(2L)._1 < r(1L)._1 && r(2L)._1 > 0)
+    assert(r(10L)._1 == 0L && r(11L)._1 == 0L)
+    // authority separation: 10 (two hub in-links) tops 11/12 (one each)
+    assert(r(10L)._2 == Scheduler.HitsScale)
+    assert(r(11L)._2 < r(10L)._2 && r(11L)._2 == r(12L)._2)
+    // hubs are not authorities: 1 and 2 have auth 0
+    assert(r(1L)._2 == 0L && r(2L)._2 == 0L)
+  }
+
   test("recrawlDue: latest fetch per URL vs per-source refresh interval") {
     import spark.implicits._
     val articles = Seq(
