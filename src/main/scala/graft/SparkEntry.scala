@@ -50,6 +50,7 @@ object SparkEntry {
     "q_doc_quality" -> ((s, d) => TrainingOps.qualityScores(s, d)),
     "q_doc_quality_classifier" ->
       ((s, d) => TrainingOps.docQualityClassifier(s, d)),
+    "q_doc_langid_eval" -> ((s, d) => TrainingOps.langIdEval(s, d)),
     "q_doc_repetition" -> ((s, d) => TrainingOps.repetitionStats(s, d)),
     "q_doc_mixture_sample" -> ((s, d) => TrainingOps.mixtureSample(s, d)),
     "q_doc_pack" -> ((s, d) => TrainingOps.sequencePacking(s, d)),
@@ -1243,6 +1244,14 @@ object SparkEntry {
           |            > length(text) * 3
           |       THEN 'zh' ELSE 'en' END AS pred_lang
           |FROM documents""".stripMargin,
+      "q_doc_langid_eval" ->
+        """SELECT lang,
+          |  CASE WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) * 10
+          |            > length(text) * 3
+          |       THEN 'zh' ELSE 'en' END AS pred_lang,
+          |  CAST(COUNT(*) AS BIGINT) AS n
+          |FROM documents
+          |GROUP BY 1, 2""".stripMargin,
       "q_doc_quality" ->
         """SELECT doc_id,
           |  CAST(length(text) AS BIGINT) AS n,

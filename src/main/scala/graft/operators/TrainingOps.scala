@@ -117,7 +117,11 @@ object TrainingOps {
     * Integer cross-multiply, no float ratio.
     */
   def langId(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
+    langIdOf(docs(spark, sfDir))
+
+  /** [[langId]] over any (doc_id, text) corpus. */
+  def langIdOf(corpus: DataFrame): DataFrame =
+    corpus
       .withColumn("cjk_chars",
         length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", ""))
           .cast("long"))
@@ -126,6 +130,24 @@ object TrainingOps {
         col("doc_id"), col("cjk_chars"), col("total_chars"),
         when(col("cjk_chars") * 10 > col("total_chars") * 3, "zh")
           .otherwise("en").as("pred_lang"))
+
+  /** Language-ID CONFUSION MATRIX (oracled as q_doc_langid_eval) — the
+    * measured-eval companion of [[langId]]: per (true lang, predicted)
+    * counts against the corpus's `lang` column. The matrix makes the
+    * detector's real coverage VISIBLE rather than asserted — and on the
+    * driver fixture it shows something worth knowing: every row lands
+    * on pred en, INCLUDING lang=zh, because the synthetic corpus's "zh"
+    * documents are Latin word salad with zero CJK codepoints (the lang
+    * column is a label, not the text's script). The heuristic's
+    * positive path is unit-tested on real CJK text (LangIdSpec);
+    * production swaps a trained n-gram model onto the same plumbing.
+    * One uniform doc_id join + a languages²-bounded rollup.
+    */
+  def langIdEval(spark: SparkSession, sfDir: String): DataFrame =
+    langId(spark, sfDir)
+      .join(docs(spark, sfDir).select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
 
   /** Quality scoring: length, punctuation density, stopword presence —
     * score = number of passed checks (0..3).
