@@ -338,27 +338,53 @@ object Scheduler {
       .select("canonical_url", "source", "last_fetch_epoch")
   }
 
-  /** Robots gate: longest-prefix rule per (host, path). Rules tables are
-    * tiny (one row per host×prefix) → broadcast; match = prefix test,
-    * longest matching prefix wins; default allow when no rule matches.
-    * Returns df + (allowed, robots_delay_ms).
+  /** Robots gate: most-specific rule per (host, path), with full
+    * RFC 9309 §2.2.3 pattern support — `*` matches any char run, a
+    * trailing `$` anchors at path end (crawlers MUST support both).
+    * Specificity = pattern length desc (the RFC/Google rule), allow
+    * wins length ties (least-restrictive tie-break). Rules tables are
+    * tiny (one row per host×pattern) → broadcast; default allow when
+    * no rule matches. Returns df + (allowed, robots_delay_ms).
+    *
+    * Plain-prefix rules (the overwhelming majority in real robots
+    * files) keep the codegen'd `startswith` fast path; only rules that
+    * actually CONTAIN a wildcard pay a regex test, with the regex
+    * precompiled once per rule at broadcast build (escape specials,
+    * `*` → `.*`, trailing `$` → anchor). At 100 TB the per-row cost is
+    * rules-per-host × a startswith, plus a regex only where a site
+    * wrote one.
     */
   def applyRobots(df: DataFrame, rules: DataFrame, hostCol: String,
       pathCol: String): DataFrame = {
-    // Rules grouped per host into a length-desc-sorted array → ONE broadcast
-    // join on host, then codegen'd higher-order functions pick the longest
-    // matching prefix per row. No extra shuffle, no per-row window.
+    // Rules grouped per host into a (specificity-desc, allow-desc)-sorted
+    // array → ONE broadcast join on host, then codegen'd higher-order
+    // functions pick the winning rule per row. No extra shuffle.
+    val p = col("path_prefix")
+    val anchored = p.endsWith("$")
+    val body = when(anchored, expr("substring(path_prefix, 1," +
+      " length(path_prefix) - 1)")).otherwise(p)
+    val esc = regexp_replace(body,
+      lit("([.^$+?()\\[\\]{}|\\\\])"), lit("\\\\$1"))
+    val regex = concat(lit("^"),
+      regexp_replace(esc, lit("\\*"), lit(".*")),
+      when(anchored, "$").otherwise(""))
+    val wild = p.contains("*") || anchored
     val perHost = rules
       .groupBy(col("host").as("__rhost"))
       .agg(sort_array(collect_list(struct(
-        length(col("path_prefix")).as("len"),
-        col("path_prefix").as("prefix"),
+        length(p).as("len"),
         col("allow").as("allow"),
+        p.as("prefix"),
+        wild.as("wild"),
+        regex.as("regex"),
         col("crawl_delay_ms").as("delay"))), asc = false).as("__rules"))
     val joined = df.join(broadcast(perHost),
       df(hostCol) === col("__rhost"), "left")
-    val matched = get(filter(col("__rules"),
-      r => startswith(df(pathCol), r.getField("prefix"))), lit(0))
+    val matched = get(filter(col("__rules"), r =>
+      when(r.getField("wild"),
+        regexp_like(df(pathCol), r.getField("regex")))
+        .otherwise(startswith(df(pathCol), r.getField("prefix")))),
+      lit(0))
     joined
       .withColumn("allowed", coalesce(matched.getField("allow"), lit(true)))
       .withColumn("robots_delay_ms", coalesce(matched.getField("delay"), lit(0)))

@@ -140,6 +140,55 @@ class PolitenessSpec extends SparkTestBase {
     assert(got("/anything") === ((true, 0)))
   }
 
+  test("robots RFC 9309 patterns: * matches any run, trailing $ anchors, " +
+      "specificity by pattern length, allow wins length ties, regex " +
+      "specials in paths are literal") {
+    val rules = Seq(
+      ("w.com", "/", true, 0),
+      ("w.com", "/*.pdf$", false, 0),       // block pdf files anywhere
+      ("w.com", "/private/*/draft", false, 0),
+      ("w.com", "/a$", false, 0),           // exactly /a
+      // equal-length tie: allow must win (least restrictive)
+      ("w.com", "/tie/x", false, 0),
+      ("w.com", "/tie/y", true, 0),
+      ("t.com", "/dir..", false, 0)         // dots are literal, not regex
+    ).toDF("host", "path_prefix", "allow", "crawl_delay_ms")
+    val paths = Seq(
+      ("w.com", "/docs/report.pdf"),        // *.pdf$ → blocked
+      ("w.com", "/docs/report.pdf.html"),   // $ anchor → allowed
+      ("w.com", "/private/2024/draft"),     // mid-* → blocked
+      ("w.com", "/private/2024/drafting"),  // prefix-after-* still matches
+      ("w.com", "/a"),                      // exact → blocked
+      ("w.com", "/ab"),                     // not exact → allowed
+      ("t.com", "/dirXY"),                  // '.' literal: no match → allow
+      ("t.com", "/dir..")                   // literal match → blocked
+    ).toDF("host", "path")
+    val got = Scheduler.applyRobots(paths, rules, "host", "path")
+      .select("host", "path", "allowed")
+      .as[(String, String, Boolean)].collect()
+      .map { case (h, p, a) => (h, p) -> a }.toMap
+    assert(got(("w.com", "/docs/report.pdf")) === false)
+    assert(got(("w.com", "/docs/report.pdf.html")) === true)
+    assert(got(("w.com", "/private/2024/draft")) === false)
+    assert(got(("w.com", "/private/2024/drafting")) === false,
+      "robots patterns are prefix-anchored: /private/*/draft matches " +
+        "the prefix of /private/2024/drafting")
+    assert(got(("w.com", "/a")) === false)
+    assert(got(("w.com", "/ab")) === true)
+    assert(got(("t.com", "/dirXY")) === true)
+    assert(got(("t.com", "/dir..")) === false)
+    // equal-length tie: the allow rule is preferred
+    val tie = Scheduler.applyRobots(
+      Seq(("w.com", "/tie/xy...")).toDF("host", "path"),
+      // two equal-length rules matching the same path
+      Seq(("w.com", "/tie/", false, 0), ("w.com", "/tie/", true, 7))
+        .toDF("host", "path_prefix", "allow", "crawl_delay_ms"),
+      "host", "path")
+      .select("allowed", "robots_delay_ms")
+      .as[(Boolean, Int)].collect().head
+    assert(tie === ((true, 7)), s"allow must win the tie: $tie")
+  }
+
   test("pageRank: K rounds equal the sequential integer recurrence") {
     // graph with a duplicate edge, a dangling sink (5), a pure source (4),
     // and a cycle 1→2→3→1 so multi-hop mass actually moves
