@@ -105,6 +105,9 @@ object SparkEntry {
     "q_emb_ivfpq_rerank_topk" -> ((s, d) => TrainingOps.ivfPqRerankTopK(s, d)),
     "q_emb_cosine_dups" -> ((s, d) => TrainingOps.cosineNearDups(s, d)),
     "q_emb_semdedup" -> ((s, d) => TrainingOps.semDedup(s, d)),
+    "q_emb_sq_topk" -> ((s, d) => TrainingOps.sqTopK(s, d)),
+    "q_doc_dsir" -> ((s, d) => TrainingOps.dsirScores(s, d)),
+    "q_host_mirrors" -> ((s, d) => CrawlOps.mirrorHosts(s, d)),
     // --- scan/projection surface (S4, S6, F1, O1, P5, P8, P9, P12, J4, §2.7) ---
     "q_json_payload" -> ((s, d) => ScanOps.jsonPayload(s, d)),
     "q_json_positional" -> ((s, d) => ScanOps.jsonPositional(s, d)),
@@ -116,6 +119,7 @@ object SparkEntry {
     "q_mojibake_repair" -> ((s, d) => ScanOps.mojibakeRepair(s, d)),
     "q_robots_parse" -> ((s, d) => ScanOps.robotsParse(s, d)),
     "q_sitemap_scan" -> ((s, d) => ScanOps.sitemapScan(s, d)),
+    "q_warc_parse" -> ((s, d) => ScanOps.warcParse(s, d)),
     "q_fallback_chain" -> ((s, d) => ScanOps.fallbackChain(s, d)),
     "q_image_phash_dups" -> ((s, _) => TrainingOps.phashNearDups(s)),
     "q_image_hamming_topk" -> ((s, _) => TrainingOps.imageHammingTopK(s)),
@@ -966,6 +970,36 @@ object SparkEntry {
         |              ORDER BY lastmod DESC, loc ASC) AS BIGINT)
         |         AS recency_rank
         |FROM r""".stripMargin,
+    // analytic oracle: every field recomputed from the synthesis
+    // parameters — payload_len = len('payload-' || id || '-') + id % 17,
+    // the %13 rows declare one byte long, odd rows add a second response
+    // at record position 3; the Spark side must EARN these by parsing
+    "q_warc_parse" ->
+      """WITH r1 AS (
+        |  SELECT event_id, CAST(1 AS BIGINT) AS rec_idx,
+        |         'response' AS warc_type,
+        |         'https://' || event_type || '.example.com/articles/a' ||
+        |           CAST(event_id AS VARCHAR) AS uri,
+        |         CAST(9 + len(CAST(event_id AS VARCHAR)) + (event_id % 17)
+        |              + CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END
+        |           AS BIGINT) AS decl_len,
+        |         CAST(9 + len(CAST(event_id AS VARCHAR)) + (event_id % 17)
+        |           AS BIGINT) AS payload_len
+        |  FROM events),
+        |r3 AS (
+        |  SELECT event_id, CAST(3 AS BIGINT) AS rec_idx,
+        |         'response' AS warc_type,
+        |         'https://' || event_type || '.example.com/articles/b' ||
+        |           CAST(event_id AS VARCHAR) AS uri,
+        |         CAST(4 + len(CAST(event_id AS VARCHAR)) AS BIGINT)
+        |           AS decl_len,
+        |         CAST(4 + len(CAST(event_id AS VARCHAR)) AS BIGINT)
+        |           AS payload_len
+        |  FROM events WHERE event_id % 2 = 1),
+        |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r3)
+        |SELECT event_id, rec_idx, warc_type, uri, decl_len, payload_len,
+        |       (decl_len = payload_len) AS valid
+        |FROM u""".stripMargin,
     "q_fallback_chain" ->
       """WITH e AS (
         |  SELECT event_id, ts,
@@ -2616,6 +2650,100 @@ object SparkEntry {
            |FROM assigned a
            |JOIN sizes s USING (centroid_id)
            |LEFT JOIN drp d ON d.vec_id = a.vec_id""".stripMargin,
+      // SQ8: global affine codes; DuckDB's `//` floors but every operand
+      // is shifted non-negative, so it agrees with Spark's truncating div
+      "q_emb_sq_topk" ->
+        s"""WITH e AS (SELECT vec_id, $quant AS q FROM embeddings),
+           |b AS (SELECT MIN(list_min(q)) AS gmin, MAX(list_max(q)) AS gmax
+           |      FROM e),
+           |c AS (
+           |  SELECT vec_id, q,
+           |         list_transform(q, x -> (x - gmin) * 255 // (gmax - gmin))
+           |           AS code
+           |  FROM e, b),
+           |qs AS (SELECT vec_id AS query_id, q AS qv FROM c WHERE vec_id < 8),
+           |cs AS (SELECT vec_id AS neighbor_id, code AS nc
+           |       FROM c WHERE vec_id >= 8),
+           |s AS (
+           |  SELECT query_id, neighbor_id,
+           |         CAST(list_sum(list_transform(range(1, len(qv) + 1),
+           |              i -> qv[i] * nc[i])) AS BIGINT) AS dot
+           |  FROM qs, cs),
+           |r AS (
+           |  SELECT query_id, neighbor_id, dot,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |              ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+           |  FROM s)
+           |SELECT query_id, neighbor_id, dot, rank FROM r WHERE rank <= 10""".stripMargin,
+      "q_doc_dsir" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(text, '\\s+'),
+           |           t -> t <> '') AS t
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id,
+           |         unnest(list_transform(range(1, len(t)),
+           |           i -> t[i] || ' ' || t[i + 1])) AS gram
+           |  FROM toks WHERE len(t) >= 2),
+           |f AS (
+           |  SELECT doc_id, ${h60("gram")} % 8192 AS f,
+           |         (doc_id % 10 = 0) AS is_tgt
+           |  FROM g),
+           |wt AS (
+           |  SELECT f, CAST(COUNT(*) AS BIGINT) AS cnt_raw,
+           |         CAST(SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT)
+           |           AS cnt_tgt
+           |  FROM f GROUP BY f),
+           |tot AS (
+           |  SELECT CAST(SUM(cnt_raw) AS BIGINT) AS n_raw,
+           |         CAST(SUM(cnt_tgt) AS BIGINT) AS n_tgt FROM wt),
+           |w AS (
+           |  SELECT f,
+           |         CAST((cnt_tgt + 1) * n_raw * 1000
+           |              // ((cnt_raw + 1) * n_tgt) AS BIGINT) AS wt_pm
+           |  FROM wt, tot),
+           |s AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           |         CAST(SUM(wt_pm) AS BIGINT) AS wt_sum
+           |  FROM f JOIN w USING (f) GROUP BY doc_id)
+           |SELECT doc_id, n_feats,
+           |       CAST(wt_sum // n_feats AS BIGINT) AS score_pm,
+           |       (wt_sum // n_feats >= 1000) AS selected
+           |FROM s""".stripMargin,
+      "q_host_mirrors" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, text, doc_id % 37 AS hk FROM documents),
+           |hf AS (
+           |  SELECT DISTINCT host, fp FROM (
+           |    SELECT 'h' || CAST(hk AS VARCHAR) AS host,
+           |           ${h60("text")} AS fp FROM d
+           |    UNION ALL
+           |    SELECT 'm' || CAST(hk AS VARCHAR), ${h60("text")}
+           |    FROM d WHERE doc_id % 2 = 0
+           |    UNION ALL
+           |    SELECT 's' || CAST(hk AS VARCHAR), ${h60("text")}
+           |    FROM d WHERE doc_id % 5 = 0
+           |    UNION ALL
+           |    SELECT 's' || CAST(hk AS VARCHAR), ${h60("text || '-s'")}
+           |    FROM d WHERE doc_id % 3 = 0)),
+           |sizes AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS sz
+           |          FROM hf GROUP BY host),
+           |rare AS (SELECT fp FROM hf GROUP BY fp
+           |         HAVING COUNT(*) BETWEEN 2 AND 10),
+           |r AS (SELECT hf.host, hf.fp FROM hf JOIN rare USING (fp)),
+           |p AS (
+           |  SELECT a.host AS host_a, b.host AS host_b,
+           |         CAST(COUNT(*) AS BIGINT) AS shared
+           |  FROM r a JOIN r b ON a.fp = b.fp AND a.host < b.host
+           |  GROUP BY 1, 2)
+           |SELECT host_a, host_b, shared, sa.sz AS size_a, sb.sz AS size_b,
+           |       CAST(shared * 1000 // least(sa.sz, sb.sz) AS BIGINT)
+           |         AS overlap_pm,
+           |       (shared * 1000 // least(sa.sz, sb.sz) >= 800) AS is_mirror
+           |FROM p
+           |JOIN sizes sa ON sa.host = p.host_a
+           |JOIN sizes sb ON sb.host = p.host_b""".stripMargin,
       "q_emb_lsh_topk" ->
         s"""WITH planes AS (
            |  SELECT p, i,

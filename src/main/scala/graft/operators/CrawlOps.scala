@@ -654,4 +654,94 @@ object CrawlOps {
         element_at(col("mins"), size(col("mins"))).as("kth_hash"),
         est(col("mins")).as("est_distinct"))
   }
+
+  /** Hot-fingerprint guard for [[mirrorHosts]]: a content fingerprint on
+    * more hosts than this is syndicated boilerplate (wire copy, legal
+    * pages), not mirror evidence, and would quadratically fan the
+    * host-pair self-join. Same df discipline as the containment/winnow
+    * pair seeds.
+    */
+  val MirrorFpMaxHosts = 10L
+
+  /** Mirror flag threshold: shared fingerprints as per-mille of the
+    * SMALLER host's distinct-content set (asymmetric containment at host
+    * granularity — a full mirror of a subset of a big site must still
+    * read 1000‰).
+    */
+  val MirrorPerMille = 800L
+
+  /** MIRROR-HOST DETECTION (oracled as q_host_mirrors): find host pairs
+    * serving the same content — the crawl-side dedup that cuts fetch
+    * budgets BEFORE any page is fetched twice, upstream of the per-URL
+    * seen filter (a mirror has different URLs, so URL dedup never fires;
+    * cf. the mirror studies behind the IRLbot/Mercator frontier designs).
+    * Per host: the distinct set of 60-bit content fingerprints; pairs
+    * seeded ONLY through fingerprints on ≤ [[MirrorFpMaxHosts]] hosts
+    * (df² fan-out bound, Zipf-hot wire copy never enters); exact shared
+    * count per candidate pair; mirror = shared ≥ [[MirrorPerMille]]‰ of
+    * the smaller side. Fingerprints, not text, flow through every join —
+    * 8-byte keys end to end.
+    *
+    * Fixture: base hosts h0..h36 carry the corpus (doc_id % 37 — PRIME,
+    * coprime with every other fixture modulus: a composite key like
+    * % 40 makes the hk ≡ 0 mod 5 hosts consist ENTIRELY of % 5 == 0
+    * docs, and the "partial" syndicator silently becomes a full
+    * mirror); every even doc is mirrored onto m(doc_id % 37) — a FULL
+    * mirror of half each base host's content (overlap = 1000‰ of the
+    * m-side); every doc_id % 5 == 0 doc is syndicated onto s(hk), which also
+    * serves its own unique articles (doc_id % 3 == 0, tail-salted fp) —
+    * a partial syndicator that must stay BELOW the mirror bar. The
+    * DuckDB oracle rebuilds the same (host, fp) sets analytically.
+    */
+  def mirrorHosts(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val hk = col("doc_id") % 37
+    val base = d.select(
+      concat(lit("h"), hk.cast("string")).as("host"),
+      TrainingOps.hash60(col("text")).as("fp"))
+    val mirror = d.filter(col("doc_id") % 2 === 0).select(
+      concat(lit("m"), hk.cast("string")).as("host"),
+      TrainingOps.hash60(col("text")).as("fp"))
+    val syndicated = d.filter(col("doc_id") % 5 === 0).select(
+      concat(lit("s"), hk.cast("string")).as("host"),
+      TrainingOps.hash60(col("text")).as("fp"))
+    val unique = d.filter(col("doc_id") % 3 === 0).select(
+      concat(lit("s"), hk.cast("string")).as("host"),
+      TrainingOps.hash60(concat(col("text"), lit("-s"))).as("fp"))
+    val hf = base.unionByName(mirror).unionByName(syndicated)
+      .unionByName(unique)
+      .dropDuplicates("host", "fp")
+    mirrorHostsFrom(hf)
+  }
+
+  /** [[mirrorHosts]] over any distinct (host, fp) frame. */
+  def mirrorHostsFrom(hf: DataFrame): DataFrame = {
+    val sizes = hf.groupBy("host").agg(count(lit(1)).as("sz"))
+    val rare = hf.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MirrorFpMaxHosts && col("df") >= 2)
+      .select("fp")
+    val rhf = hf.join(rare.hint("shuffle_hash"), "fp")
+    // shared-count per pair, directly from the rare self-join. POLICY:
+    // `shared` counts only fingerprints on ≤ MirrorFpMaxHosts hosts —
+    // wire copy on 1000 hosts is not mirror evidence, so hot prints are
+    // excluded from the count, not just the seeding (the oracle applies
+    // the same df window). No second confirm join is needed: the count
+    // over seed matches IS the rare-shared count.
+    val shared = rhf.select(col("fp"), col("host").as("host_a"))
+      .join(rhf.select(col("fp"), col("host").as("host_b")), "fp")
+      .filter(col("host_a") < col("host_b"))
+      .groupBy("host_a", "host_b")
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("host").as("host_a"), col("sz").as("size_a")),
+        Seq("host_a"))
+      .join(sizes.select(col("host").as("host_b"), col("sz").as("size_b")),
+        Seq("host_b"))
+      .withColumn("overlap_pm",
+        expr("shared * 1000L div least(size_a, size_b)"))
+      .withColumn("is_mirror", col("overlap_pm") >= MirrorPerMille)
+      .select("host_a", "host_b", "shared", "size_a", "size_b",
+        "overlap_pm", "is_mirror")
+  }
 }

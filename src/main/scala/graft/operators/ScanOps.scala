@@ -300,6 +300,72 @@ object ScanOps {
       .select("host", "loc", "lastmod", "lastmod_day", "recency_rank")
   }
 
+  /** WARC record scan (the archival format a web-scale fetcher writes and
+    * every replay/reprocess job reads — ISO 28500): one fetched WARC slab
+    * → one row per `response` record, headers parsed, payload length
+    * checked against the declared `Content-Length`. The reference fetches
+    * live HTML and keeps nothing (base_scraper.py loops re-fetch on every
+    * run); at 100 TB the fetch output IS a WARC archive and downstream
+    * passes re-read it, so record parsing is a first-class scan.
+    *
+    * Fixture: each event row synthesizes a slab of 2-3 records — a
+    * `response` (payload deterministic in event_id, every 13th row
+    * declaring Content-Length one byte long — a truncated-capture
+    * corruption the parser must FLAG, not drop), a `request` record the
+    * scan filters out, and for odd rows a second response. The DuckDB
+    * oracle recomputes every output field ANALYTICALLY from the synthesis
+    * parameters (never re-parses), so a parser bug cannot hash-match.
+    *
+    * Scale shape: pure row-local string plan — split on the record
+    * delimiter, posexplode, per-field regexp, all codegen'd; ZERO
+    * exchanges (plan-gated). A 100 TB WARC corpus parses embarrassingly
+    * parallel at scan speed.
+    */
+  def warcParse(spark: SparkSession, sfDir: String): DataFrame = {
+    val crlf = "\r\n"
+    val id = col("event_id").cast("string")
+    val payload1 = concat(lit("payload-"), id, lit("-"),
+      repeat(lit("x"), (col("event_id") % 17).cast("int")))
+    val decl1 = (length(payload1) +
+      when(col("event_id") % 13 === 0, 1).otherwise(0)).cast("string")
+    val uri1 = concat(lit("https://"), col("event_type"),
+      lit(".example.com/articles/a"), id)
+    val rec1 = concat(
+      lit(s"WARC/1.0${crlf}WARC-Type: response${crlf}WARC-Target-URI: "),
+      uri1, lit(crlf + "Content-Length: "), decl1,
+      lit(crlf + crlf), payload1, lit(crlf + crlf))
+    val rec2 = concat(
+      lit(s"WARC/1.0${crlf}WARC-Type: request${crlf}WARC-Target-URI: "),
+      uri1, lit(s"${crlf}Content-Length: 0$crlf$crlf$crlf$crlf"))
+    val payload3 = concat(lit("alt-"), id)
+    val rec3 = when(col("event_id") % 2 === 1, concat(
+      lit(s"WARC/1.0${crlf}WARC-Type: response${crlf}WARC-Target-URI: "),
+      concat(lit("https://"), col("event_type"),
+        lit(".example.com/articles/b"), id),
+      lit(crlf + "Content-Length: "), length(payload3).cast("string"),
+      lit(crlf + crlf), payload3, lit(crlf + crlf)))
+      .otherwise(lit(""))
+    val slab = concat(rec1, rec2, rec3)
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), slab.as("warc"))
+      .select(col("event_id"),
+        posexplode(split(col("warc"), "WARC/1\\.0\r\n"))
+          .as(Seq("rec_idx", "rec")))
+      .filter(col("rec") =!= "")
+      .select(
+        col("event_id"), col("rec_idx").cast("long").as("rec_idx"),
+        regexp_extract(col("rec"), "WARC-Type: ([a-z]+)\r\n", 1)
+          .as("warc_type"),
+        regexp_extract(col("rec"), "WARC-Target-URI: (\\S+)\r\n", 1)
+          .as("uri"),
+        regexp_extract(col("rec"), "Content-Length: (\\d+)\r\n", 1)
+          .cast("long").as("decl_len"),
+        length(regexp_extract(col("rec"), "(?s)\r\n\r\n(.*)\r\n\r\n$", 1))
+          .cast("long").as("payload_len"))
+      .filter(col("warc_type") === "response")
+      .withColumn("valid", col("decl_len") === col("payload_len"))
+  }
+
   /** §2.7 — multi-listing union with ordinal re-index: the reference
     * concatenates two section listings and re-slices the head
     * (`(top + list_items)[:7]`, fiercepharma.py:64; scmp.py:103-110).

