@@ -701,6 +701,9 @@ object Bench {
     // SQ8 (8 bits/dim, global affine): the high-fidelity end of the
     // quantization family — should sit far above PQ at the same corpus
     val sqRecall = graft.operators.TrainingOps.sqRecallAtK(spark, sfDir)
+    // MRL prefix-then-refine: what a 16-of-64-dim coarse pass + exact
+    // re-rank recovers (the adaptive-retrieval economics dial)
+    val mrlRecall = graft.operators.TrainingOps.mrlRecallAtK(spark, sfDir)
     // IVF-PQ composed: coarse-pruning × code-quantization recall, together
     val ivfPqRecall = graft.operators.TrainingOps.ivfPqRecallAtK(spark, sfDir)
     // ...and the full stack with the exact top-R refine pass behind it
@@ -750,7 +753,7 @@ object Bench {
       s"""{"probes":$p,"recall":${f"$r%.3f"},"candidates":$c}"""
     }.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","cpus":$cpus,"frontier_n":$frontierN,"frontier_scheduled_rows":$frontierRows,"frontier_urls_per_sec":$urlsPerSec,"frontier_runs_sec":[${f"$run1Sec%.3f"},${f"$run2Sec%.3f"}],"frontier_stages":${jmap(stages)},"ann_recall_at_10":${f"$annRecall%.3f"},"ann_ivf_recall_at_10":${f"$ivfRecall%.3f"},"ann_ivf_recall_clustered":${f"$ivfRecallC%.3f"},"ann_ivf_kmeans_recall_at_10":${f"$ivfKmRecall%.3f"},"ann_ivf_kmeans_recall_clustered":${f"$ivfKmRecallC%.3f"},"ann_pq_recall_at_10":${f"$pqRecall%.3f"},"ann_pq_rerank_recall_at_10":${f"$pqRerankRecall%.3f"},"ann_sq_recall_at_10":${f"$sqRecall%.3f"},"ann_ivfpq_recall_at_10":${f"$ivfPqRecall%.3f"},"ann_ivfpq_rerank_recall_at_10":${f"$ivfPqRerankRecall%.3f"},"ann_image_recall_at_10":${f"$imgRecall%.3f"},"ann_recall_curve":$annCurveJson,"ann_image_recall_curve":$imgCurveJson,"bench_noise":${suiteNoise.json},"scaling":$scalingJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","cpus":$cpus,"frontier_n":$frontierN,"frontier_scheduled_rows":$frontierRows,"frontier_urls_per_sec":$urlsPerSec,"frontier_runs_sec":[${f"$run1Sec%.3f"},${f"$run2Sec%.3f"}],"frontier_stages":${jmap(stages)},"ann_recall_at_10":${f"$annRecall%.3f"},"ann_ivf_recall_at_10":${f"$ivfRecall%.3f"},"ann_ivf_recall_clustered":${f"$ivfRecallC%.3f"},"ann_ivf_kmeans_recall_at_10":${f"$ivfKmRecall%.3f"},"ann_ivf_kmeans_recall_clustered":${f"$ivfKmRecallC%.3f"},"ann_pq_recall_at_10":${f"$pqRecall%.3f"},"ann_pq_rerank_recall_at_10":${f"$pqRerankRecall%.3f"},"ann_sq_recall_at_10":${f"$sqRecall%.3f"},"ann_mrl_recall_at_10":${f"$mrlRecall%.3f"},"ann_ivfpq_recall_at_10":${f"$ivfPqRecall%.3f"},"ann_ivfpq_rerank_recall_at_10":${f"$ivfPqRerankRecall%.3f"},"ann_image_recall_at_10":${f"$imgRecall%.3f"},"ann_recall_curve":$annCurveJson,"ann_image_recall_curve":$imgCurveJson,"bench_noise":${suiteNoise.json},"scaling":$scalingJson}"""
     // build.sbt sets outputStrategy := StdoutOutput, so this line reaches
     // the driver's stdout tail UNPREFIXED (sbt's "[info] " wrapper broke
     // the driver's parse in rounds 1-2); the file copy stays as the

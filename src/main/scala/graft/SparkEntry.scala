@@ -106,7 +106,10 @@ object SparkEntry {
     "q_emb_cosine_dups" -> ((s, d) => TrainingOps.cosineNearDups(s, d)),
     "q_emb_semdedup" -> ((s, d) => TrainingOps.semDedup(s, d)),
     "q_emb_sq_topk" -> ((s, d) => TrainingOps.sqTopK(s, d)),
+    "q_emb_mrl_topk" -> ((s, d) => TrainingOps.mrlTopK(s, d)),
     "q_doc_dsir" -> ((s, d) => TrainingOps.dsirScores(s, d)),
+    "q_doc_cdc_chunks" -> ((s, d) => TrainingOps.cdcChunks(s, d)),
+    "q_doc_hybrid_topk" -> ((s, d) => SearchOps.hybridRrfTopK(s, d)),
     "q_host_mirrors" -> ((s, d) => CrawlOps.mirrorHosts(s, d)),
     // --- scan/projection surface (S4, S6, F1, O1, P5, P8, P9, P12, J4, §2.7) ---
     "q_json_payload" -> ((s, d) => ScanOps.jsonPayload(s, d)),
@@ -2675,6 +2678,159 @@ object SparkEntry {
            |              ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
            |  FROM s)
            |SELECT query_id, neighbor_id, dot, rank FROM r WHERE rank <= 10""".stripMargin,
+      // MRL adaptive retrieval: 16-dim prefix rank → top-50 shortlist →
+      // full-dim exact re-rank
+      "q_emb_mrl_topk" ->
+        s"""WITH e AS (SELECT vec_id, $quant AS q FROM embeddings),
+           |qs AS (SELECT vec_id AS query_id, q AS qv FROM e WHERE vec_id < 8),
+           |cs AS (SELECT vec_id AS neighbor_id, q AS nv
+           |       FROM e WHERE vec_id >= 8),
+           |coarse AS (
+           |  SELECT query_id, neighbor_id,
+           |         CAST(list_sum(list_transform(range(1, 17),
+           |              i -> qv[i] * nv[i])) AS BIGINT) AS cdot
+           |  FROM qs, cs),
+           |short AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |           ROW_NUMBER() OVER (PARTITION BY query_id
+           |             ORDER BY cdot DESC, neighbor_id ASC) AS rn
+           |    FROM coarse) WHERE rn <= 50),
+           |ex AS (
+           |  SELECT s.query_id, s.neighbor_id,
+           |         CAST(list_sum(list_transform(range(1, len(q2.qv) + 1),
+           |              i -> q2.qv[i] * c2.nv[i])) AS BIGINT) AS dot
+           |  FROM short s
+           |  JOIN qs q2 ON s.query_id = q2.query_id
+           |  JOIN cs c2 ON s.neighbor_id = c2.neighbor_id),
+           |r AS (
+           |  SELECT query_id, neighbor_id, dot,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |              ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+           |  FROM ex)
+           |SELECT query_id, neighbor_id, dot, rank FROM r WHERE rank <= 10""".stripMargin,
+      // CDC: boundary = token hash ≡ 0 mod 16, cut AFTER the boundary
+      // token; chunk_idx = prefix-exclusive boundary count — the window
+      // formulation of the row-local aggregate() chunker
+      "q_doc_cdc_chunks" ->
+        s"""WITH tk AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(text, '\\s+'),
+           |           x -> x <> '') AS t
+           |  FROM documents),
+           |ix AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+           |       FROM tk WHERE len(t) >= 1),
+           |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+           |               t[CAST(i AS INT)] AS tok FROM ix),
+           |bd AS (
+           |  SELECT doc_id, i, tok,
+           |         CASE WHEN ${h60("tok")} % 16 = 0 THEN 1 ELSE 0 END AS b
+           |  FROM tok),
+           |cid AS (
+           |  SELECT doc_id, i, tok,
+           |         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS chunk_idx
+           |  FROM bd),
+           |ch AS (
+           |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           |         string_agg(tok, ' ' ORDER BY i) AS chunk,
+           |         CAST(COUNT(*) AS BIGINT) AS n_toks
+           |  FROM cid GROUP BY 1, 2),
+           |hs AS (SELECT doc_id, chunk_idx, ${h60("chunk")} AS chunk_hash,
+           |              n_toks FROM ch),
+           |kd AS (SELECT chunk_hash, MIN(doc_id) AS d0 FROM hs GROUP BY 1),
+           |kp AS (
+           |  SELECT h.chunk_hash, kd.d0, MIN(h.chunk_idx) AS c0
+           |  FROM hs h JOIN kd
+           |    ON h.chunk_hash = kd.chunk_hash AND h.doc_id = kd.d0
+           |  GROUP BY 1, 2)
+           |SELECT h.doc_id, h.chunk_idx, h.chunk_hash, h.n_toks,
+           |       (h.doc_id = kp.d0 AND h.chunk_idx = kp.c0) AS is_first
+           |FROM hs h JOIN kp ON h.chunk_hash = kp.chunk_hash""".stripMargin,
+      // hybrid RRF: the BM25 CTE chain + the brute-force ANN chain,
+      // fused by integer reciprocal-rank contributions (k = 60)
+      "q_doc_hybrid_topk" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           |  FROM documents),
+           |post AS (
+           |  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM toks WHERE token <> '' GROUP BY 1, 2),
+           |dl AS (
+           |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           |  FROM post GROUP BY 1),
+           |stats AS (
+           |  SELECT CAST(SUM(dl) * 1000 // COUNT(*) AS BIGINT) AS avgdl1000
+           |  FROM dl),
+           |lex AS (SELECT token, COUNT(*) AS df FROM post GROUP BY 1),
+           |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+           |top24 AS (
+           |  SELECT token, (SELECT n_docs FROM n) * 1000 // df AS idf,
+           |         ROW_NUMBER() OVER (ORDER BY df DESC, token ASC) - 1 AS r
+           |  FROM lex ORDER BY df DESC, token ASC LIMIT 24),
+           |tq AS (SELECT r // 3 AS query_id, token, idf FROM top24),
+           |cand AS (
+           |  SELECT tq.query_id, p.doc_id, p.tf, tq.idf, d.dl, s.avgdl1000
+           |  FROM post p JOIN tq ON p.token = tq.token
+           |  JOIN dl d ON p.doc_id = d.doc_id CROSS JOIN stats s),
+           |contrib AS (
+           |  SELECT query_id, doc_id,
+           |         (idf * tf * (1000 + 1200)) //
+           |           (tf * 1000 +
+           |            (1200 * (1000 - 750 + (750 * dl * 1000) // avgdl1000))
+           |              // 1000) AS c
+           |  FROM cand),
+           |tscored AS (
+           |  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score
+           |  FROM contrib GROUP BY 1, 2),
+           |tranked AS (
+           |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           |         CAST(ROW_NUMBER() OVER (
+           |           PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+           |           AS BIGINT) AS text_rank
+           |  FROM tscored),
+           |e AS (SELECT vec_id, $quant AS q FROM embeddings),
+           |vq AS (SELECT vec_id AS query_id, q AS qv
+           |       FROM e WHERE vec_id < 8),
+           |vc AS (SELECT vec_id AS neighbor_id, q AS nv
+           |       FROM e WHERE vec_id >= 8),
+           |vdots AS (
+           |  SELECT query_id, neighbor_id,
+           |         CAST(list_sum(list_transform(range(1, len(qv) + 1),
+           |              i -> qv[i] * nv[i])) AS BIGINT) AS dot
+           |  FROM vq, vc),
+           |vranked AS (
+           |  SELECT query_id, neighbor_id,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |              ORDER BY dot DESC, neighbor_id ASC) AS BIGINT)
+           |           AS vec_rank
+           |  FROM vdots),
+           |f AS (
+           |  SELECT COALESCE(t.query_id, v.query_id) AS query_id,
+           |         COALESCE(t.doc_id, v.neighbor_id) AS doc_id,
+           |         COALESCE(t.text_rank, 0) AS text_rank,
+           |         COALESCE(v.vec_rank, 0) AS vec_rank
+           |  FROM (SELECT * FROM tranked WHERE text_rank <= 10) t
+           |  FULL OUTER JOIN (SELECT * FROM vranked WHERE vec_rank <= 10) v
+           |    ON t.query_id = v.query_id AND t.doc_id = v.neighbor_id),
+           |sc AS (
+           |  SELECT query_id, doc_id,
+           |         CAST(text_rank AS BIGINT) AS text_rank,
+           |         CAST(vec_rank AS BIGINT) AS vec_rank,
+           |         CAST(CASE WHEN text_rank > 0
+           |                THEN 1000000 // (60 + text_rank) ELSE 0 END +
+           |              CASE WHEN vec_rank > 0
+           |                THEN 1000000 // (60 + vec_rank) ELSE 0 END
+           |           AS BIGINT) AS score
+           |  FROM f),
+           |r AS (
+           |  SELECT query_id, doc_id, text_rank, vec_rank, score,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |              ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+           |  FROM sc)
+           |SELECT query_id, doc_id, text_rank, vec_rank, score, rank
+           |FROM r WHERE rank <= 10""".stripMargin,
       "q_doc_dsir" ->
         s"""WITH toks AS (
            |  SELECT doc_id,

@@ -388,4 +388,57 @@ object SearchOps {
     bm25TopKOver(pruned, post, corpus.agg(count(lit(1)).as("n_docs")),
       "doc_id", k)
   }
+
+  /** RRF constant (Cormack et al. 2009's published k = 60) and the
+    * integer scale that keeps 1/(k + rank) in exact per-million units.
+    */
+  val RrfK = 60L
+  val RrfScale = 1000000L
+
+  /** HYBRID RETRIEVAL via Reciprocal Rank Fusion (oracled as
+    * q_doc_hybrid_topk): fuse the lexical BM25 ranking and the dense
+    * ANN ranking — the standard hybrid-search combiner, chosen over
+    * score interpolation because it needs NO score normalization
+    * (ranks are scale-free, so integer math is exact by nature:
+    * contribution = [[RrfScale]] div ([[RrfK]] + rank), summed over the
+    * lists that returned the doc). Query pairing is positional: text
+    * query i (the corpus-derived df-top term triple) fuses with vector
+    * query i — the workload-alignment convention, stated rather than
+    * hidden; in production the pair is (user text, its embedding).
+    *
+    * Scale shape: both inputs are already top-k lists — at most 2k
+    * candidate rows per query reach the fusion regardless of corpus
+    * size (the whole point of fusing RANKINGS, not score tables); the
+    * outer join and final rank run on (query_id, doc_id) keys bounded
+    * by queries × 2k. Absent-from-one-list ranks surface as 0 with a
+    * zero contribution, never NULL.
+    */
+  def hybridRrfTopK(spark: SparkSession, sfDir: String, k: Int = 10)
+      : DataFrame = {
+    val text = docBm25TopK(spark, sfDir, k)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").as("text_rank"))
+    val vec = TrainingOps.bruteForceTopK(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    val fused = text.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("text_rank"), lit(0L)).as("text_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+      .withColumn("score", expr(
+        s"IF(text_rank > 0, $RrfScale div ($RrfK + text_rank), 0L) + " +
+        s"IF(vec_rank > 0, $RrfScale div ($RrfK + vec_rank), 0L)"))
+    // plain per-query window, NOT the two-stage rank: the candidate set
+    // is ≤ 2k rows per query BY CONSTRUCTION (a union of two top-k
+    // lists), so there is no large partition for the two-stage form to
+    // protect against — and no second evaluation of the two input
+    // rankings, which a rank-then-rejoin would force
+    fused
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(desc("score"), asc("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "text_rank", "vec_rank", "score",
+        "rank")
+  }
 }

@@ -3125,6 +3125,53 @@ object TrainingOps {
     * deterministic (dot desc, id asc) order, recall is monotone too —
     * asserted in LshAnnSpec.
     */
+  // ================================ MRL prefix-dim adaptive retrieval ==
+
+  /** Coarse-pass dimensionality for [[mrlTopK]] (the 64-dim vectors'
+    * first 16 components) and the shortlist the full-dim pass re-ranks.
+    */
+  val MrlPrefixDims = 16
+  val MrlShortlistR = 50
+
+  /** MRL-STYLE ADAPTIVE RETRIEVAL (oracled as q_emb_mrl_topk): rank the
+    * corpus by the PREFIX-dim dot (16 of 64 components — the Matryoshka
+    * representation-learning deployment pattern, Kusupati et al. 2022:
+    * embeddings trained so prefixes are themselves usable), keep a
+    * per-query shortlist of R=50, and re-rank only the shortlist with
+    * the full-dimension exact dot (the shared [[exactRerank]] tail).
+    * At 100 TB the coarse pass streams a 4×-narrower corpus (prefix
+    * columns prune at the parquet reader) and full vectors are read for
+    * R rows per query, not n — the same economics as PQ re-rank with
+    * none of the codebook machinery. Honesty note: the fixture
+    * embeddings are NOT matryoshka-trained, so the prefix is just a
+    * fixed 16-dim projection — the measured recall
+    * (ann_mrl_recall_at_10) is the floor a trained prefix improves on,
+    * and the mechanism (prefix rank → exact re-rank, never a recall
+    * loss vs the prefix ranking alone) is what the oracle certifies.
+    */
+  def mrlTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val withPref = e.withColumn("p", expr(s"slice(q, 1, $MrlPrefixDims)"))
+    val queries = broadcast(withPref.filter(col("vec_id") < NQueryVecs)
+      .select(col("vec_id").as("query_id"), col("p").as("qp")))
+    val corpus = withPref.filter(col("vec_id") >= NQueryVecs)
+      .select(col("vec_id").as("neighbor_id"), col("p").as("np"))
+    val coarse = queries.join(corpus)
+      .withColumn("dot", intDot(col("qp"), col("np")))
+    val shortlist = topKPerQuery(coarse, MrlShortlistR)
+    exactRerank(e, shortlist)
+  }
+
+  /** Recall@k of the MRL prefix-then-refine stack vs exact search. */
+  def mrlRecallAtK(spark: SparkSession, sfDir: String): Double = {
+    val bf = bruteForceTopK(spark, sfDir).select("query_id", "neighbor_id")
+    val m = mrlTopK(spark, sfDir).select("query_id", "neighbor_id")
+    val hit = bf.join(m, Seq("query_id", "neighbor_id")).count()
+    val total = bf.count()
+    if (total == 0) 1.0 else hit.toDouble / total
+  }
+
   // ================================ DSIR importance resampling =========
 
   /** Hashed feature space size for [[dsirScores]] (DSIR's hashed n-gram
@@ -3192,6 +3239,73 @@ object TrainingOps {
       .select(col("doc_id"), col("n_feats"),
         expr("wt_sum div n_feats").as("score_pm"))
       .withColumn("selected", col("score_pm") >= 1000L)
+  }
+
+  // ================================ content-defined chunking ==========
+
+  /** Boundary modulus for [[cdcChunks]]: a token ends its chunk when
+    * hash60(token) % CdcMask == 0 → expected chunk length = CdcMask
+    * tokens (the LBFS/FastCDC expected-size dial).
+    */
+  val CdcMask = 16L
+
+  /** CONTENT-DEFINED CHUNKING dedup (oracled as q_doc_cdc_chunks): cut
+    * every document into variable-size chunks at content-determined
+    * boundaries (a token is a cut point iff its own hash ≡ 0 mod
+    * [[CdcMask]] — the rolling-hash cut rule of LBFS (Muthitacharoen et
+    * al. 2001) and FastCDC, at token granularity), then find each
+    * distinct chunk's first occurrence corpus-wide. The property fixed-
+    * size chunking ([[removeDupSpans]]'s 10-token chunks) structurally
+    * lacks: an INSERTION shifts every fixed chunk after it, but
+    * content-defined boundaries resynchronize at the next cut point, so
+    * all later chunks dedup against the unshifted original
+    * (CdcChunksSpec proves this with a prepended-token twin).
+    *
+    * Scale shape: the chunker is ONE row-local `aggregate` HOF over the
+    * token array (O(tokens) hashes, no window, no explode until chunks
+    * exist — chunking runs at scan rate; the winnowing O(m²) inlining
+    * trap does not apply: the lambda hashes each token once). The only
+    * exchanges are the per-(chunk_hash) keeper aggregate and the final
+    * doc-side join — both on uniform 60-bit keys. Chunk TEXT exists
+    * only inside the row-local projection; 8-byte hashes are what
+    * shuffle.
+    */
+  def cdcChunks(spark: SparkSession, sfDir: String): DataFrame =
+    cdcChunksOf(docs(spark, sfDir))
+
+  /** [[cdcChunks]] over any (doc_id, text) corpus. */
+  def cdcChunksOf(corpus: DataFrame): DataFrame = {
+    val h60sql = "CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)"
+    val chunksExpr =
+      s"""aggregate(
+         |  t,
+         |  named_struct('cs', cast(array() as array<string>), 'cur', ''),
+         |  (a, x) -> IF(pmod($h60sql, $CdcMask) = 0,
+         |    named_struct(
+         |      'cs', array_append(a.cs,
+         |              concat(a.cur, IF(a.cur = '', '', ' '), x)),
+         |      'cur', ''),
+         |    named_struct(
+         |      'cs', a.cs,
+         |      'cur', concat(a.cur, IF(a.cur = '', '', ' '), x))),
+         |  a -> IF(a.cur = '', a.cs, array_append(a.cs, a.cur)))""".stripMargin
+    val chunks = corpus
+      .withColumn("t", filter(split(col("text"), "\\s+"), x => x =!= ""))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"),
+        posexplode(expr(chunksExpr)).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        hash60(col("chunk")).as("chunk_hash"),
+        size(split(col("chunk"), " ")).cast("long").as("n_toks"))
+    val keeper = chunks
+      .groupBy("chunk_hash")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("k"))
+      .select(col("chunk_hash"), col("k.doc_id").as("kd"),
+        col("k.chunk_idx").as("kc"))
+    chunks.join(keeper.hint("shuffle_hash"), Seq("chunk_hash"))
+      .withColumn("is_first",
+        col("doc_id") === col("kd") && col("chunk_idx") === col("kc"))
+      .select("doc_id", "chunk_idx", "chunk_hash", "n_toks", "is_first")
   }
 
   // ================================ scalar-quantized ANN (SQ8) ========
