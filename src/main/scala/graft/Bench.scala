@@ -662,6 +662,8 @@ object Bench {
     val (_, cacheSec) = timed {
       graft.operators.TrainingOps.shingles(spark, sfDir).count()
       graft.operators.TrainingOps.minhashSignatures(spark, sfDir).count()
+      graft.operators.TrainingOps
+        .containmentExcerptShingles(spark, sfDir).count()
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()

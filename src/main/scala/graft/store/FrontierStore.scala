@@ -93,6 +93,10 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
     val segs = m.segmentCounts.toSeq.sortBy(_._1)
       .map { case (s, c) => s""""$s": $c""" }.mkString("{", ", ", "}")
     def optStr(o: Option[String]) = o.map(p => "\"" + p + "\"").getOrElse("null")
+    val fstats = m.fileStats
+      .map(f => s"""{"path": "${f.path}", "min_source": "${f.minSource}", """ +
+        s""""max_source": "${f.maxSource}", "rows": ${f.rows}}""")
+      .mkString("[", ", ", "]")
     s"""{
        |  "snapshot_id": ${m.snapshotId},
        |  "parent_id": ${m.parentId},
@@ -106,6 +110,7 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
        |  "segment_counts": $segs,
        |  "files_rewritten": ${m.filesRewritten},
        |  "files_added": ${m.filesAdded},
+       |  "file_stats": $fstats,
        |  "metrics": {"new_articles": ${m.newArticles}, "skipped": ${m.skipped}, "errors": ${m.errors}}
        |}""".stripMargin
   }
@@ -128,6 +133,16 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
       s""""$key"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(json)
         .map(_.group(1).toLong).getOrElse(0L)
     val bloomItems = numOpt("bloom_items_per_segment")
+    // optional (absent in pre-stats manifests): per-file column bounds
+    val fsBlock = """"file_stats"\s*:\s*\[(.*?)\]""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val fileStats =
+      ("""\{"path":\s*"([^"]*)",\s*"min_source":\s*"([^"]*)",\s*""" +
+        """"max_source":\s*"([^"]*)",\s*"rows":\s*(\d+)\}""").r
+        .findAllMatchIn(fsBlock)
+        .map(m => FrontierStore.FileStat(
+          m.group(1), m.group(2), m.group(3), m.group(4).toLong))
+        .toSeq
     Manifest(
       snapshotId = num("snapshot_id").toInt,
       parentId = num("parent_id").toInt,
@@ -143,7 +158,8 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
       skipped = num("skipped"),
       errors = num("errors"),
       filesRewritten = numOpt("files_rewritten"),
-      filesAdded = numOpt("files_added"))
+      filesAdded = numOpt("files_added"),
+      fileStats = fileStats)
   }
 
   def snapshotIds(): Seq[Int] =
@@ -335,7 +351,109 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
       if (parent >= 0) currentBloomItems(parent) else bloomItemsPerSegment
     writeManifest(Manifest(id, parent, KindDelta, fetchEpoch, dialUsed,
       articlesRel, seenRel, bloomRel, errorsRel, segCounts,
-      tl(0), tl(1), tl(2)))
+      tl(0), tl(1), tl(2),
+      fileStats = articlesRel.map(collectFileStats).getOrElse(Nil)))
+  }
+
+  /** Harvest per-file `source` column bounds from the parquet FOOTERS of
+    * a just-written article dir — the Iceberg writer-stats step, done as
+    * a footer post-pass (footers are a few KB each; no data pages are
+    * read). The bounds land in the manifest so
+    * [[articlesForSource]] can prune files at PLANNING time, before any
+    * file — even its footer — is opened again.
+    */
+  private def collectFileStats(rel: String)
+      : Seq[FrontierStore.FileStat] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val base = root.resolve(rel)
+    Files.walk(base).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala
+          val rows = blocks.map(_.getRowCount).sum
+          val colStats = blocks.flatMap(_.getColumns.asScala)
+            .filter(_.getPath.toDotString == "source")
+            .map(_.getStatistics)
+            .filter(s => s != null && s.hasNonNullValue)
+          val mins = colStats.map(_.genericGetMin
+            .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+          val maxs = colStats.map(_.genericGetMax
+            .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+          FrontierStore.FileStat(
+            root.relativize(p).toString.replace('\\', '/'),
+            if (mins.isEmpty) "" else mins.min,
+            if (maxs.isEmpty) "" else maxs.max,
+            rows)
+        } finally reader.close()
+      }.toSeq.sortBy(_.path)
+  }
+
+  /** [[articles]] restricted to one source, with MANIFEST-stats file
+    * pruning (the Iceberg data-skipping read path): a data file is opened
+    * only if the recorded [min_source, max_source] of its footer stats
+    * can contain the predicate value — on a delta chain, whole ticks that
+    * never crawled the source contribute ZERO file reads. Stats only
+    * prune; the predicate is still applied, so correctness never depends
+    * on them (stats-less legacy manifests fall back to a full-dir scan +
+    * filter). Post-[[compactArticles]] the baseline's per-dt files each
+    * span the full source range — file pruning yields to the ROW-GROUP
+    * pruning the baseline's (source, language) sort was laid out for,
+    * from the very same footer statistics.
+    */
+  def articlesForSource(spark: SparkSession, source: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val id = checkGc(asOf.orElse(snapshotIds().lastOption)
+      .getOrElse(throw new IllegalStateException("empty store")))
+    val ms = articleChain(id).filter(_.articlesPath.nonEmpty)
+    require(ms.nonEmpty, "no article snapshots")
+    val parts = ms.flatMap { m =>
+      val dir = root.resolve(m.articlesPath.get).toString
+      val df =
+        if (m.fileStats.isEmpty) Some(spark.read.parquet(dir))
+        else {
+          val kept = m.fileStats
+            .filter(s => s.minSource <= source && source <= s.maxSource)
+            .map(s => root.resolve(s.path).toString)
+          if (kept.isEmpty) None
+          else Some(spark.read.option("basePath", dir).parquet(kept: _*))
+        }
+      df.map(d =>
+        if (m.kind == KindArticleCompaction) d.drop("crawl_tick") else d)
+    }
+    val all = parts match {
+      case Nil =>
+        // every file pruned: the result is provably empty — produce an
+        // empty frame with the chain's schema rather than failing
+        articles(spark, Some(id)).limit(0)
+      case ps => ps.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+    all.filter(col("source") === source)
+  }
+
+  /** Planning-time pruning evidence for [[articlesForSource]]:
+    * (files read, files total) over the as-of article chain — what the
+    * spec gates on and what an operator would log.
+    */
+  def articleFilePruning(source: String, asOf: Option[Int] = None)
+      : (Long, Long) = {
+    val id = checkGc(asOf.orElse(snapshotIds().lastOption)
+      .getOrElse(throw new IllegalStateException("empty store")))
+    val ms = articleChain(id).filter(_.articlesPath.nonEmpty)
+    val withStats = ms.filter(_.fileStats.nonEmpty)
+    val total = withStats.map(_.fileStats.size.toLong).sum +
+      ms.filter(_.fileStats.isEmpty)
+        .map(m => parquetFileCount(m.articlesPath.get)).sum
+    val kept = withStats.map(_.fileStats
+      .count(s => s.minSource <= source && source <= s.maxSource).toLong)
+      .sum +
+      ms.filter(_.fileStats.isEmpty)
+        .map(m => parquetFileCount(m.articlesPath.get)).sum
+    (kept, total)
   }
 
   /** Seed the store with a pre-existing seen set as snapshot 0 (the analog
@@ -472,7 +590,8 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
     writeManifest(Manifest(id, latestId, KindArticleCompaction, parentEpoch,
       currentBloomItems(latestId), Some(rel), None, None, None,
       Map.empty, 0L, 0L, 0L,
-      filesRewritten = rewritten, filesAdded = parquetFileCount(rel)))
+      filesRewritten = rewritten, filesAdded = parquetFileCount(rel),
+      fileStats = collectFileStats(rel)))
   }
 
   /** Parquet data files under a store-relative path (manifest lineage). */
@@ -881,5 +1000,18 @@ object FrontierStore {
       // file-set lineage of an article_compaction (Iceberg rewrite commits
       // record replaced and added data files): parquet files folded vs
       // written. 0/0 on every other kind.
-      filesRewritten: Long = 0L, filesAdded: Long = 0L)
+      filesRewritten: Long = 0L, filesAdded: Long = 0L,
+      // per-data-file column bounds (Iceberg manifest-entry stats): the
+      // planning-time zone map [[FrontierStore.articlesForSource]] prunes
+      // with — no footer is opened for a skipped file. Empty on pre-stats
+      // manifests and non-article snapshots.
+      fileStats: Seq[FrontierStore.FileStat] = Nil)
+
+  /** Column bounds of one article data file, harvested from its parquet
+    * FOOTER statistics at commit time (the same min/max the row-group
+    * reader uses — recorded once in the manifest so reads can prune
+    * files without touching them).
+    */
+  final case class FileStat(path: String, minSource: String,
+      maxSource: String, rows: Long)
 }
