@@ -111,6 +111,7 @@ object SparkEntry {
     "q_doc_cdc_chunks" -> ((s, d) => TrainingOps.cdcChunks(s, d)),
     "q_doc_hybrid_topk" -> ((s, d) => SearchOps.hybridRrfTopK(s, d)),
     "q_host_mirrors" -> ((s, d) => CrawlOps.mirrorHosts(s, d)),
+    "q_host_mirror_clusters" -> ((s, d) => CrawlOps.mirrorClusters(s, d)),
     // --- scan/projection surface (S4, S6, F1, O1, P5, P8, P9, P12, J4, §2.7) ---
     "q_json_payload" -> ((s, d) => ScanOps.jsonPayload(s, d)),
     "q_json_positional" -> ((s, d) => ScanOps.jsonPositional(s, d)),
@@ -1074,6 +1075,46 @@ object SparkEntry {
     */
   private def trainingOracles: Map[String, String] = {
     val h60 = (e: String) => s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+    // mirror-host CTE chain (host fingerprint sets → df-windowed pair
+    // seeds → per-mille overlap) — shared by q_host_mirrors and the
+    // clustered q_host_mirror_clusters
+    val mirrorCtes =
+      s"""md AS (
+         |  SELECT doc_id, text, doc_id % 37 AS hk FROM documents),
+         |mhf AS (
+         |  SELECT DISTINCT host, fp FROM (
+         |    SELECT 'h' || CAST(hk AS VARCHAR) AS host,
+         |           ${h60("text")} AS fp FROM md
+         |    UNION ALL
+         |    SELECT 'm' || CAST(hk AS VARCHAR), ${h60("text")}
+         |    FROM md WHERE doc_id % 2 = 0
+         |    UNION ALL
+         |    SELECT 'n' || CAST(hk AS VARCHAR), ${h60("text")}
+         |    FROM md WHERE doc_id % 4 = 0
+         |    UNION ALL
+         |    SELECT 's' || CAST(hk AS VARCHAR), ${h60("text")}
+         |    FROM md WHERE doc_id % 5 = 0
+         |    UNION ALL
+         |    SELECT 's' || CAST(hk AS VARCHAR), ${h60("text || '-s'")}
+         |    FROM md WHERE doc_id % 3 = 0)),
+         |msizes AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS sz
+         |           FROM mhf GROUP BY host),
+         |mrare AS (SELECT fp FROM mhf GROUP BY fp
+         |          HAVING COUNT(*) BETWEEN 2 AND 10),
+         |mr AS (SELECT mhf.host, mhf.fp FROM mhf JOIN mrare USING (fp)),
+         |mp AS (
+         |  SELECT a.host AS host_a, b.host AS host_b,
+         |         CAST(COUNT(*) AS BIGINT) AS shared
+         |  FROM mr a JOIN mr b ON a.fp = b.fp AND a.host < b.host
+         |  GROUP BY 1, 2),
+         |mirrors AS (
+         |  SELECT host_a, host_b, shared, sa.sz AS size_a, sb.sz AS size_b,
+         |         CAST(shared * 1000 // least(sa.sz, sb.sz) AS BIGINT)
+         |           AS overlap_pm,
+         |         (shared * 1000 // least(sa.sz, sb.sz) >= 800) AS is_mirror
+         |  FROM mp
+         |  JOIN msizes sa ON sa.host = mp.host_a
+         |  JOIN msizes sb ON sb.host = mp.host_b)""".stripMargin
     // temperature-flattened mixture-rate CTE chain (exact isqrt weights +
     // Hamilton largest-remainder per-mille split) — shared by
     // q_doc_temperature_mix and the composed q_doc_temp_mix_sample
@@ -2868,38 +2909,40 @@ object SparkEntry {
            |       (wt_sum // n_feats >= 1000) AS selected
            |FROM s""".stripMargin,
       "q_host_mirrors" ->
-        s"""WITH d AS (
-           |  SELECT doc_id, text, doc_id % 37 AS hk FROM documents),
-           |hf AS (
-           |  SELECT DISTINCT host, fp FROM (
-           |    SELECT 'h' || CAST(hk AS VARCHAR) AS host,
-           |           ${h60("text")} AS fp FROM d
-           |    UNION ALL
-           |    SELECT 'm' || CAST(hk AS VARCHAR), ${h60("text")}
-           |    FROM d WHERE doc_id % 2 = 0
-           |    UNION ALL
-           |    SELECT 's' || CAST(hk AS VARCHAR), ${h60("text")}
-           |    FROM d WHERE doc_id % 5 = 0
-           |    UNION ALL
-           |    SELECT 's' || CAST(hk AS VARCHAR), ${h60("text || '-s'")}
-           |    FROM d WHERE doc_id % 3 = 0)),
-           |sizes AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS sz
-           |          FROM hf GROUP BY host),
-           |rare AS (SELECT fp FROM hf GROUP BY fp
-           |         HAVING COUNT(*) BETWEEN 2 AND 10),
-           |r AS (SELECT hf.host, hf.fp FROM hf JOIN rare USING (fp)),
-           |p AS (
-           |  SELECT a.host AS host_a, b.host AS host_b,
-           |         CAST(COUNT(*) AS BIGINT) AS shared
-           |  FROM r a JOIN r b ON a.fp = b.fp AND a.host < b.host
-           |  GROUP BY 1, 2)
-           |SELECT host_a, host_b, shared, sa.sz AS size_a, sb.sz AS size_b,
-           |       CAST(shared * 1000 // least(sa.sz, sb.sz) AS BIGINT)
-           |         AS overlap_pm,
-           |       (shared * 1000 // least(sa.sz, sb.sz) >= 800) AS is_mirror
-           |FROM p
-           |JOIN sizes sa ON sa.host = p.host_a
-           |JOIN sizes sb ON sb.host = p.host_b""".stripMargin,
+        s"""WITH $mirrorCtes
+           |SELECT host_a, host_b, shared, size_a, size_b, overlap_pm,
+           |       is_mirror
+           |FROM mirrors""".stripMargin,
+      // mirror groups: min-label recursion over the is_mirror edges on
+      // 60-bit host hashes; canonical = the component's minimum-hash host
+      "q_host_mirror_clusters" ->
+        s"""WITH RECURSIVE $mirrorCtes,
+           |medge AS (
+           |  SELECT ${h60("host_a")} AS src, ${h60("host_b")} AS dst
+           |  FROM mirrors WHERE is_mirror
+           |  UNION ALL
+           |  SELECT ${h60("host_b")}, ${h60("host_a")}
+           |  FROM mirrors WHERE is_mirror),
+           |mnodes AS (SELECT DISTINCT src AS hid FROM medge),
+           |mlbl AS (
+           |  SELECT hid, hid AS label FROM mnodes
+           |  UNION
+           |  SELECT e.dst AS hid, l.label
+           |  FROM mlbl l JOIN medge e ON e.src = l.hid),
+           |mcl AS (
+           |  SELECT hid, MIN(label) AS cluster_id FROM mlbl GROUP BY hid),
+           |mids AS (
+           |  SELECT DISTINCT host, ${h60("host")} AS hid FROM (
+           |    SELECT host_a AS host FROM mirrors WHERE is_mirror
+           |    UNION SELECT host_b FROM mirrors WHERE is_mirror)),
+           |mcsz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT)
+           |           AS cluster_size FROM mcl GROUP BY 1)
+           |SELECT i.host, c.host AS canonical_host, z.cluster_size,
+           |       (m.hid = m.cluster_id) AS is_canonical
+           |FROM mcl m
+           |JOIN mids i ON i.hid = m.hid
+           |JOIN mids c ON c.hid = m.cluster_id
+           |JOIN mcsz z ON z.cluster_id = m.cluster_id""".stripMargin,
       "q_emb_lsh_topk" ->
         s"""WITH planes AS (
            |  SELECT p, i,

@@ -693,26 +693,75 @@ object CrawlOps {
     * a partial syndicator that must stay BELOW the mirror bar. The
     * DuckDB oracle rebuilds the same (host, fp) sets analytically.
     */
-  def mirrorHosts(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    val hk = col("doc_id") % 37
-    val base = d.select(
-      concat(lit("h"), hk.cast("string")).as("host"),
-      TrainingOps.hash60(col("text")).as("fp"))
-    val mirror = d.filter(col("doc_id") % 2 === 0).select(
-      concat(lit("m"), hk.cast("string")).as("host"),
-      TrainingOps.hash60(col("text")).as("fp"))
-    val syndicated = d.filter(col("doc_id") % 5 === 0).select(
-      concat(lit("s"), hk.cast("string")).as("host"),
-      TrainingOps.hash60(col("text")).as("fp"))
-    val unique = d.filter(col("doc_id") % 3 === 0).select(
-      concat(lit("s"), hk.cast("string")).as("host"),
-      TrainingOps.hash60(concat(col("text"), lit("-s"))).as("fp"))
-    val hf = base.unionByName(mirror).unionByName(syndicated)
-      .unionByName(unique)
-      .dropDuplicates("host", "fp")
-    mirrorHostsFrom(hf)
+  def mirrorHosts(spark: SparkSession, sfDir: String): DataFrame =
+    mirrorHostsFrom(mirrorHostFps(spark, sfDir))
+
+  /** The fixture's distinct (host, fp) table, parquet-cached:
+    * [[mirrorHostsFrom]] fans it into three consumers (sizes, df,
+    * self-join ×2) and the four-armed union + dropDuplicates would
+    * otherwise re-run per consumer (the shingle-cache discipline).
+    */
+  def mirrorHostFps(spark: SparkSession, sfDir: String): DataFrame =
+    TrainingOps.cachedParquet(spark, sfDir, "mirror_hostfps_v2") {
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val hk = col("doc_id") % 37
+      val base = d.select(
+        concat(lit("h"), hk.cast("string")).as("host"),
+        TrainingOps.hash60(col("text")).as("fp"))
+      val mirror = d.filter(col("doc_id") % 2 === 0).select(
+        concat(lit("m"), hk.cast("string")).as("host"),
+        TrainingOps.hash60(col("text")).as("fp"))
+      // a SECOND nested mirror (n ⊆ m ⊆ h): every pair in the triple is
+      // a full mirror, so components of size 3 exist and the cluster
+      // operator's transitive grouping is exercised, not just pairs
+      val mirror2 = d.filter(col("doc_id") % 4 === 0).select(
+        concat(lit("n"), hk.cast("string")).as("host"),
+        TrainingOps.hash60(col("text")).as("fp"))
+      val syndicated = d.filter(col("doc_id") % 5 === 0).select(
+        concat(lit("s"), hk.cast("string")).as("host"),
+        TrainingOps.hash60(col("text")).as("fp"))
+      val unique = d.filter(col("doc_id") % 3 === 0).select(
+        concat(lit("s"), hk.cast("string")).as("host"),
+        TrainingOps.hash60(concat(col("text"), lit("-s"))).as("fp"))
+      base.unionByName(mirror).unionByName(mirror2)
+        .unionByName(syndicated)
+        .unionByName(unique)
+        .dropDuplicates("host", "fp")
+    }
+
+  /** MIRROR-GROUP canonicalization (oracled as q_host_mirror_clusters):
+    * connected components over the [[mirrorHosts]] `is_mirror` edges —
+    * a site mirrored across three hostnames forms ONE group with one
+    * canonical host, the row a frontier consults to collapse budgets
+    * and URLs across the whole group (pairwise flags alone cannot: a↔b
+    * and b↔c mirrors need a = c transitively). Reuses the
+    * large-star/small-star contraction kernel
+    * ([[TrainingOps.dupClustersFromPairs]]) on 60-bit host hashes — the
+    * same O(log diameter) pass bound and shrinking edge mass — then
+    * joins hostnames back; canonical = the component's minimum-hash
+    * host (deterministic, schedule-free).
+    */
+  def mirrorClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = mirrorHosts(spark, sfDir).filter(col("is_mirror"))
+      .select("host_a", "host_b")
+    val edges = pairs.select(
+      TrainingOps.hash60(col("host_a")).as("doc_a"),
+      TrainingOps.hash60(col("host_b")).as("doc_b"))
+    val (labels, _) = TrainingOps.dupClustersFromPairs(edges)
+    val ids = pairs.select(col("host_a").as("host"))
+      .unionByName(pairs.select(col("host_b").as("host")))
+      .distinct()
+      .withColumn("hid", TrainingOps.hash60(col("host")))
+    val csz = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(broadcast(ids), labels("doc_id") === ids("hid"))
+      .join(broadcast(ids.select(col("hid").as("cluster_id"),
+        col("host").as("canonical_host"))), Seq("cluster_id"))
+      .join(broadcast(csz), Seq("cluster_id"))
+      .select(col("host"), col("canonical_host"), col("cluster_size"),
+        col("is_keeper").as("is_canonical"))
   }
 
   /** [[mirrorHosts]] over any distinct (host, fp) frame. */

@@ -48,7 +48,8 @@ object TrainingOps {
     */
   private val CacheVersion = "v4" // v4: shingle cache carries h60, not strings
 
-  private def cachedParquet(spark: SparkSession, sfDir: String, name: String)(
+  private[operators] def cachedParquet(spark: SparkSession, sfDir: String,
+      name: String)(
       build: => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val key = java.security.MessageDigest.getInstance("MD5")
@@ -3279,11 +3280,22 @@ object TrainingOps {
     * only inside the row-local projection; 8-byte hashes are what
     * shuffle.
     */
-  def cdcChunks(spark: SparkSession, sfDir: String): DataFrame =
-    cdcChunksOf(docs(spark, sfDir))
+  def cdcChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    // the chunk table feeds two consumers (the output rows and the keeper
+    // aggregate); parquet-cache it so the HOF chunker runs the corpus
+    // once, not once per consumer — the shingle-cache discipline
+    val chunks = cachedParquet(spark, sfDir, "cdc_chunks") {
+      cdcChunkTable(docs(spark, sfDir))
+    }
+    cdcFirstOccurrence(chunks)
+  }
 
-  /** [[cdcChunks]] over any (doc_id, text) corpus. */
-  def cdcChunksOf(corpus: DataFrame): DataFrame = {
+  /** [[cdcChunks]] over any (doc_id, text) corpus (uncached form). */
+  def cdcChunksOf(corpus: DataFrame): DataFrame =
+    cdcFirstOccurrence(cdcChunkTable(corpus))
+
+  /** The row-local chunker: (doc_id, chunk_idx, chunk_hash, n_toks). */
+  def cdcChunkTable(corpus: DataFrame): DataFrame = {
     val h60sql = "CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)"
     val chunksExpr =
       s"""aggregate(
@@ -3298,7 +3310,7 @@ object TrainingOps {
          |      'cs', a.cs,
          |      'cur', concat(a.cur, IF(a.cur = '', '', ' '), x))),
          |  a -> IF(a.cur = '', a.cs, array_append(a.cs, a.cur)))""".stripMargin
-    val chunks = corpus
+    corpus
       .withColumn("t", filter(split(col("text"), "\\s+"), x => x =!= ""))
       .filter(size(col("t")) >= 1)
       .select(col("doc_id"),
@@ -3306,6 +3318,10 @@ object TrainingOps {
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         hash60(col("chunk")).as("chunk_hash"),
         size(split(col("chunk"), " ")).cast("long").as("n_toks"))
+  }
+
+  /** First-occurrence keeper join over a [[cdcChunkTable]] frame. */
+  def cdcFirstOccurrence(chunks: DataFrame): DataFrame = {
     val keeper = chunks
       .groupBy("chunk_hash")
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("k"))

@@ -65,6 +65,31 @@ class MirrorHostsSpec extends SparkTestBase {
     assert(pairs.filter(!col("is_mirror")).count() > 0)
   }
 
+  test("mirror clusters: the h/m/n triple groups TRANSITIVELY into one " +
+      "component with one canonical host; every clustered host appears " +
+      "exactly once; the canonical marks its own row") {
+    val cl = CrawlOps.mirrorClusters(spark, sf()).cache()
+    // hosts appear exactly once — the clusters partition the mirror set
+    assert(cl.groupBy("host").count().filter(col("count") > 1).isEmpty)
+    // a k with a %4 doc has all three of h/m/n mirroring pairwise →
+    // one cluster of size 3 (transitivity made visible)
+    val k3 = docIds.filter(_ % 4 == 0).map(_ % 37).distinct
+    assert(k3.nonEmpty)
+    val triple = cl.filter(col("host").isin(
+      s"h${k3.head}", s"m${k3.head}", s"n${k3.head}"))
+    assert(triple.count() == 3L, s"triple for k=${k3.head} not clustered")
+    assert(triple.select("canonical_host").distinct().count() == 1L,
+      "triple members disagree on the canonical host")
+    assert(triple.filter(col("cluster_size") =!= 3).isEmpty)
+    // exactly one canonical per cluster, and it marks its own row
+    val canonLaw = cl.groupBy("canonical_host")
+      .agg(sum(when(col("is_canonical"), 1L).otherwise(0L)).as("nc"))
+      .filter(col("nc") =!= 1L)
+    assert(canonLaw.isEmpty, "each cluster needs exactly one canonical")
+    assert(cl.filter(col("is_canonical") &&
+      col("host") =!= col("canonical_host")).isEmpty)
+  }
+
   test("plan gate: pair seeding never cross-joins, and the hot-" +
       "fingerprint guard join precedes the self-join") {
     val plan = castToImpl(CrawlOps.mirrorHosts(spark, sf()))
