@@ -85,6 +85,7 @@ object SparkEntry {
     "q_doc_incremental_dedup" -> ((s, d) => TrainingOps.incrementalDedup(s, d)),
     "q_doc_dup_clusters" -> ((s, d) => TrainingOps.dupClusters(s, d)),
     "q_doc_edit_dups" -> ((s, d) => CleanOps.editNearDups(s, d)),
+    "q_doc_indel_dups" -> ((s, d) => CleanOps.editNearDupsIndel(s, d)),
     "q_doc_pii" -> ((s, d) => CleanOps.piiScrub(s, d)),
     "q_doc_boilerplate" -> ((s, d) => CleanOps.boilerplateRemoval(s, d)),
     "q_adaptive_delay" -> ((s, d) => CrawlOps.adaptiveDelay(s, d)),
@@ -1658,6 +1659,75 @@ object SparkEntry {
            |  FROM segs a JOIN segs b
            |    ON a.seg_idx = b.seg_idx AND a.seg = b.seg
            |   AND a.doc_id < b.doc_id)
+           |SELECT c.id_a, c.id_b,
+           |       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+           |       levenshtein(ta.text, tb.text) <= ${CleanOps.EditMaxK}
+           |         AS is_dup
+           |FROM cand c JOIN corpus ta ON ta.doc_id = c.id_a
+           |            JOIN corpus tb ON tb.doc_id = c.id_b""".stripMargin,
+      // PassJoin shifted-segment probes: index = own-length segments
+      // keyed (i, len, seg); probe = the substring a length-l string's
+      // segment i must equal, at displacements sh in [-2, 2]
+      "q_doc_indel_dups" ->
+        s"""WITH base AS (SELECT doc_id, text FROM documents),
+           |tw AS (
+           |  SELECT doc_id, text,
+           |         least((doc_id % length(text)) + 1,
+           |               ((doc_id + (length(text) // 2)) % length(text)) + 1)
+           |           AS lo,
+           |         greatest((doc_id % length(text)) + 1,
+           |               ((doc_id + (length(text) // 2)) % length(text)) + 1)
+           |           AS hi
+           |  FROM base),
+           |twa AS (
+           |  SELECT doc_id + ${CleanOps.IndelTwinOffsetA} AS doc_id,
+           |         substr(text, 1, CAST(lo - 1 AS INT)) ||
+           |         substr(text, CAST(lo + 1 AS INT),
+           |                CAST(hi - lo - 1 AS INT)) || '~' ||
+           |         substr(text, CAST(hi AS INT)) AS text
+           |  FROM tw),
+           |twb AS (
+           |  SELECT doc_id + ${CleanOps.IndelTwinOffsetB} AS doc_id,
+           |         substr(text, 1, CAST(lo - 1 AS INT)) || '~' ||
+           |         substr(text, CAST(lo AS INT)) AS text
+           |  FROM tw),
+           |corpus AS (SELECT * FROM base
+           |           UNION ALL SELECT * FROM twa
+           |           UNION ALL SELECT * FROM twb),
+           |segs AS (
+           |  SELECT doc_id, g.i AS seg_idx, length(text) AS l,
+           |         substr(text,
+           |           CAST(g.i * (length(text) // 3)
+           |                + least(g.i, length(text) % 3) + 1 AS INT),
+           |           CAST((length(text) // 3)
+           |                + CASE WHEN g.i < length(text) % 3
+           |                       THEN 1 ELSE 0 END AS INT)) AS seg
+           |  FROM corpus, generate_series(0, 2) AS g(i)
+           |  WHERE length(text) >= 3),
+           |p0 AS (
+           |  SELECT doc_id, text, length(text) AS lp, g.i, s.sh,
+           |         length(text) + d.dl AS l
+           |  FROM corpus, generate_series(0, 2) AS g(i),
+           |       generate_series(-2, 2) AS d(dl),
+           |       generate_series(-2, 2) AS s(sh)
+           |  WHERE length(text) >= 3 AND length(text) + d.dl >= 3),
+           |p1 AS (
+           |  SELECT doc_id, text, lp, i, l,
+           |         CAST(i * (l // 3) + least(i, l % 3) + 1 + sh AS INT)
+           |           AS ps,
+           |         CAST((l // 3) + CASE WHEN i < l % 3 THEN 1 ELSE 0 END
+           |           AS INT) AS plen
+           |  FROM p0),
+           |probes AS (
+           |  SELECT DISTINCT doc_id AS probe_id, i AS seg_idx, l,
+           |         substr(text, ps, plen) AS sub
+           |  FROM p1 WHERE ps >= 1 AND ps + plen - 1 <= lp),
+           |cand AS (
+           |  SELECT DISTINCT least(p.probe_id, s.doc_id) AS id_a,
+           |         greatest(p.probe_id, s.doc_id) AS id_b
+           |  FROM probes p JOIN segs s
+           |    ON p.seg_idx = s.seg_idx AND p.l = s.l AND p.sub = s.seg
+           |   AND p.probe_id <> s.doc_id)
            |SELECT c.id_a, c.id_b,
            |       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
            |       levenshtein(ta.text, tb.text) <= ${CleanOps.EditMaxK}

@@ -98,6 +98,120 @@ object CleanOps {
       .withColumn("is_dup", col("lev") <= EditMaxK)
   }
 
+  /** Indel-twin ids: A = delete+insert (lev 2, length-preserving but
+    * SHIFTED middle — the case aligned blocking structurally misses),
+    * B = single insert (lev 1, length +1).
+    */
+  val IndelTwinOffsetA = 2000000L
+  val IndelTwinOffsetB = 3000000L
+
+  /** The documents corpus plus two INDEL twins per doc: twin A deletes
+    * the character at `lo` and inserts '~' at `hi` (levenshtein ≤ 2,
+    * length unchanged, every character in (lo, hi) shifted by one), twin
+    * B inserts '~' at `lo` (levenshtein 1, length +1). Positions derive
+    * from doc_id exactly as [[editTwinCorpus]]'s, so the oracle replants
+    * identically.
+    */
+  def indelTwinCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = TrainingOps.docs(spark, sfDir).select("doc_id", "text")
+    val pos = base
+      .withColumn("p1", expr("(doc_id % length(text)) + 1"))
+      .withColumn("p2",
+        expr("((doc_id + (length(text) div 2)) % length(text)) + 1"))
+      .withColumn("lo", least(col("p1"), col("p2")))
+      .withColumn("hi", greatest(col("p1"), col("p2")))
+    val twinA = pos.select(
+      (col("doc_id") + IndelTwinOffsetA).as("doc_id"),
+      // delete at lo, insert '~' before hi: the span [lo, hi) shifts
+      expr("concat(substring(text, 1, lo - 1), " +
+        "substring(text, lo + 1, hi - lo - 1), '~', " +
+        "substring(text, hi))").as("text"))
+    val twinB = pos.select(
+      (col("doc_id") + IndelTwinOffsetB).as("doc_id"),
+      expr("concat(substring(text, 1, lo - 1), '~', substring(text, lo))")
+        .as("text"))
+    base.unionByName(twinA).unionByName(twinB)
+  }
+
+  /** Edit-distance near-dup with PassJoin's SHIFTED-SEGMENT probes
+    * (oracled as q_doc_indel_dups) — closes [[editNearDupsFrom]]'s
+    * disclosed substitution-only reach. Pigeonhole for EDIT distance
+    * (Li, Deng, Feng: PassJoin, VLDB 2012 — public method): if
+    * lev(a, b) ≤ K, some segment of b receives zero edits in the optimal
+    * alignment, so it occurs EXACTLY in a at a start position displaced
+    * by at most K (the indels before it). The index side emits each
+    * doc's K+1 own-length segments keyed (seg_idx, own_len, hash); the
+    * probe side emits, for every target length l within ±K of its own
+    * and every displacement δ ∈ [−K, K], the substring a length-l
+    * string's segment i would have to equal — (K+1)·(2K+1)² = 75 probe
+    * hashes per doc at K = 2, all row-local (PassJoin §4's
+    * position-aware windows would trim this ~3×; the full window is the
+    * correct superset and the disclosed cost). Join on the three-part
+    * key, exact `levenshtein` verify on candidates only — the aligned
+    * operator's scale shape with a constant-factor wider probe side.
+    */
+  def editNearDupsIndel(spark: SparkSession, sfDir: String): DataFrame =
+    editNearDupsIndelFrom(indelTwinCorpus(spark, sfDir))
+
+  /** [[editNearDupsIndel]] over any (doc_id, text) corpus. */
+  def editNearDupsIndelFrom(corpus: DataFrame): DataFrame = {
+    val nSegs = EditMaxK + 1
+    val k = EditMaxK
+    def start(i: String, l: String) =
+      s"$i * ($l div $nSegs) + least($i, $l % $nSegs) + 1"
+    def segLen(i: String, l: String) =
+      s"($l div $nSegs) + (CASE WHEN $i < $l % $nSegs THEN 1 ELSE 0 END)"
+    // index side: own-length segments (the aligned operator's frame,
+    // plus the length key)
+    val segs = corpus
+      .filter(length(col("text")) >= nSegs)
+      .select(col("doc_id"), length(col("text")).as("l"),
+        posexplode(array((0 until nSegs).map(i => expr(
+          s"substring(text, ${start(i.toString, "length(text)")}, " +
+            s"${segLen(i.toString, "length(text)")})")): _*))
+          .as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx"), col("l"),
+        TrainingOps.hash60(col("seg")).as("segh"))
+    // probe side: (i, dl, sh) lattice — the substring a length-l string's
+    // segment i must equal, looked for at displacement sh in THIS doc
+    val lattice =
+      s"""flatten(flatten(transform(sequence(0, ${nSegs - 1}), i ->
+         |  transform(sequence(-$k, $k), dl ->
+         |    transform(sequence(-$k, $k), sh ->
+         |      named_struct('i', i, 'dl', dl, 'sh', sh))))))""".stripMargin
+    val probes = corpus
+      .filter(length(col("text")) >= nSegs)
+      .select(col("doc_id").as("probe_id"), col("text"),
+        length(col("text")).as("lp"),
+        explode(expr(lattice)).as("c"))
+      .withColumn("l", col("lp") + col("c.dl"))
+      .filter(col("l") >= nSegs)
+      .withColumn("ps", expr(
+        s"${start("c.i", "l")} + c.sh"))
+      .withColumn("plen", expr(segLen("c.i", "l")))
+      .filter(col("ps") >= 1 && col("ps") + col("plen") - 1 <= col("lp"))
+      .select(col("probe_id"), col("c.i").as("seg_idx"), col("l"),
+        TrainingOps.hash60(expr("substring(text, ps, plen)")).as("probeh"))
+      .distinct()
+    val cand = probes.join(segs,
+        probes("seg_idx") === segs("seg_idx") &&
+          probes("l") === segs("l") &&
+          probes("probeh") === segs("segh") &&
+          probes("probe_id") =!= segs("doc_id"))
+      .select(least(col("probe_id"), col("doc_id")).as("id_a"),
+        greatest(col("probe_id"), col("doc_id")).as("id_b"))
+      .distinct()
+    val texts = corpus.select(col("doc_id"), col("text"))
+    cand
+      .join(texts.select(col("doc_id").as("id_a"), col("text").as("ta")),
+        "id_a")
+      .join(texts.select(col("doc_id").as("id_b"), col("text").as("tb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("lev"))
+      .withColumn("is_dup", col("lev") <= EditMaxK)
+  }
+
   // ========================================================= PII ===
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
