@@ -124,6 +124,7 @@ object SparkEntry {
     "q_mojibake_repair" -> ((s, d) => ScanOps.mojibakeRepair(s, d)),
     "q_robots_parse" -> ((s, d) => ScanOps.robotsParse(s, d)),
     "q_sitemap_scan" -> ((s, d) => ScanOps.sitemapScan(s, d)),
+    "q_sitemap_discovery" -> ((s, d) => ScanOps.sitemapDiscovery(s, d)),
     "q_warc_parse" -> ((s, d) => ScanOps.warcParse(s, d)),
     "q_fallback_chain" -> ((s, d) => ScanOps.fallbackChain(s, d)),
     "q_image_phash_dups" -> ((s, _) => TrainingOps.phashNearDups(s)),
@@ -932,7 +933,9 @@ object SparkEntry {
         |         'User-agent: *' || chr(10) || 'Crawl-delay: ' ||
         |         CAST(hnum AS VARCHAR) || chr(10) || 'Disallow: /private' ||
         |         CASE WHEN hnum % 2 = 0
-        |              THEN chr(10) || 'Allow: /private/open' ELSE '' END
+        |              THEN chr(10) || 'Allow: /private/open' ELSE '' END ||
+        |         chr(10) || 'Sitemap: https://h' || CAST(hnum AS VARCHAR)
+        |           || '.example.com/sitemap.xml'
         |           AS robots_txt
         |  FROM h),
         |ln AS (
@@ -974,6 +977,35 @@ object SparkEntry {
         |       CAST(ROW_NUMBER() OVER (PARTITION BY host
         |              ORDER BY lastmod DESC, loc ASC) AS BIGINT)
         |         AS recency_rank
+        |FROM r""".stripMargin,
+    // composed discovery: the sitemap entries analytic chain joined to
+    // the robots-advertised sitemap URL and the host's crawl-delay —
+    // both derived from the same (hnum) synthesis parameters
+    "q_sitemap_discovery" ->
+      """WITH h AS (SELECT DISTINCT event_id % 7 AS hnum FROM events),
+        |e AS (SELECT hnum, unnest(range(1, hnum + 4)) AS i FROM h),
+        |d AS (
+        |  SELECT hnum, i,
+        |         make_date(2025, CAST((hnum + i) % 12 + 1 AS INT),
+        |                   CAST((hnum * 7 + i * 3) % 28 + 1 AS INT)) AS md
+        |  FROM e),
+        |r AS (
+        |  SELECT hnum,
+        |         'h' || CAST(hnum AS VARCHAR) || '.example.com' AS host,
+        |         'https://h' || CAST(hnum AS VARCHAR) || '.example.com/p' ||
+        |           CAST(i AS VARCHAR) AS loc,
+        |         strftime(md, '%Y-%m-%d') AS lastmod,
+        |         CAST(date_diff('day', DATE '1970-01-01', md) AS BIGINT)
+        |           AS lastmod_day
+        |  FROM d)
+        |SELECT host,
+        |       'https://h' || CAST(hnum AS VARCHAR)
+        |         || '.example.com/sitemap.xml' AS sitemap_url,
+        |       loc, lastmod_day,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY host
+        |              ORDER BY lastmod DESC, loc ASC) AS BIGINT)
+        |         AS recency_rank,
+        |       CAST(hnum * 1000 AS BIGINT) AS crawl_delay_ms
         |FROM r""".stripMargin,
     // analytic oracle: every field recomputed from the synthesis
     // parameters — payload_len = len('payload-' || id || '-') + id % 17,

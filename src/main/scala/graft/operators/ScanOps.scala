@@ -223,19 +223,8 @@ object ScanOps {
     * deterministic robots body per host (the reference crawls without
     * robots handling; this implements what its operators would need).
     */
-  def robotsParse(spark: SparkSession, sfDir: String): DataFrame = {
-    val hosts = spark.read.parquet(s"$sfDir/events.parquet")
-      .select((col("event_id") % 7).as("hnum")).distinct()
-    val txt = concat(
-      lit("User-agent: *\nCrawl-delay: "), col("hnum").cast("string"),
-      lit("\nDisallow: /private"),
-      when(col("hnum") % 2 === 0, lit("\nAllow: /private/open"))
-        .otherwise(lit("")))
-    val dirRe = "^([A-Za-z-]+):\\s*(.*)$"
-    hosts.select(col("hnum"), txt.as("robots_txt"))
-      .select(col("hnum"), posexplode(split(col("robots_txt"), "\n")))
-      .withColumn("directive", regexp_extract(col("col"), dirRe, 1))
-      .withColumn("value", regexp_extract(col("col"), dirRe, 2))
+  def robotsParse(spark: SparkSession, sfDir: String): DataFrame =
+    robotsLines(spark, sfDir)
       .filter(col("directive").isin("Allow", "Disallow", "Crawl-delay"))
       .select(
         concat(lit("h"), col("hnum").cast("string"), lit(".example.com"))
@@ -250,6 +239,60 @@ object ScanOps {
         when(col("directive") === "Crawl-delay",
           col("value").cast("long") * 1000).otherwise(-1L)
           .as("crawl_delay_ms"))
+
+  /** The raw robots line parse behind [[robotsParse]] (all directives
+    * kept): split on newlines, posexplode, directive/value regexp. The
+    * fixture body per host now ends with the RFC 9309 `Sitemap:` field
+    * — appended LAST so the rule rows' line numbers are unchanged.
+    */
+  def robotsLines(spark: SparkSession, sfDir: String): DataFrame = {
+    val hosts = spark.read.parquet(s"$sfDir/events.parquet")
+      .select((col("event_id") % 7).as("hnum")).distinct()
+    val txt = concat(
+      lit("User-agent: *\nCrawl-delay: "), col("hnum").cast("string"),
+      lit("\nDisallow: /private"),
+      when(col("hnum") % 2 === 0, lit("\nAllow: /private/open"))
+        .otherwise(lit("")),
+      lit("\nSitemap: https://h"), col("hnum").cast("string"),
+      lit(".example.com/sitemap.xml"))
+    val dirRe = "^([A-Za-z-]+):\\s*(.*)$"
+    hosts.select(col("hnum"), txt.as("robots_txt"))
+      .select(col("hnum"), posexplode(split(col("robots_txt"), "\n")))
+      .withColumn("directive", regexp_extract(col("col"), dirRe, 1))
+      .withColumn("value", regexp_extract(col("col"), dirRe, 2))
+  }
+
+  /** The `Sitemap:` advertisements from the robots scan — (host,
+    * sitemap_url), the discovery pointer [[sitemapDiscovery]] follows.
+    */
+  def robotsSitemaps(spark: SparkSession, sfDir: String): DataFrame =
+    robotsLines(spark, sfDir)
+      .filter(col("directive") === "Sitemap")
+      .select(
+        concat(lit("h"), col("hnum").cast("string"), lit(".example.com"))
+          .as("host"),
+        col("value").as("sitemap_url"))
+
+  /** SOURCE DISCOVERY COMPOSED (oracled as q_sitemap_discovery): the
+    * crawl's discovery loop as one plan — robots.txt advertises the
+    * sitemap (`Sitemap:` field, RFC 9309 §2.3), the sitemap lists the
+    * URLs, and the same robots scan supplies the host's crawl-delay
+    * budget — so each output row is a SCHEDULABLE candidate: (host,
+    * sitemap_url, loc, lastmod_day, recency_rank, crawl_delay_ms),
+    * exactly the tuple the frontier's politeness scheduler consumes.
+    * Both joins are on `host` (bounded cardinality, broadcast-sized
+    * dims at any corpus scale: one row per host per side).
+    */
+  def sitemapDiscovery(spark: SparkSession, sfDir: String): DataFrame = {
+    val sm = robotsSitemaps(spark, sfDir)
+    val delays = robotsParse(spark, sfDir)
+      .filter(col("directive") === "Crawl-delay")
+      .select(col("host"), col("crawl_delay_ms"))
+    sitemapScan(spark, sfDir)
+      .join(broadcast(sm), Seq("host"))
+      .join(broadcast(delays), Seq("host"))
+      .select("host", "sitemap_url", "loc", "lastmod_day",
+        "recency_rank", "crawl_delay_ms")
   }
 
   /** Sitemap scan (the source-discovery half the robots story implies):
