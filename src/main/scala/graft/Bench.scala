@@ -250,16 +250,39 @@ object Bench {
     if (ok.exists(_.quiet)) ok.filter(_.quiet) else ok
   }
 
-  /** True when the arm's quiet minimum is confirmed by a SECOND quiet run
-    * within [[CorroborationTol]] of it.
+  /** Outlier-forgiveness band for the corroborated-minimum election: the
+    * elected (corroborated) time may sit at most this far above the arm's
+    * raw fastest quiet run. A LONE fast run within the band is the quiet
+    * distribution's tail (observed: a 16.81 s 4-core run 4.7% below an
+    * otherwise-tight {17.60, 17.76, 18.05} cluster — real, just not
+    * repeatable at ±3%) and must neither inflate the claim nor invalidate
+    * the record; a gap beyond the band means the arm's distribution is
+    * multi-modal — the bouncing-host regime (measured: a contended
+    * evening whose 1-core corroborated pair sat 19% above its fastest
+    * run) — and the record stays invalid.
     */
-  def corroborated(samples: Seq[ArmSample], cores: Int): Boolean = {
-    val pool = quietPool(samples, cores).filter(_.quiet)
-    pool.map(_.sec.get).sorted match {
-      case ms if ms.size >= 2 => ms(1) <= ms.head * (1 + CorroborationTol)
-      case _ => false
-    }
+  val OutlierBandTol = 0.10
+
+  /** The arm's ELECTED time: the fastest quiet run CORROBORATED by a
+    * second quiet run within [[CorroborationTol]], required to sit within
+    * [[OutlierBandTol]] of the raw fastest quiet run (see above). The
+    * ascending neighbor check is complete: if any earlier (faster) value
+    * were within tolerance of a later one, that earlier value's own
+    * neighbor gap would already have elected it.
+    */
+  def corroboratedMin(samples: Seq[ArmSample], cores: Int): Option[Double] = {
+    val ms = quietPool(samples, cores).filter(_.quiet)
+      .flatMap(_.sec).sorted
+    ms.sliding(2).collectFirst {
+      case Seq(a, b) if b <= a * (1 + CorroborationTol) => a
+    }.filter(v => v <= ms.head * (1 + OutlierBandTol))
   }
+
+  /** True when the arm elects a corroborated minimum (see
+    * [[corroboratedMin]]).
+    */
+  def corroborated(samples: Seq[ArmSample], cores: Int): Boolean =
+    corroboratedMin(samples, cores).isDefined
 
   /** Validity reasons for a scaling record — empty = valid. Pure so the
     * false-valid scenarios stay regression-tested (ScalingTelemetrySpec).
@@ -278,9 +301,11 @@ object Bench {
           else s"best $c-core sample under host noise (steal=" +
             s"${f2(s.stealFrac)}, offarm_busy=${f2(s.offBusyFrac)})")
         case Some(_) if !corroborated(samples, c) =>
-          reasons += s"uncorroborated $c-core minimum: no second quiet run " +
-            s"within ${(CorroborationTol * 100).toInt}% (quiet runs that " +
-            "disagree mean invisible contention — memory bandwidth, not cpu)"
+          reasons += s"uncorroborated $c-core minimum: no quiet run both " +
+            s"corroborated within ${(CorroborationTol * 100).toInt}% and " +
+            s"within ${(OutlierBandTol * 100).toInt}% of the arm's fastest " +
+            "(quiet runs that disagree mean invisible contention — " +
+            "memory bandwidth, not cpu)"
         case None if pinned =>
           reasons += s"no successful $c-core child sample"
         case _ => ()
@@ -437,7 +462,11 @@ object Bench {
       }
       if (round >= MinRounds) {
         val quietCovered = armCores.forall(c => corroborated(samples.toSeq, c))
-        val effSane = (quietMin(armCores.head), quietMin(armCores.last)) match {
+        // settle on the ELECTED (corroborated) times — the values the
+        // record will actually carry
+        def elected(c: Int): Option[Double] =
+          corroboratedMin(samples.toSeq, c).orElse(quietMin(c))
+        val effSane = (elected(armCores.head), elected(armCores.last)) match {
           case (Some(s), Some(l)) =>
             s / ((armCores.last.toDouble / armCores.head) * l) <= 1.0
           case _ => false
@@ -451,17 +480,21 @@ object Bench {
           "adjudicates from the samples collected")
       }
     }
-    // Per-arm choice prefers the best QUIET sample: /proc/stat noise only
-    // ever inflates a child's time, so comparing the two arms' quiet
-    // minima measures true capability under the SAME admission criterion.
-    // Noisy samples stay in the record (visibly "quiet": false) but only
-    // elect the arm time when an arm caught no quiet window at all — and
-    // that case marks the whole object invalid downstream.
+    // Per-arm election: the fastest CORROBORATED quiet run (within the
+    // outlier band of the raw fastest — corroboratedMin). The claim is
+    // the fastest REPEATABLE time: a lone fast outlier neither inflates
+    // the ratio nor invalidates an otherwise-tight arm; an arm with no
+    // corroborated time falls back to its raw quiet minimum and the
+    // record marks itself invalid downstream with the uncorroborated
+    // reason. Noisy samples stay in the record (visibly "quiet": false)
+    // but only elect when an arm caught no quiet window at all — also
+    // invalid downstream.
     val best = armCores.map { c =>
       val armRuns = samples.filter(s => s.cores == c && s.sec.isDefined)
       val pool = if (armRuns.exists(_.quiet)) armRuns.filter(_.quiet)
         else armRuns
-      if (pool.nonEmpty) Some(pool.map(_.sec.get).min) else None
+      corroboratedMin(samples.toSeq, c)
+        .orElse(if (pool.nonEmpty) Some(pool.map(_.sec.get).min) else None)
     }
     if (best.forall(_.isDefined)) (best.map(_.get), true, samples.toSeq)
     else (armCores.map(c => ScalingBench.arm(c, n)), false, samples.toSeq)

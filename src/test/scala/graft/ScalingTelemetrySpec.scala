@@ -110,6 +110,33 @@ class ScalingTelemetrySpec extends AnyFunSuite {
     assert(blindReasons.exists(_.contains("no noise evidence")))
   }
 
+  test("election: a lone fast outlier inside the band neither inflates " +
+      "the claim nor invalidates the record — the fastest CORROBORATED " +
+      "run is elected (observed probe seconds)") {
+    // Observed: an otherwise-tight 4-core pool whose raw minimum sat
+    // 4.7% below its nearest sibling — under raw-minimum election the
+    // whole record self-invalidated; the repeatable 17.597 is the claim
+    val observed = Seq(
+      smp(1, 61.152), smp(1, 58.277), smp(1, 58.775),
+      smp(4, 20.05), smp(4, 24.21), smp(4, 17.597), smp(4, 17.759),
+      smp(4, 16.814))
+    assert(Bench.corroboratedMin(observed, 1).contains(58.277))
+    assert(Bench.corroboratedMin(observed, 4).contains(17.597))
+    val eff = 58.277 / (4 * 17.597)
+    assert(Bench.adjudicationReasons(Seq(1, 4), eff, pinned = true,
+      samples = observed).isEmpty)
+    // ...but a corroborated pair BEYOND the outlier band (multi-modal
+    // arm: the bouncing-host regime) must not rescue the record
+    val bouncing = Seq(
+      smp(1, 66.214), smp(1, 78.924), smp(1, 80.479),
+      smp(4, 25.118), smp(4, 25.637))
+    assert(Bench.corroboratedMin(bouncing, 1).isEmpty,
+      "78.9 corroborates at 2% but sits 19% above the fastest run — " +
+        "outside the band")
+    assert(Bench.adjudicationReasons(Seq(1, 4), 0.66, pinned = true,
+      samples = bouncing).exists(_.contains("uncorroborated 1-core")))
+  }
+
   test("adjudication: steady asymmetric DRAM contention — minima that " +
       "corroborate at 7.6% but not at the measured ±3% — reads invalid") {
     // Observed (full bench on a contended evening, every sample 'quiet' by
