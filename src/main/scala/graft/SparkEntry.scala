@@ -113,6 +113,7 @@ object SparkEntry {
     "q_doc_hybrid_topk" -> ((s, d) => SearchOps.hybridRrfTopK(s, d)),
     "q_host_mirrors" -> ((s, d) => CrawlOps.mirrorHosts(s, d)),
     "q_host_mirror_clusters" -> ((s, d) => CrawlOps.mirrorClusters(s, d)),
+    "q_recrawl_changed" -> ((s, d) => CrawlOps.recrawlChanged(s, d)),
     // --- scan/projection surface (S4, S6, F1, O1, P5, P8, P9, P12, J4, §2.7) ---
     "q_json_payload" -> ((s, d) => ScanOps.jsonPayload(s, d)),
     "q_json_positional" -> ((s, d) => ScanOps.jsonPositional(s, d)),
@@ -3045,6 +3046,49 @@ object SparkEntry {
            |JOIN mids i ON i.hid = m.hid
            |JOIN mids c ON c.hid = m.cluster_id
            |JOIN mcsz z ON z.cluster_id = m.cluster_id""".stripMargin,
+      "q_recrawl_changed" ->
+        s"""WITH d AS (SELECT doc_id, text FROM documents),
+           |old AS (
+           |  SELECT 'https://h' || CAST(doc_id % 37 AS VARCHAR) ||
+           |           '.example.com/p/' || CAST(doc_id AS VARCHAR)
+           |           AS canonical_url,
+           |         ${h60("text")} AS old_fp
+           |  FROM d),
+           |ref AS (
+           |  SELECT 'https://h' || CAST(doc_id % 37 AS VARCHAR) ||
+           |           '.example.com/p/' || CAST(doc_id AS VARCHAR)
+           |           AS canonical_url,
+           |         ${h60("text || ' upd' || CAST(doc_id AS VARCHAR)")}
+           |           AS new_fp
+           |  FROM d WHERE doc_id % 3 = 0
+           |  UNION ALL
+           |  SELECT 'https://h' || CAST(doc_id % 37 AS VARCHAR) ||
+           |           '.example.com/p/' || CAST(doc_id AS VARCHAR),
+           |         ${h60("text")}
+           |  FROM d WHERE doc_id % 3 = 1
+           |  UNION ALL
+           |  SELECT 'https://h' || CAST((doc_id + 500000) % 37 AS VARCHAR) ||
+           |           '.example.com/p/' || CAST(doc_id + 500000 AS VARCHAR),
+           |         ${h60("'fresh ' || text")}
+           |  FROM d WHERE doc_id % 7 = 0),
+           |j AS (
+           |  SELECT COALESCE(old.canonical_url, ref.canonical_url)
+           |           AS canonical_url,
+           |         COALESCE(old_fp, -1) AS old_fp,
+           |         COALESCE(new_fp, -1) AS new_fp
+           |  FROM old FULL OUTER JOIN ref
+           |    ON old.canonical_url = ref.canonical_url)
+           |SELECT canonical_url, CAST(old_fp AS BIGINT) AS old_fp,
+           |       CAST(new_fp AS BIGINT) AS new_fp,
+           |       CASE WHEN old_fp = -1 THEN 'new'
+           |            WHEN new_fp = -1 THEN 'gone'
+           |            WHEN old_fp = new_fp THEN 'unchanged'
+           |            ELSE 'changed' END AS verdict,
+           |       (CASE WHEN old_fp = -1 THEN 'new'
+           |             WHEN new_fp = -1 THEN 'gone'
+           |             WHEN old_fp = new_fp THEN 'unchanged'
+           |             ELSE 'changed' END) IN ('changed', 'new') AS re_emit
+           |FROM j""".stripMargin,
       "q_emb_lsh_topk" ->
         s"""WITH planes AS (
            |  SELECT p, i,

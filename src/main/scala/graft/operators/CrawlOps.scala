@@ -655,6 +655,56 @@ object CrawlOps {
         est(col("mins")).as("est_distinct"))
   }
 
+  /** CONTENT-CHANGE REVISIT DETECTION (oracled as q_recrawl_changed):
+    * the verdict table a refresh pass computes after refetching —
+    * old-snapshot content fingerprints FULL-OUTER-joined with the
+    * refetch's, per URL: `changed` (both present, fingerprints differ —
+    * pay a full re-emit), `unchanged` (fingerprints equal — the
+    * conditional-GET economics: the refetch could have been a
+    * 304-validated HEAD; at 100 TB this verdict is most of the mass and
+    * the reason refresh crawling is affordable), `gone` (in the
+    * snapshot, absent from the refetch — retraction feed), `new`
+    * (discovered by the refetch). `Scheduler.recrawlDue` decides WHO to
+    * refetch; this decides WHAT the refetch changes. One uniform-key
+    * join on canonical_url; fingerprints are 60-bit, text never joins.
+    *
+    * Fixture: the refetch mutates every doc_id % 3 == 0 page (suffix
+    * derived from doc_id), keeps % 3 == 1 byte-identical, drops
+    * % 3 == 2 (gone), and mints a new page per % 7 == 0 doc — all four
+    * verdicts live, analytic for the oracle. Sentinel -1 marks an
+    * absent side's fingerprint (non-null columns, consumers split on
+    * `verdict`).
+    */
+  def recrawlChanged(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val url = (id: Column) => concat(lit("https://h"),
+      (id % 37).cast("string"), lit(".example.com/p/"), id.cast("string"))
+    val old = d.select(url(col("doc_id")).as("canonical_url"),
+      TrainingOps.hash60(col("text")).as("old_fp"))
+    val refetched = d.filter(col("doc_id") % 3 === 0)
+      .select(url(col("doc_id")).as("canonical_url"),
+        TrainingOps.hash60(concat(col("text"), lit(" upd"),
+          col("doc_id").cast("string"))).as("new_fp"))
+      .unionByName(d.filter(col("doc_id") % 3 === 1)
+        .select(url(col("doc_id")).as("canonical_url"),
+          TrainingOps.hash60(col("text")).as("new_fp")))
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select(url(col("doc_id") + 500000).as("canonical_url"),
+          TrainingOps.hash60(concat(lit("fresh "), col("text")))
+            .as("new_fp")))
+    old.join(refetched, Seq("canonical_url"), "full_outer")
+      .select(col("canonical_url"),
+        coalesce(col("old_fp"), lit(-1L)).as("old_fp"),
+        coalesce(col("new_fp"), lit(-1L)).as("new_fp"))
+      .withColumn("verdict",
+        when(col("old_fp") === -1L, "new")
+          .when(col("new_fp") === -1L, "gone")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed"))
+      .withColumn("re_emit", col("verdict").isin("changed", "new"))
+  }
+
   /** Hot-fingerprint guard for [[mirrorHosts]]: a content fingerprint on
     * more hosts than this is syndicated boilerplate (wire copy, legal
     * pages), not mirror evidence, and would quadratically fan the
