@@ -114,6 +114,8 @@ object SparkEntry {
     "q_host_mirrors" -> ((s, d) => CrawlOps.mirrorHosts(s, d)),
     "q_host_mirror_clusters" -> ((s, d) => CrawlOps.mirrorClusters(s, d)),
     "q_recrawl_changed" -> ((s, d) => CrawlOps.recrawlChanged(s, d)),
+    "q_frontier_fused_priority" ->
+      ((s, d) => CrawlOps.fusedFrontierPriority(s, d)),
     // --- scan/projection surface (S4, S6, F1, O1, P5, P8, P9, P12, J4, §2.7) ---
     "q_json_payload" -> ((s, d) => ScanOps.jsonPayload(s, d)),
     "q_json_positional" -> ((s, d) => ScanOps.jsonPositional(s, d)),
@@ -1435,6 +1437,45 @@ object SparkEntry {
            |         AS keep_permille_smoothed
            |FROM asm a JOIN documents d USING (doc_id)
            |GROUP BY 1""".stripMargin,
+      // the crawl <-> corpus loop: OPIC+recency priority x the source's
+      // measured corpus yield, re-ranked per host
+      "q_frontier_fused_priority" ->
+        s"""WITH ed AS (
+           |  SELECT DISTINCT event_id % 211 AS pnum, event_id % 631 AS cnum
+           |  FROM events),
+           |deg AS (SELECT pnum, CAST(COUNT(*) AS BIGINT) AS outdeg
+           |        FROM ed GROUP BY 1),
+           |cash AS (
+           |  SELECT e.cnum,
+           |         CAST(SUM(CAST(FLOOR(100000 / d.outdeg) AS BIGINT))
+           |           AS BIGINT) AS cash
+           |  FROM ed e JOIN deg d USING (pnum) GROUP BY 1),
+           |opic AS (
+           |  SELECT 'c' || CAST(cnum AS VARCHAR) AS child,
+           |         'h' || CAST(cnum % 13 AS VARCHAR) || '.example.com'
+           |           AS host,
+           |         'src' || CAST(cnum % 20 AS VARCHAR) AS source,
+           |         cash + CAST(GREATEST(0, 30 - (cnum % 30)) * 1000
+           |           AS BIGINT) AS priority
+           |  FROM cash),
+           |asm AS (
+           |$assembleSql),
+           |fb AS (
+           |  SELECT d.source,
+           |         CAST((SUM(CASE WHEN a.kept THEN 1 ELSE 0 END) + 1)
+           |              * 1000 // (COUNT(*) + 2) AS BIGINT) AS keep_pm
+           |  FROM asm a JOIN documents d USING (doc_id)
+           |  GROUP BY 1),
+           |f AS (
+           |  SELECT o.child, o.host, o.source, o.priority, fb.keep_pm,
+           |         CAST(o.priority * fb.keep_pm // 1000 AS BIGINT)
+           |           AS fused_priority
+           |  FROM opic o JOIN fb USING (source))
+           |SELECT child, host, source, priority, keep_pm, fused_priority,
+           |       CAST(ROW_NUMBER() OVER (PARTITION BY host
+           |            ORDER BY fused_priority DESC, child ASC) AS BIGINT)
+           |         AS host_rank
+           |FROM f""".stripMargin,
       "q_doc_mixture_sample" ->
         s"""SELECT doc_id, lang,
            |  ${h60("'sample:' || doc_id")} % 1000 AS bucket,

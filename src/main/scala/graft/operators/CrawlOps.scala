@@ -422,6 +422,37 @@ object CrawlOps {
         .cast("long"))
   }
 
+  /** FUSED FRONTIER PRIORITY (oracled as q_frontier_fused_priority) —
+    * the crawl ↔ corpus feedback loop CLOSED in one plan: the per-URL
+    * OPIC + recency priority ([[opicPriority]]) re-weighted by the
+    * publishing source's measured corpus yield
+    * ([[TrainingOps.sourceQualityFeedback]]'s smoothed keep-per-mille —
+    * what fraction of this source's past fetches survived the
+    * quality/repetition/decontamination/dedup gates), then re-ranked per
+    * host: fused = priority × keep_pm div 1000. A source whose pages
+    * never make the training corpus decays toward the bottom of every
+    * host queue — fetch budget flows to sources that YIELD, which is
+    * the economic point of running the corpus gates at all. The
+    * feedback table is sources-sized → broadcast; the bridge key is
+    * source = cnum % |sources| (the deployment shares real source ids).
+    */
+  def fusedFrontierPriority(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val opic = opicPriority(spark, sfDir)
+      .drop("host_rank")
+      .withColumn("source", concat(lit("src"),
+        (expr("CAST(substr(child, 2) AS BIGINT)") % 20).cast("string")))
+    val fb = TrainingOps.sourceQualityFeedback(spark, sfDir)
+      .select(col("source"), col("keep_permille_smoothed").as("keep_pm"))
+    opic.join(broadcast(fb), Seq("source"))
+      .withColumn("fused_priority", expr("priority * keep_pm div 1000"))
+      .withColumn("host_rank", row_number().over(
+        Window.partitionBy("host")
+          .orderBy(desc("fused_priority"), asc("child"))).cast("long"))
+      .select("child", "host", "source", "priority", "keep_pm",
+        "fused_priority", "host_rank")
+  }
+
   /** Iterative PageRank over the same synthetic link graph as
     * [[opicPriority]] (211 parents × 631 children, node ids shared so
     * multi-hop paths exist): K=3 exact-integer rounds
