@@ -138,6 +138,7 @@ object SparkEntry {
     "q_pair_assemble" -> ((s, _) => TrainingOps.assemblePairs(s)),
     "q_epoch_parse" -> ((s, d) => ScanOps.epochParse(s, d)),
     "q_html_clean" -> ((s, d) => ScanOps.htmlClean(s, d)),
+    "q_html_main_content" -> ((s, d) => ScanOps.htmlMainContent(s, d)),
     "q_section_assign" -> ((s, d) => ScanOps.sectionAssign(s, d)),
     // --- fixture-backed pipeline queries. graft.Verify dumps the SAME
     //     deterministic fixture tables (and the tick's canonical/host/path
@@ -1090,6 +1091,15 @@ object SparkEntry {
         |            '<[^>]+>', ' ', 'g'),
         |            '\s+', ' ', 'g')) AS clean_text
         |FROM h""".stripMargin,
+    // analytic: the article block provably outscores nav/footer (len ≥ 50
+    // vs link-dense ≈ 3), so the winner is known from the synthesis — the
+    // Spark side must EARN it by block split + density scoring
+    "q_html_main_content" ->
+      """SELECT doc_id, CAST(3 AS BIGINT) AS n_blocks,
+        |       text || ' rel' AS main_text,
+        |       CAST(length(text) + 4 AS BIGINT) AS main_len,
+        |       CAST(1 AS BIGINT) AS main_links
+        |FROM documents""".stripMargin,
     "q_section_assign" ->
       """WITH p AS (
         |  SELECT event_id,

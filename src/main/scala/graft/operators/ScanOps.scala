@@ -343,6 +343,62 @@ object ScanOps {
       .select("host", "loc", "lastmod", "lastmod_day", "recency_rank")
   }
 
+  /** MAIN-CONTENT EXTRACTION by link density (oracled as
+    * q_html_main_content) — the boilerpipe/trafilatura block heuristic
+    * (Kohlschütter et al., WSDM 2010, public method): split the page
+    * into blocks, score each by text length against link count, keep the
+    * densest. [[htmlClean]] strips tags; THIS decides which block IS the
+    * article — nav bars and footers are mostly anchors (low score), the
+    * article body is long text with few links. Integer score =
+    * text_len div (1 + n_links); earliest block wins ties.
+    *
+    * Entirely ROW-LOCAL (plan-gated zero exchanges): blocks come from
+    * one regexp_extract_all, scoring is an indexed `transform` into
+    * (score, −pos, …) structs and the argmax is `array_max`'s
+    * lexicographic struct order — no explode, no window, no shuffle; a
+    * 100 TB extraction pass runs at scan rate.
+    *
+    * Fixture: nav (3 + doc_id % 3 links), the article block wrapping the
+    * doc text plus ONE related-link anchor, and a two-link footer — the
+    * DuckDB oracle recomputes the winner ANALYTICALLY from the synthesis
+    * (main text = doc text ⊕ " rel", 3 blocks, 1 link), so a block
+    * split or scoring bug cannot hash-match.
+    */
+  def htmlMainContent(spark: SparkSession, sfDir: String): DataFrame = {
+    val navLinks = expr(
+      """concat_ws('', transform(sequence(1, 3 + CAST(doc_id % 3 AS INT)),
+        |  i -> concat('<a href="/s', i, '">Sec', i, '</a>')))""".stripMargin)
+    val html = concat(
+      lit("""<html><body><div class="nav">"""), navLinks,
+      lit("""</div><div class="main"><p>"""), col("text"),
+      lit("""</p> <a href="/rel">rel</a></div><div class="footer">"""),
+      lit("""<a href="/about">About</a> <a href="/terms">Terms</a>"""),
+      lit("""</div></body></html>"""))
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), html.as("html"))
+      .withColumn("blocks", regexp_extract_all(col("html"),
+        lit("<div[^>]*>(.*?)</div>"), lit(1)))
+      .withColumn("best", expr(DensestBlockExpr))
+      .select(col("doc_id"),
+        size(col("blocks")).cast("long").as("n_blocks"),
+        col("best.txt").as("main_text"),
+        length(col("best.txt")).cast("long").as("main_len"),
+        col("best.links").as("main_links"))
+  }
+
+  /** The density argmax over a `blocks` array column: (score, −pos, txt,
+    * links) structs through `array_max`'s lexicographic order — shared
+    * by [[htmlMainContent]] and its spec's hand cases.
+    */
+  val DensestBlockExpr: String =
+    """array_max(transform(blocks, (b, i) -> named_struct(
+      |  'score', CAST(length(trim(regexp_replace(b, '<[^>]*>', '')))
+      |             AS BIGINT)
+      |           div (1 + CAST(regexp_count(b, '<a ') AS BIGINT)),
+      |  'negpos', -i,
+      |  'txt', trim(regexp_replace(b, '<[^>]*>', '')),
+      |  'links', CAST(regexp_count(b, '<a ') AS BIGINT))))""".stripMargin
+
   /** WARC record scan (the archival format a web-scale fetcher writes and
     * every replay/reprocess job reads — ISO 28500): one fetched WARC slab
     * → one row per `response` record, headers parsed, payload length
