@@ -116,6 +116,7 @@ object SparkEntry {
     "q_recrawl_changed" -> ((s, d) => CrawlOps.recrawlChanged(s, d)),
     "q_frontier_fused_priority" ->
       ((s, d) => CrawlOps.fusedFrontierPriority(s, d)),
+    "q_url_article_score" -> ((s, d) => CrawlOps.urlArticleScore(s, d)),
     // --- scan/projection surface (S4, S6, F1, O1, P5, P8, P9, P12, J4, §2.7) ---
     "q_json_payload" -> ((s, d) => ScanOps.jsonPayload(s, d)),
     "q_json_positional" -> ((s, d) => ScanOps.jsonPositional(s, d)),
@@ -1091,6 +1092,40 @@ object SparkEntry {
         |            '<[^>]+>', ' ', 'g'),
         |            '\s+', ' ', 'g')) AS clean_text
         |FROM h""".stripMargin,
+    // analytic: each URL-shape class's score has a closed form in the id
+    "q_url_article_score" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |         CAST(event_id AS VARCHAR) AS ids,
+        |         length(CAST(event_id AS VARCHAR)) AS idl
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE event_id % 4
+        |    WHEN 0 THEN 'https://' || event_type ||
+        |      '.example.com/2024/03/' || ids || '-global-markets-rally'
+        |    WHEN 1 THEN 'https://' || event_type || '.example.com/business'
+        |    WHEN 2 THEN 'https://' || event_type ||
+        |      '.example.com/index?page=' || ids
+        |    ELSE 'https://' || event_type ||
+        |      '.example.com/tag/a/b/c/d/' || ids END AS url,
+        |  (event_id % 4 = 0) AS has_date,
+        |  (event_id % 4 = 2) AS has_query,
+        |  CAST(CASE event_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 1
+        |       WHEN 2 THEN 1 ELSE 6 END AS BIGINT) AS depth,
+        |  CAST(CASE event_id % 4 WHEN 0 THEN idl + 21 WHEN 1 THEN 8
+        |       WHEN 2 THEN 5 ELSE idl END AS BIGINT) AS slug_len,
+        |  CAST(CASE event_id % 4
+        |       WHEN 0 THEN 400 + LEAST((idl + 21) * 10, 300)
+        |       WHEN 1 THEN 80
+        |       WHEN 2 THEN 0
+        |       ELSE GREATEST(0, idl * 10 - 300) END AS BIGINT)
+        |    AS article_score_pm,
+        |  (CASE event_id % 4
+        |       WHEN 0 THEN 400 + LEAST((idl + 21) * 10, 300)
+        |       WHEN 1 THEN 80
+        |       WHEN 2 THEN 0
+        |       ELSE GREATEST(0, idl * 10 - 300) END >= 500) AS is_article
+        |FROM e""".stripMargin,
     // analytic: the article block provably outscores nav/footer (len ≥ 50
     // vs link-dense ≈ 3), so the winner is known from the synthesis — the
     // Spark side must EARN it by block split + density scoring

@@ -686,6 +686,60 @@ object CrawlOps {
         est(col("mins")).as("est_distinct"))
   }
 
+  /** URL ARTICLE-LIKELIHOOD SCORE (oracled as q_url_article_score) —
+    * the URL-shape prior a focused news crawler ranks candidates by
+    * BEFORE fetching anything (the reference hand-encodes this per site
+    * in its listing selectors; at frontier scale it is a scored
+    * predicate): date-in-path (+400 — /2024/03/ is the strongest
+    * article signal), slug length (+10/char capped at 300 — articles
+    * carry long hyphenated slugs), query strings (−200 — session/search
+    * pages), and path depth beyond 3 (−100/level — tag/archive trees).
+    * Score clamps to [0, 1000]; is_article at ≥ 500. Pure row-local
+    * regexp arithmetic — at 10^10 URLs this prior costs a scan and
+    * multiplies onto the OPIC/yield priority like any other per-mille
+    * weight.
+    *
+    * Fixture: four URL shapes from event_id % 4 — dated-slug article,
+    * shallow section page, query-string index, deep tag path — each
+    * class's score has a CLOSED FORM in the id, which is what the
+    * oracle computes (the Spark side must earn it by parsing).
+    */
+  def urlArticleScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val id = col("event_id").cast("string")
+    val url = when(col("event_id") % 4 === 0,
+        concat(lit("https://"), col("event_type"),
+          lit(".example.com/2024/03/"), id, lit("-global-markets-rally")))
+      .when(col("event_id") % 4 === 1,
+        concat(lit("https://"), col("event_type"), lit(".example.com/business")))
+      .when(col("event_id") % 4 === 2,
+        concat(lit("https://"), col("event_type"),
+          lit(".example.com/index?page="), id))
+      .otherwise(
+        concat(lit("https://"), col("event_type"),
+          lit(".example.com/tag/a/b/c/d/"), id))
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), url.as("url"))
+      .withColumn("path",
+        regexp_extract(col("url"), "https://[^/]+(/[^?]*)", 1))
+      .withColumn("has_date",
+        col("path").rlike("/20[0-9]{2}/[0-9]{2}/"))
+      .withColumn("has_query", col("url").contains("?"))
+      .withColumn("depth",
+        (length(col("path")) -
+          length(regexp_replace(col("path"), "/", ""))).cast("long"))
+      .withColumn("slug_len",
+        length(regexp_extract(col("path"), "/([^/]*)$", 1)).cast("long"))
+      .withColumn("article_score_pm",
+        greatest(lit(0L), least(lit(1000L),
+          when(col("has_date"), 400L).otherwise(0L) +
+            least(col("slug_len") * 10, lit(300L)) -
+            when(col("has_query"), 200L).otherwise(0L) -
+            greatest(col("depth") - 3, lit(0L)) * 100L)))
+      .withColumn("is_article", col("article_score_pm") >= 500)
+      .select("event_id", "url", "has_date", "has_query", "depth",
+        "slug_len", "article_score_pm", "is_article")
+  }
+
   /** CONTENT-CHANGE REVISIT DETECTION (oracled as q_recrawl_changed):
     * the verdict table a refresh pass computes after refetching —
     * old-snapshot content fingerprints FULL-OUTER-joined with the
