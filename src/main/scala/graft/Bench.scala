@@ -333,7 +333,8 @@ object Bench {
           Some(m.group(3).toDouble), d(m.group(4)), d(m.group(5)))
     }.toSeq
 
-  def runPinnedArms(armCores: Seq[Int], n: Long)
+  def runPinnedArms(armCores: Seq[Int], n: Long,
+      budgetSec: Double = ArmsBudgetSec)
       : (Seq[Double], Boolean, Seq[ArmSample]) = {
     import scala.jdk.CollectionConverters._
     val taskset = Seq("/usr/bin/taskset", "/bin/taskset")
@@ -440,7 +441,7 @@ object Bench {
       round += 1
       armCores.foreach { cores =>
         // round 1 always runs both arms; later spawns respect the budget
-        if (round == 1 || phaseElapsed < ArmsBudgetSec) {
+        if (round == 1 || phaseElapsed < budgetSec) {
           val armSet = ((nCpusTotal - cores) until nCpusTotal).toSet
           val before = readCpuJiffies()
           val (sec, out) = childArm(cores)
@@ -473,9 +474,9 @@ object Bench {
         }
         settled = quietCovered && effSane
       }
-      if (!settled && phaseElapsed >= ArmsBudgetSec) {
+      if (!settled && phaseElapsed >= budgetSec) {
         budgetHit = true
-        System.err.println(f"[bench] arms budget ($ArmsBudgetSec%.0fs) hit " +
+        System.err.println(f"[bench] arms budget ($budgetSec%.0fs) hit " +
           f"after round $round uncorroborated — stopping; the record " +
           "adjudicates from the samples collected")
       }
@@ -515,17 +516,31 @@ object Bench {
     *    polluted;
     *  - the arms fell back to unpinned in-process mode (no noise evidence).
     */
-  def scalingRecord(armCores: Seq[Int], scaleN: Long): String = {
+  def scalingRecord(armCores: Seq[Int], scaleN: Long,
+      budgetSec: Double = ArmsBudgetSec, note: Option[String] = None)
+      : String = {
     val coreRatio = armCores.last.toDouble / armCores.head
-    val (armSecs, pinned, armSamples) = runPinnedArms(armCores, scaleN)
+    val (armSecs, pinned, armSamples) =
+      runPinnedArms(armCores, scaleN, budgetSec)
     val scalingEff = armSecs(0) / (coreRatio * armSecs(1))
     val reasons = adjudicationReasons(armCores, scalingEff, pinned, armSamples)
     val scalingValid = reasons.isEmpty
     val invalidReasonJson =
       if (scalingValid) "null" else "\"" + reasons.mkString("; ") + "\""
     val samplesJson = armSamples.map(_.json).mkString("[", ",", "]")
-    s"""{"cores_small":${armCores(0)},"cores_large":${armCores(1)},"n":$scaleN,"pinned":$pinned,"sec_small":${f"${armSecs(0)}%.3f"},"sec_large":${f"${armSecs(1)}%.3f"},"urls_per_sec_small":${(scaleN / armSecs(0)).toLong},"urls_per_sec_large":${(scaleN / armSecs(1)).toLong},"efficiency":${f"$scalingEff%.3f"},"valid":$scalingValid,"invalid_reason":$invalidReasonJson,"noise_bounds":{"max_steal_frac":$MaxStealFrac,"max_offarm_busy_frac":$MaxOffarmBusyFrac},"samples":$samplesJson}"""
+    val noteJson = note.map(n => s""","note":"$n"""").getOrElse("")
+    s"""{"cores_small":${armCores(0)},"cores_large":${armCores(1)},"n":$scaleN,"pinned":$pinned,"sec_small":${f"${armSecs(0)}%.3f"},"sec_large":${f"${armSecs(1)}%.3f"},"urls_per_sec_small":${(scaleN / armSecs(0)).toLong},"urls_per_sec_large":${(scaleN / armSecs(1)).toLong},"efficiency":${f"$scalingEff%.3f"},"valid":$scalingValid,"invalid_reason":$invalidReasonJson,"noise_bounds":{"max_steal_frac":$MaxStealFrac,"max_offarm_busy_frac":$MaxOffarmBusyFrac}$noteJson,"samples":$samplesJson}"""
   }
+
+  /** Suite-phase inflation rule (r4 verdict #1): a first sample more than
+    * 2× its corroborating rerun was taken under contention the suite
+    * bracket cannot see (the r4 record's q_json_positional read 31.6 s
+    * against 1.9 s quiet — a 17× DRAM-tenancy artifact) — the row flags
+    * itself and the headline map quotes min(first, rerun). Pure so the
+    * rule stays regression-tested (ScalingTelemetrySpec).
+    */
+  def suiteSampleInflated(firstSec: Double, rerunSec: Double): Boolean =
+    rerunSec > 0 && firstSec > 2 * rerunSec
 
   def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -699,16 +714,60 @@ object Bench {
         .containmentExcerptShingles(spark, sfDir).count()
     }
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Per-sample GC attribution (r4 verdict "What's missing" #4): total
+    // collector time around each run, so an inflated sample is
+    // attributable to collection pressure vs external tenancy.
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+    }
+    case class QuerySample(sec: Double, gcMs: Long)
+    def runQuery(fn: (SparkSession, String) => DataFrame): QuerySample = {
+      val g0 = gcMs
       val (_, sec) = timed {
         try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       }
       spark.catalog.clearCache() // queries may persist intermediates
-      results(name) = sec
+      QuerySample(sec, gcMs - g0)
     }
-    results("frontier_tick") = frontierSec
-    results("traincache_build") = cacheSec
+    val firstPass = scala.collection.mutable.LinkedHashMap[String, QuerySample]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      firstPass(name) = runQuery(fn)
+    }
+    // SUITE self-adjudication (r4 verdict #1): the scaling arms carry
+    // per-run noise brackets + corroboration, but the suite recorded ONE
+    // uncorroborated sample per query — and the r4 driver record held a
+    // ~58 s contiguous DRAM-tenancy window (q_json_positional 31.6 s vs
+    // 1.9 s quiet) that external_busy_frac cannot see. Protocol: re-run
+    // the N slowest queries once, record {first, rerun, gc_ms} per query,
+    // flag first > 2× rerun as "inflated", and let the HEADLINE map quote
+    // the corroborated (min) number. A persistent co-tenant inflates both
+    // samples — then both read high and the row is honestly slow-labeled,
+    // which is still strictly more evidence than one sample.
+    val RerunCount = 10
+    val rerunNames = firstPass.toSeq.sortBy(-_._2.sec)
+      .take(RerunCount).map(_._1)
+    val rerunSamples = rerunNames
+      .map(n => n -> runQuery(SparkEntry.queries(n))).toMap
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    firstPass.foreach { case (name, s) =>
+      results(name) = rerunSamples.get(name)
+        .map(r => math.min(s.sec, r.sec)).getOrElse(s.sec)
+    }
+    val suiteRerunJson = rerunNames.map { name =>
+      val f = firstPass(name); val r = rerunSamples(name)
+      val inflated = suiteSampleInflated(f.sec, r.sec)
+      s""""$name":{"first":${f"${f.sec}%.3f"},"rerun":${f"${r.sec}%.3f"},""" +
+        s""""first_gc_ms":${f.gcMs},"rerun_gc_ms":${r.gcMs},""" +
+        s""""inflated":$inflated}"""
+    }.mkString("{", ",", "}")
+    // stages are NOT queries: the queries map is exactly the oracled
+    // surface (1:1 with CORRECTNESS — r4 verdict #2); one-time index
+    // builds and the frontier headline land here instead
+    val stageSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    stageSecs("traincache_build") = cacheSec
+    stageSecs("frontier_tick") = frontierSec
     val suiteNoise = benchNoise(noiseJiffies0, readCpuJiffies(), noiseOwn0,
       ownCpuNanos, (System.nanoTime() - noiseT0) / 1e9)
 
@@ -744,6 +803,18 @@ object Bench {
     // ...and the full stack with the exact top-R refine pass behind it
     val ivfPqRerankRecall =
       graft.operators.TrainingOps.ivfPqRerankRecallAtK(spark, sfDir)
+    // residual IVF-PQ (r4 verdict #3): same bytes/vec, codes quantize
+    // x − c(x) and the centroid share of the score is exact — the lift
+    // over ann_ivfpq_recall_at_10 is the residual formulation's value
+    val ivfPqResRecall =
+      graft.operators.TrainingOps.ivfPqResRecallAtK(spark, sfDir)
+    val ivfPqResRerankRecall =
+      graft.operators.TrainingOps.ivfPqResRerankRecallAtK(spark, sfDir)
+    // attribution control: plain (non-residual) ADC at the residual grid —
+    // separates what the finer M×K buys from what the residual
+    // decomposition + exact centroid share buys
+    val pqFineRecall =
+      graft.operators.TrainingOps.pqFineRecallAtK(spark, sfDir)
     // image-modality retrieval (12×5-bit banded Hamming top-k) vs exact,
     // across the Hamming-1 multi-probe dial (1/3/6 probes per band) — the
     // image sibling of the LSH curve; headline = the default exact dial
@@ -777,6 +848,23 @@ object Bench {
     // cluster-size claim needs both arms in the amortized regime.
     spark.stop()
     val scalingJson = scalingRecord(Seq(1, 4), frontierN)
+    // Second scaling object (r4 verdict #4): a 4→16-core arm under the
+    // SAME hardened protocol (per-run brackets, corroboration, outlier
+    // band), carrying the claim at the parallelism the driver actually
+    // runs (local[32]-class). This box's measured per-core ladder is flat
+    // 1→4 then DRAM/shuffle-bandwidth capped (BENCH.md §2: 8→32 read
+    // 0.42 in r1), so the expected honest outcome here is a VALID record
+    // with sub-0.8 efficiency whose cause is the disclosed single-box
+    // memory ceiling — evidence with dispersion data, not a prose
+    // footnote. Bounded budget: the 1→4 arm is the north-rule sample and
+    // keeps the full budget; this evidence arm's children are ~4× faster
+    // per run, so 600 s covers MinRounds comfortably on a quiet box.
+    val scaling416Json = scalingRecord(Seq(4, 16), frontierN,
+      budgetSec = math.min(600.0, ArmsBudgetSec),
+      note = Some("evidence arm at driver parallelism: per-core ladder " +
+        "flat 1-4 cores then shared-DRAM capped on this VM (BENCH.md " +
+        "s2) - a 4N-executor cluster brings 4x DRAM/NVMe this box does " +
+        "not, so sub-0.8 here measures the box ceiling, not the plan"))
 
     def jmap(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
@@ -788,7 +876,7 @@ object Bench {
       s"""{"probes":$p,"recall":${f"$r%.3f"},"candidates":$c}"""
     }.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","cpus":$cpus,"frontier_n":$frontierN,"frontier_scheduled_rows":$frontierRows,"frontier_urls_per_sec":$urlsPerSec,"frontier_runs_sec":[${f"$run1Sec%.3f"},${f"$run2Sec%.3f"}],"frontier_stages":${jmap(stages)},"ann_recall_at_10":${f"$annRecall%.3f"},"ann_ivf_recall_at_10":${f"$ivfRecall%.3f"},"ann_ivf_recall_clustered":${f"$ivfRecallC%.3f"},"ann_ivf_kmeans_recall_at_10":${f"$ivfKmRecall%.3f"},"ann_ivf_kmeans_recall_clustered":${f"$ivfKmRecallC%.3f"},"ann_pq_recall_at_10":${f"$pqRecall%.3f"},"ann_pq_rerank_recall_at_10":${f"$pqRerankRecall%.3f"},"ann_sq_recall_at_10":${f"$sqRecall%.3f"},"ann_mrl_recall_at_10":${f"$mrlRecall%.3f"},"ann_ivfpq_recall_at_10":${f"$ivfPqRecall%.3f"},"ann_ivfpq_rerank_recall_at_10":${f"$ivfPqRerankRecall%.3f"},"ann_image_recall_at_10":${f"$imgRecall%.3f"},"ann_recall_curve":$annCurveJson,"ann_image_recall_curve":$imgCurveJson,"bench_noise":${suiteNoise.json},"scaling":$scalingJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","cpus":$cpus,"frontier_n":$frontierN,"frontier_scheduled_rows":$frontierRows,"frontier_urls_per_sec":$urlsPerSec,"frontier_runs_sec":[${f"$run1Sec%.3f"},${f"$run2Sec%.3f"}],"frontier_stages":${jmap(stages)},"ann_recall_at_10":${f"$annRecall%.3f"},"ann_ivf_recall_at_10":${f"$ivfRecall%.3f"},"ann_ivf_recall_clustered":${f"$ivfRecallC%.3f"},"ann_ivf_kmeans_recall_at_10":${f"$ivfKmRecall%.3f"},"ann_ivf_kmeans_recall_clustered":${f"$ivfKmRecallC%.3f"},"ann_pq_recall_at_10":${f"$pqRecall%.3f"},"ann_pq_rerank_recall_at_10":${f"$pqRerankRecall%.3f"},"ann_sq_recall_at_10":${f"$sqRecall%.3f"},"ann_mrl_recall_at_10":${f"$mrlRecall%.3f"},"ann_ivfpq_recall_at_10":${f"$ivfPqRecall%.3f"},"ann_ivfpq_rerank_recall_at_10":${f"$ivfPqRerankRecall%.3f"},"ann_ivfpq_res_recall_at_10":${f"$ivfPqResRecall%.3f"},"ann_ivfpq_res_rerank_recall_at_10":${f"$ivfPqResRerankRecall%.3f"},"ann_pq_finegrid_recall_at_10":${f"$pqFineRecall%.3f"},"ann_image_recall_at_10":${f"$imgRecall%.3f"},"ann_recall_curve":$annCurveJson,"ann_image_recall_curve":$imgCurveJson,"bench_noise":${suiteNoise.json},"suite_rerun":$suiteRerunJson,"stage_sec":${jmap(stageSecs)},"scaling":$scalingJson,"scaling_4_16":$scaling416Json}"""
     // build.sbt sets outputStrategy := StdoutOutput, so this line reaches
     // the driver's stdout tail UNPREFIXED (sbt's "[info] " wrapper broke
     // the driver's parse in rounds 1-2); the file copy stays as the

@@ -104,6 +104,9 @@ object SparkEntry {
     "q_emb_pq_rerank_topk" -> ((s, d) => TrainingOps.pqRerankTopK(s, d)),
     "q_emb_ivfpq_topk" -> ((s, d) => TrainingOps.ivfPqTopK(s, d)),
     "q_emb_ivfpq_rerank_topk" -> ((s, d) => TrainingOps.ivfPqRerankTopK(s, d)),
+    "q_emb_ivfpq_res_topk" -> ((s, d) => TrainingOps.ivfPqResTopK(s, d)),
+    "q_emb_ivfpq_res_rerank_topk" ->
+      ((s, d) => TrainingOps.ivfPqResRerankTopK(s, d)),
     "q_emb_cosine_dups" -> ((s, d) => TrainingOps.cosineNearDups(s, d)),
     "q_emb_semdedup" -> ((s, d) => TrainingOps.semDedup(s, d)),
     "q_emb_sq_topk" -> ((s, d) => TrainingOps.sqTopK(s, d)),
@@ -289,11 +292,20 @@ object SparkEntry {
            |       CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS errors
            |FROM f GROUP BY source
            |ORDER BY total DESC, source ASC""".stripMargin,
+      // adversarial classes by event_id % 4 (fixed decorations → literal
+      // mirrors): stripped :443 port, uppercased %2F/%3A escapes (the
+      // normalized t= param sorts after lang=en), punycode xn--bcher-kva
+      // for the BÜCHER. IDN label
       "q_canonicalize_urls" ->
         """SELECT event_id,
-          |       'https://' || lower(event_type) || '.example.com/articles/a' || CAST(event_id AS VARCHAR)
-          |         || '?id=' || CAST(event_id AS VARCHAR) || '&lang=en' AS canonical_url,
-          |       lower(event_type) || '.example.com' AS host
+          |       'https://'
+          |         || CASE WHEN event_id % 4 = 2 THEN 'xn--bcher-kva.' ELSE '' END
+          |         || lower(event_type) || '.example.com/articles/a' || CAST(event_id AS VARCHAR)
+          |         || CASE WHEN event_id % 4 = 1 THEN '%2Fx' ELSE '' END
+          |         || '?id=' || CAST(event_id AS VARCHAR) || '&lang=en'
+          |         || CASE WHEN event_id % 4 = 1 THEN '&t=%3Adoc' ELSE '' END AS canonical_url,
+          |       CASE WHEN event_id % 4 = 2 THEN 'xn--bcher-kva.' ELSE '' END
+          |         || lower(event_type) || '.example.com' AS host
           |FROM events""".stripMargin,
       "q_politeness_epochs" ->
         s"""WITH f AS ($frontierCte),
@@ -2782,6 +2794,164 @@ object SparkEntry {
            |              ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
            |  FROM ex)
            |SELECT query_id, neighbor_id, dot, rank FROM r WHERE rank <= 10""".stripMargin,
+      // RESIDUAL IVF-PQ: the q_emb_ivfpq_topk chain with a `resid` CTE
+      // inserted — codes quantize r = x − c(x) on the finer residual grid
+      // (M=8 subspaces of 8 dims × K=61 stride-8 codewords), the codebook
+      // is the stride sample's residuals, and the score adds the EXACT
+      // per-probe centroid dot: adc = cdot + Σ lut. MAX(cdot) is exact in
+      // the group: each vector lives in exactly one list, so cdot is
+      // constant over the 8 (m, k) rows being summed.
+      "q_emb_ivfpq_res_topk" ->
+        s"""WITH e AS (SELECT vec_id, $quant AS q FROM embeddings),
+           |corpus AS (SELECT vec_id, q FROM e WHERE vec_id >= 8),
+           |cents AS (
+           |  SELECT vec_id AS centroid_id, q AS cv
+           |  FROM corpus WHERE vec_id % 31 = 0),
+           |assigned AS (
+           |  SELECT vec_id, centroid_id FROM (
+           |    SELECT c.vec_id, ct.centroid_id,
+           |           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+           |             list_sum(list_transform(range(1, len(c.q) + 1),
+           |               i -> (c.q[i] - ct.cv[i]) * (c.q[i] - ct.cv[i]))) ASC,
+           |             ct.centroid_id ASC) AS rn
+           |    FROM corpus c, cents ct) WHERE rn = 1),
+           |resid AS (
+           |  SELECT a.vec_id, a.centroid_id,
+           |         list_transform(range(1, len(c.q) + 1),
+           |           i -> c.q[i] - ct.cv[i]) AS r
+           |  FROM assigned a
+           |  JOIN corpus c ON c.vec_id = a.vec_id
+           |  JOIN cents ct ON ct.centroid_id = a.centroid_id),
+           |cb AS (
+           |  SELECT m, (vec_id // 8 - 1) AS k,
+           |         list_slice(r, m * 8 + 1, m * 8 + 8) AS cw
+           |  FROM resid, generate_series(0, 7) AS g(m)
+           |  WHERE vec_id % 8 = 0 AND vec_id <= 488),
+           |enc AS (
+           |  SELECT vec_id, m, k FROM (
+           |    SELECT rs.vec_id, cb.m, cb.k,
+           |           ROW_NUMBER() OVER (PARTITION BY rs.vec_id, cb.m ORDER BY
+           |             list_sum(list_transform(range(1, 9),
+           |               i -> (rs.r[cb.m * 8 + i] - cb.cw[i])
+           |                  * (rs.r[cb.m * 8 + i] - cb.cw[i]))) ASC,
+           |             cb.k ASC) AS rn
+           |    FROM resid rs, cb) WHERE rn = 1),
+           |qs AS (SELECT vec_id AS query_id, q AS qv FROM e WHERE vec_id < 8),
+           |lut AS (
+           |  SELECT qs.query_id, cb.m, cb.k,
+           |         CAST(list_sum(list_transform(range(1, 9),
+           |           i -> qs.qv[cb.m * 8 + i] * cb.cw[i])) AS BIGINT) AS lv
+           |  FROM qs, cb),
+           |probes AS (
+           |  SELECT query_id, centroid_id, cdot FROM (
+           |    SELECT q.query_id, ct.centroid_id,
+           |           CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+           |             i -> q.qv[i] * ct.cv[i])) AS BIGINT) AS cdot,
+           |           COUNT(*) OVER (PARTITION BY q.query_id) AS nlist,
+           |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+           |             list_sum(list_transform(range(1, len(q.qv) + 1),
+           |               i -> (q.qv[i] - ct.cv[i]) * (q.qv[i] - ct.cv[i]))) ASC,
+           |             ct.centroid_id ASC) AS rn
+           |    FROM qs q, cents ct)
+           |  WHERE rn <= GREATEST(4, CAST(FLOOR(nlist / 8.0) AS BIGINT))),
+           |s AS (
+           |  SELECT p.query_id, a.vec_id AS neighbor_id,
+           |         CAST(MAX(p.cdot) + SUM(l.lv) AS BIGINT) AS adc
+           |  FROM probes p
+           |  JOIN assigned a USING (centroid_id)
+           |  JOIN enc ON enc.vec_id = a.vec_id
+           |  JOIN lut l ON l.query_id = p.query_id
+           |            AND l.m = enc.m AND l.k = enc.k
+           |  GROUP BY 1, 2),
+           |r AS (
+           |  SELECT query_id, neighbor_id, adc,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |              ORDER BY adc DESC, neighbor_id ASC) AS BIGINT) AS rank
+           |  FROM s)
+           |SELECT query_id, neighbor_id, adc, rank FROM r WHERE rank <= 10""".stripMargin,
+      // residual stack + exact refine: the q_emb_ivfpq_res_topk chain
+      // through the residual-ADC scores, then the shared rerank tail
+      "q_emb_ivfpq_res_rerank_topk" ->
+        s"""WITH e AS (SELECT vec_id, $quant AS q FROM embeddings),
+           |corpus AS (SELECT vec_id, q FROM e WHERE vec_id >= 8),
+           |cents AS (
+           |  SELECT vec_id AS centroid_id, q AS cv
+           |  FROM corpus WHERE vec_id % 31 = 0),
+           |assigned AS (
+           |  SELECT vec_id, centroid_id FROM (
+           |    SELECT c.vec_id, ct.centroid_id,
+           |           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+           |             list_sum(list_transform(range(1, len(c.q) + 1),
+           |               i -> (c.q[i] - ct.cv[i]) * (c.q[i] - ct.cv[i]))) ASC,
+           |             ct.centroid_id ASC) AS rn
+           |    FROM corpus c, cents ct) WHERE rn = 1),
+           |resid AS (
+           |  SELECT a.vec_id, a.centroid_id,
+           |         list_transform(range(1, len(c.q) + 1),
+           |           i -> c.q[i] - ct.cv[i]) AS r
+           |  FROM assigned a
+           |  JOIN corpus c ON c.vec_id = a.vec_id
+           |  JOIN cents ct ON ct.centroid_id = a.centroid_id),
+           |cb AS (
+           |  SELECT m, (vec_id // 8 - 1) AS k,
+           |         list_slice(r, m * 8 + 1, m * 8 + 8) AS cw
+           |  FROM resid, generate_series(0, 7) AS g(m)
+           |  WHERE vec_id % 8 = 0 AND vec_id <= 488),
+           |enc AS (
+           |  SELECT vec_id, m, k FROM (
+           |    SELECT rs.vec_id, cb.m, cb.k,
+           |           ROW_NUMBER() OVER (PARTITION BY rs.vec_id, cb.m ORDER BY
+           |             list_sum(list_transform(range(1, 9),
+           |               i -> (rs.r[cb.m * 8 + i] - cb.cw[i])
+           |                  * (rs.r[cb.m * 8 + i] - cb.cw[i]))) ASC,
+           |             cb.k ASC) AS rn
+           |    FROM resid rs, cb) WHERE rn = 1),
+           |qs AS (SELECT vec_id AS query_id, q AS qv FROM e WHERE vec_id < 8),
+           |lut AS (
+           |  SELECT qs.query_id, cb.m, cb.k,
+           |         CAST(list_sum(list_transform(range(1, 9),
+           |           i -> qs.qv[cb.m * 8 + i] * cb.cw[i])) AS BIGINT) AS lv
+           |  FROM qs, cb),
+           |probes AS (
+           |  SELECT query_id, centroid_id, cdot FROM (
+           |    SELECT q.query_id, ct.centroid_id,
+           |           CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+           |             i -> q.qv[i] * ct.cv[i])) AS BIGINT) AS cdot,
+           |           COUNT(*) OVER (PARTITION BY q.query_id) AS nlist,
+           |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+           |             list_sum(list_transform(range(1, len(q.qv) + 1),
+           |               i -> (q.qv[i] - ct.cv[i]) * (q.qv[i] - ct.cv[i]))) ASC,
+           |             ct.centroid_id ASC) AS rn
+           |    FROM qs q, cents ct)
+           |  WHERE rn <= GREATEST(4, CAST(FLOOR(nlist / 8.0) AS BIGINT))),
+           |s AS (
+           |  SELECT p.query_id, a.vec_id AS neighbor_id,
+           |         CAST(MAX(p.cdot) + SUM(l.lv) AS BIGINT) AS adc
+           |  FROM probes p
+           |  JOIN assigned a USING (centroid_id)
+           |  JOIN enc ON enc.vec_id = a.vec_id
+           |  JOIN lut l ON l.query_id = p.query_id
+           |            AND l.m = enc.m AND l.k = enc.k
+           |  GROUP BY 1, 2),
+           |short AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |           ROW_NUMBER() OVER (PARTITION BY query_id
+           |                ORDER BY adc DESC, neighbor_id ASC) AS rn
+           |    FROM s) WHERE rn <= 50),
+           |ex AS (
+           |  SELECT sh.query_id, sh.neighbor_id,
+           |         CAST(list_sum(list_transform(range(1, 65),
+           |           i -> q2.qv[i] * c.q[i])) AS BIGINT) AS dot
+           |  FROM short sh
+           |  JOIN corpus c ON c.vec_id = sh.neighbor_id
+           |  JOIN qs q2 ON q2.query_id = sh.query_id),
+           |r AS (
+           |  SELECT query_id, neighbor_id, dot,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |              ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+           |  FROM ex)
+           |SELECT query_id, neighbor_id, dot, rank FROM r WHERE rank <= 10""".stripMargin,
       "q_emb_lsh_buckets" ->
         s"""WITH planes AS (
            |  SELECT p, i,
@@ -3153,8 +3323,8 @@ object SparkEntry {
            |         ${h60("text")}
            |  FROM d WHERE doc_id % 3 = 1
            |  UNION ALL
-           |  SELECT 'https://h' || CAST((doc_id + 500000) % 37 AS VARCHAR) ||
-           |           '.example.com/p/' || CAST(doc_id + 500000 AS VARCHAR),
+           |  SELECT 'https://h' || CAST((doc_id + 5000000) % 37 AS VARCHAR) ||
+           |           '.example.com/p/' || CAST(doc_id + 5000000 AS VARCHAR),
            |         ${h60("'fresh ' || text")}
            |  FROM d WHERE doc_id % 7 = 0),
            |j AS (

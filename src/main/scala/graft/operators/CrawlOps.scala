@@ -240,16 +240,32 @@ object CrawlOps {
       .orderBy(desc("total"), asc("source"))
 
   /** P2+north-rule — canonicalize dirty URLs. The dirty form is built
-    * deterministically (uppercase host, utm noise, fragment, unsorted query)
-    * so the DuckDB oracle can construct the expected canonical form
+    * deterministically (uppercase host, utm noise, fragment, unsorted
+    * query) so the DuckDB oracle can construct the expected canonical form
     * directly. Exercises the custom Catalyst expression end-to-end.
+    *
+    * Adversarial classes by event_id % 4 (r4 verdict #7 — each is a FIXED
+    * decoration, so the oracle mirrors it as a literal):
+    *   0: explicit default port `:443` — must strip;
+    *   1: lowercase percent escapes in path (`%2f`) and query (`%3a`) —
+    *      must uppercase (RFC 3986 §6.2.2.1), and the normalized query
+    *      param must sort by its NORMALIZED spelling;
+    *   2: IDN host label `BÜCHER.` — must map to its punycode ACE form
+    *      `xn--bcher-kva.` (RFC 3490);
+    *   3: the r1 base class unchanged.
     */
   def canonicalizeUrls(spark: SparkSession, sfDir: String): DataFrame = {
     val f = spark.read.parquet(s"$sfDir/events.parquet")
+    val cls = pmod(col("event_id"), lit(4L))
     val dirty = concat(
-      lit("HTTPS://"), upper(col("event_type")), lit(".Example.COM/articles/a"),
-      col("event_id").cast("string"),
+      lit("HTTPS://"),
+      when(cls === 2, lit("BÜCHER.")).otherwise(lit("")),
+      upper(col("event_type")), lit(".Example.COM"),
+      when(cls === 0, lit(":443")).otherwise(lit("")),
+      lit("/articles/a"), col("event_id").cast("string"),
+      when(cls === 1, lit("%2fx")).otherwise(lit("")),
       lit("?utm_source=feed&lang=en&id="), col("event_id").cast("string"),
+      when(cls === 1, lit("&t=%3adoc")).otherwise(lit("")),
       lit("&utm_medium=rss#section"))
     f.select(
       col("event_id"),
@@ -760,6 +776,15 @@ object CrawlOps {
     * absent side's fingerprint (non-null columns, consumers split on
     * `verdict`).
     */
+  /** Minting offset for the refetch fixture's `new` URLs — a dedicated
+    * constant well clear of any fixture doc_id range (same discipline as
+    * the indel-twin offsets): at the old `doc_id + 500000` a corpus
+    * reaching 500k docs would collide a minted URL with a real page's,
+    * duplicating canonical_url rows on the refetch side and fanning out
+    * the full-outer join (r4 ADVICE #3).
+    */
+  val RecrawlNewOffset = 5000000L
+
   def recrawlChanged(spark: SparkSession, sfDir: String): DataFrame = {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -775,7 +800,7 @@ object CrawlOps {
         .select(url(col("doc_id")).as("canonical_url"),
           TrainingOps.hash60(col("text")).as("new_fp")))
       .unionByName(d.filter(col("doc_id") % 7 === 0)
-        .select(url(col("doc_id") + 500000).as("canonical_url"),
+        .select(url(col("doc_id") + RecrawlNewOffset).as("canonical_url"),
           TrainingOps.hash60(concat(lit("fresh "), col("text")))
             .as("new_fp")))
     old.join(refetched, Seq("canonical_url"), "full_outer")

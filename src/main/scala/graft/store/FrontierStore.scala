@@ -93,9 +93,12 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
     val segs = m.segmentCounts.toSeq.sortBy(_._1)
       .map { case (s, c) => s""""$s": $c""" }.mkString("{", ", ", "}")
     def optStr(o: Option[String]) = o.map(p => "\"" + p + "\"").getOrElse("null")
+    // FileStat fields carry USER DATA (source values land in the bounds):
+    // escape them, or one '"' in a source name corrupts the manifest and
+    // breaks every later parse on the chain (r4 ADVICE #2)
     val fstats = m.fileStats
-      .map(f => s"""{"path": "${f.path}", "min_source": "${f.minSource}", """ +
-        s""""max_source": "${f.maxSource}", "rows": ${f.rows}}""")
+      .map(f => s"""{"path": "${esc(f.path)}", "min_source": "${esc(f.minSource)}", """ +
+        s""""max_source": "${esc(f.maxSource)}", "rows": ${f.rows}}""")
       .mkString("[", ", ", "]")
     s"""{
        |  "snapshot_id": ${m.snapshotId},
@@ -113,6 +116,33 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
        |  "file_stats": $fstats,
        |  "metrics": {"new_articles": ${m.newArticles}, "skipped": ${m.skipped}, "errors": ${m.errors}}
        |}""".stripMargin
+  }
+
+  /** JSON string-escape for manifest fields holding user data. */
+  private def esc(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case c => c.toString
+    }
+
+  /** Inverse of [[esc]] — single left-to-right pass so `\\"` decodes to
+    * `\"` (a backslash then a quote), never to a bare quote.
+    */
+  private def unesc(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) {
+        b.append(s(i + 1) match {
+          case 'n' => '\n'
+          case c => c
+        })
+        i += 2
+      } else { b.append(s(i)); i += 1 }
+    }
+    b.toString
   }
 
   private def parse(json: String): Manifest = {
@@ -133,15 +163,21 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
       s""""$key"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(json)
         .map(_.group(1).toLong).getOrElse(0L)
     val bloomItems = numOpt("bloom_items_per_segment")
-    // optional (absent in pre-stats manifests): per-file column bounds
-    val fsBlock = """"file_stats"\s*:\s*\[(.*?)\]""".r
+    // optional (absent in pre-stats manifests): per-file column bounds.
+    // The array is rendered on one line; GREEDY `.*` (no DOTALL) reaches
+    // that line's last ']' — the array close — so a ']' inside an escaped
+    // source string cannot truncate the block. Field values match escaped
+    // strings ((?:[^"\\]|\\.)*) and are unescaped — see [[esc]].
+    val fsBlock = """"file_stats"\s*:\s*\[(.*)\]""".r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val qs = """((?:[^"\\]|\\.)*)""" // an escaped JSON string body
     val fileStats =
-      ("""\{"path":\s*"([^"]*)",\s*"min_source":\s*"([^"]*)",\s*""" +
-        """"max_source":\s*"([^"]*)",\s*"rows":\s*(\d+)\}""").r
+      (s"""\\{"path":\\s*"$qs",\\s*"min_source":\\s*"$qs",\\s*""" +
+        s""""max_source":\\s*"$qs",\\s*"rows":\\s*(\\d+)\\}""").r
         .findAllMatchIn(fsBlock)
         .map(m => FrontierStore.FileStat(
-          m.group(1), m.group(2), m.group(3), m.group(4).toLong))
+          unesc(m.group(1)), unesc(m.group(2)), unesc(m.group(3)),
+          m.group(4).toLong))
         .toSeq
     Manifest(
       snapshotId = num("snapshot_id").toInt,
@@ -376,18 +412,31 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
         try {
           val blocks = reader.getFooter.getBlocks.asScala
           val rows = blocks.map(_.getRowCount).sum
-          val colStats = blocks.flatMap(_.getColumns.asScala)
+          val chunkStats = blocks.flatMap(_.getColumns.asScala)
             .filter(_.getPath.toDotString == "source")
             .map(_.getStatistics)
-            .filter(s => s != null && s.hasNonNullValue)
-          val mins = colStats.map(_.genericGetMin
+          // Bounds are recorded ONLY when every source chunk carries
+          // usable statistics (present, non-empty, and either holding
+          // values or provably all-null). A chunk whose stats were
+          // dropped (disabled, or oversized binary values truncated by
+          // parquet-mr) could hold out-of-range values — computing
+          // bounds from the remaining chunks would be too narrow and
+          // prune a file that CONTAINS matching rows (r4 ADVICE #1).
+          // Unknown is the ""/"" sentinel, which the read side KEEPS.
+          val trustworthy = chunkStats.nonEmpty && chunkStats.forall(s =>
+            s != null && !s.isEmpty &&
+              (s.hasNonNullValue ||
+                (s.isNumNullsSet && s.getNumNulls >= 0)))
+          val withVals = chunkStats.filter(s =>
+            s != null && !s.isEmpty && s.hasNonNullValue)
+          val mins = withVals.map(_.genericGetMin
             .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
-          val maxs = colStats.map(_.genericGetMax
+          val maxs = withVals.map(_.genericGetMax
             .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
           FrontierStore.FileStat(
             root.relativize(p).toString.replace('\\', '/'),
-            if (mins.isEmpty) "" else mins.min,
-            if (maxs.isEmpty) "" else maxs.max,
+            if (!trustworthy || mins.isEmpty) "" else mins.min,
+            if (!trustworthy || maxs.isEmpty) "" else maxs.max,
             rows)
         } finally reader.close()
       }.toSeq.sortBy(_.path)
@@ -417,7 +466,7 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
         if (m.fileStats.isEmpty) Some(spark.read.parquet(dir))
         else {
           val kept = m.fileStats
-            .filter(s => s.minSource <= source && source <= s.maxSource)
+            .filter(_.mayContain(source))
             .map(s => root.resolve(s.path).toString)
           if (kept.isEmpty) None
           else Some(spark.read.option("basePath", dir).parquet(kept: _*))
@@ -449,7 +498,7 @@ final class FrontierStore(rootDir: String, val nSegments: Int = 16,
       ms.filter(_.fileStats.isEmpty)
         .map(m => parquetFileCount(m.articlesPath.get)).sum
     val kept = withStats.map(_.fileStats
-      .count(s => s.minSource <= source && source <= s.maxSource).toLong)
+      .count(_.mayContain(source)).toLong)
       .sum +
       ms.filter(_.fileStats.isEmpty)
         .map(m => parquetFileCount(m.articlesPath.get)).sum
@@ -1013,5 +1062,17 @@ object FrontierStore {
     * files without touching them).
     */
   final case class FileStat(path: String, minSource: String,
-      maxSource: String, rows: Long)
+      maxSource: String, rows: Long) {
+    /** Planning-time containment check for the pruning read path. The
+      * ""/"" sentinel means the footer had NO trustworthy source
+      * statistics (disabled, truncated oversized binaries, or a
+      * stats-less chunk mixed with real rows) — UNKNOWN bounds keep the
+      * file: stats may only prune what they can PROVE absent, so
+      * correctness never depends on their presence (r4 ADVICE #1; the
+      * old `"" <= s && s <= ""` form silently skipped such files).
+      */
+    def mayContain(source: String): Boolean =
+      (minSource.isEmpty && maxSource.isEmpty) ||
+        (minSource <= source && source <= maxSource)
+  }
 }

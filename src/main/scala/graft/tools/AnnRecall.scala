@@ -37,6 +37,12 @@ object AnnRecall {
     println(f"pq-adc+rerank recall@10=$pqR%.3f (exact re-rank of ADC top-${TrainingOps.PqRerankR})")
     val ivfPq = TrainingOps.ivfPqRecallAtK(spark, sfDir)
     println(f"ivf-pq recall@10=$ivfPq%.3f (probed lists scored as codes, uniform corpus)")
+    val pqFine = TrainingOps.pqFineRecallAtK(spark, sfDir)
+    println(f"pq-adc-FINEGRID recall@10=$pqFine%.3f (plain codes at the residual M=8 K=61 grid — attribution control)")
+    val ivfPqRes = TrainingOps.ivfPqResRecallAtK(spark, sfDir)
+    println(f"ivf-pq-RES recall@10=$ivfPqRes%.3f (residual codes + exact centroid dot)")
+    val ivfPqResR = TrainingOps.ivfPqResRerankRecallAtK(spark, sfDir)
+    println(f"ivf-pq-RES+rerank recall@10=$ivfPqResR%.3f")
     val ivfPqR = TrainingOps.ivfPqRerankRecallAtK(spark, sfDir)
     println(f"ivf-pq+rerank recall@10=$ivfPqR%.3f (full stack: coarse prune + codes + exact top-${TrainingOps.PqRerankR} refine)")
     spark.stop()

@@ -65,4 +65,18 @@ class ContainmentSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"),
       "containment pair seeding must never cross-join")
   }
+
+  test("plan gate: the intersection stage probes a SEMI-JOIN-PRUNED " +
+      "shingle frame (r4 verdict #5) — broadcast left-semi against the " +
+      "pair-participant ids, scan-side (no shuffle of sh for the prune)") {
+    val plan = castToImpl(pairs).queryExecution.executedPlan.toString
+    val semiLines = plan.linesIterator.filter(_.contains("LeftSemi")).toSeq
+    assert(semiLines.nonEmpty,
+      "participant prune (left-semi) missing from the containment plan:\n" +
+        plan.take(4000))
+    // the prune must be broadcast (a shuffled semi-join would cost the
+    // very exchange it exists to avoid)
+    assert(semiLines.exists(_.contains("BroadcastHashJoin")),
+      "participant semi-join is not broadcast:\n" + semiLines.mkString("\n"))
+  }
 }

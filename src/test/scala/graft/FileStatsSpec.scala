@@ -78,6 +78,61 @@ class FileStatsSpec extends SparkTestBase {
     assert(store.articlesForSource(spark, "mike").count() == 0L)
   }
 
+  test("MISSING footer stats mean UNKNOWN, not absent: a file whose " +
+      "recorded bounds are the \"\"/\"\" sentinel is KEPT and its rows " +
+      "still read (r4 ADVICE #1 — the old range check silently skipped it)") {
+    val store = freshStore("target/test-store-fstats5")
+    val m = store.commit(spark, emit("alpha", 0, 40), stat("alpha", 40L), 0L)
+    // simulate a footer with no usable source statistics (stats disabled,
+    // oversized binary values dropped by parquet-mr, a stats-less chunk
+    // mixed with real rows): blank the recorded bounds in the manifest —
+    // the exact on-disk state collectFileStats records for that case
+    val mp = java.nio.file.Paths.get(
+      "target/test-store-fstats5", "snapshots",
+      f"snap-${m.snapshotId}%05d.json")
+    val blanked = java.nio.file.Files.readString(mp)
+      .replace("\"min_source\": \"alpha\"", "\"min_source\": \"\"")
+      .replace("\"max_source\": \"alpha\"", "\"max_source\": \"\"")
+    java.nio.file.Files.writeString(mp, blanked)
+    val reread = store.manifest(m.snapshotId)
+    assert(reread.fileStats.forall(s =>
+      s.minSource.isEmpty && s.maxSource.isEmpty))
+    // unknown bounds keep every file: zero pruning, zero lost rows
+    val (kept, total) = store.articleFilePruning("alpha")
+    assert(kept == total, s"unknown bounds must keep all files ($kept/$total)")
+    assert(store.articlesForSource(spark, "alpha").count() == 40L,
+      "rows were lost to pruning on a stats-less file")
+    // and an absent source still reads empty THROUGH the kept files
+    // (predicate applies; stats only ever prune)
+    assert(store.articlesForSource(spark, "mike").count() == 0L)
+  }
+
+  test("manifest JSON escapes user data in FileStat fields: a source " +
+      "value with quotes, backslashes and brackets round-trips and the " +
+      "chain stays parseable (r4 ADVICE #2)") {
+    val store = freshStore("target/test-store-fstats6")
+    val hostile = """al"p\h]a"""
+    val m = store.commit(spark,
+      spark.range(0, 25)
+        .select(concat(lit("https://x.example.com/a/"),
+          col("id").cast("string")).as("canonical_url"))
+        .withColumn("source", lit(hostile))
+        .withColumn("language", lit("und")),
+      stat(hostile, 25L), 0L)
+    assert(m.fileStats.nonEmpty)
+    assert(m.fileStats.forall(s =>
+      s.minSource == hostile && s.maxSource == hostile))
+    // reread from disk through the escaped-string parser
+    val reread = store.manifest(m.snapshotId)
+    assert(reread.fileStats == m.fileStats,
+      "escaped FileStat fields did not round-trip")
+    // a later commit still parses the whole chain and prunes correctly
+    store.commit(spark, emit("zulu", 100, 120), stat("zulu", 20L), 1L)
+    assert(store.articlesForSource(spark, hostile).count() == 25L)
+    val (kept, total) = store.articleFilePruning(hostile)
+    assert(kept < total, "the zulu tick's files should prune away")
+  }
+
   test("post-compaction: the baseline carries stats, equality holds, and " +
       "per-dt full-range files yield to row-group pruning (all kept)") {
     val store = freshStore("target/test-store-fstats4")

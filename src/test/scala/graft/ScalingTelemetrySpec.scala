@@ -210,4 +210,25 @@ class ScalingTelemetrySpec extends AnyFunSuite {
     assert(bare.json.contains("\"steal_frac\":null"))
     assert(n.json.contains("\"external_busy_frac\":"))
   }
+
+  test("suite-rerun inflation rule (r4 verdict #1): the observed r4 " +
+      "DRAM-tenancy rows flag, quiet repeats don't, and a failed rerun " +
+      "never flags the first sample") {
+    // the four rows of the r4 record's contiguous inflated window,
+    // with their quiet re-measurements (VERDICT r4 'What's wrong' #1)
+    assert(Bench.suiteSampleInflated(31.59, 1.86)) // q_json_positional
+    assert(Bench.suiteSampleInflated(22.70, 3.14)) // q_redirect_resolve
+    assert(Bench.suiteSampleInflated(5.29, 0.34))  // q_metadata_json
+    assert(Bench.suiteSampleInflated(4.55, 0.42))  // q_video_frames
+    // quiet repeatability band (±3%) is far inside the 2× threshold
+    assert(!Bench.suiteSampleInflated(1.92, 1.86))
+    assert(!Bench.suiteSampleInflated(1.86, 1.92))
+    // exactly 2× is NOT flagged (the rule is >2×, so a legitimately
+    // bimodal-but-honest pair stays unflagged at the boundary)
+    assert(!Bench.suiteSampleInflated(4.0, 2.0))
+    // a failed rerun (sentinel ≤ 0) must not flag — no corroboration
+    // evidence exists either way
+    assert(!Bench.suiteSampleInflated(31.59, -1.0))
+    assert(!Bench.suiteSampleInflated(31.59, 0.0))
+  }
 }

@@ -348,6 +348,98 @@ class StreamingFrontierSpec extends SparkTestBase {
     assert(streamStats.size === 2)
   }
 
+  test("store maintenance UNDER a live stream (r4 verdict #6): compact + " +
+      "compactArticles between micro-batches, expireSnapshots + orphan " +
+      "sweep later — the stream's subsequent commits and an incremental " +
+      "consumer checkpointed mid-stream are unaffected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+
+    // The deployment interleaving a long-lived crawl actually hits: the
+    // streaming query stays RUNNING for the whole test (checkpoint live,
+    // sink active) while an ops-job FrontierStore handle runs the Iceberg
+    // maintenance triple against the same store root. Commits serialize
+    // at the store (each micro-batch opens a fresh handle and chains off
+    // the CURRENT latest snapshot), which is exactly how a maintenance
+    // cron coexists with a streaming job in production.
+    val nSources = 4
+    val ticks = (0 to 2).map(t =>
+      Fixtures.listItemsAt(spark, nSources, 10, tick = t).collect().toSeq)
+    def canonSet(t: Int): Set[String] = ticks(t)
+      .map(li => graft.functions.UrlCanonicalizer.canonicalize(li.url))
+      .toSet
+    // expected emit per tick: first-occurrence across the tick chain
+    val exp0 = canonSet(0)
+    val exp1 = canonSet(1) -- exp0
+    val exp2 = canonSet(2) -- exp0 -- canonSet(1)
+
+    val storeDir = "target/test-maint-stream-store"
+    val ckptDir = "target/test-maint-stream-ckpt"
+    new graft.store.FrontierStore(storeDir).delete()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
+    val input = MemoryStream[ListItem]
+    val q = StreamingFrontier.sinkScheduledToStore(
+      StreamingFrontier.composedTick(input.toDS(), nSegments = 8,
+        budgetPerEpoch = 4L),
+      storeDir, ckptDir, nSegments = 8)
+    try {
+      val ops = new graft.store.FrontierStore(storeDir, nSegments = 8)
+
+      // batch 0 commits snapshot 0 while the query keeps running
+      input.addData(ticks(0)); q.processAllAvailable()
+      assert(ops.snapshotIds() === Seq(0))
+
+      // maintenance mid-stream: seen compaction (1) + article rewrite (2)
+      val mc = ops.compact(spark)
+      val ma = ops.compactArticles(spark)
+      assert(mc.snapshotId === 1 && ma.snapshotId === 2)
+      val ckptSnapshot = ma.snapshotId // the consumer's mid-stream mark
+
+      // the stream's NEXT micro-batch chains past the maintenance
+      // snapshots (id 3, not a collision, not a skipped batch: the
+      // idempotence guard keys on fetch_epoch, and the compaction
+      // manifests carry the FOLDED chain's epoch, not a fresh one)
+      input.addData(ticks(1)); q.processAllAvailable()
+      assert(ops.snapshotIds() === Seq(0, 1, 2, 3))
+      assert(ops.manifest(3).fetchEpoch === 1L,
+        "batch 1 must commit (guard not tripped by maintenance snapshots)")
+
+      // GC mid-stream: everything the compaction baselines made
+      // redundant goes; the young stream files survive the orphan grace
+      val ex = ops.expireSnapshots(retainFrom = 2)
+      assert(ex.horizon === 2)
+      val orph = ops.removeOrphanFiles() // default 24 h grace: sweeps
+      assert(orph.filesDeleted === 0L,   // nothing under a live stream
+        "orphan sweep must not touch in-flight/young stream files")
+
+      // the stream keeps committing after GC
+      input.addData(ticks(2)); q.processAllAvailable()
+      assert(ops.snapshotIds() === Seq(0, 1, 2, 3, 4))
+
+      // exactly-once across the whole interleaving
+      val arts = ops.articles(spark).select("canonical_url")
+        .as[String].collect().toSeq
+      assert(arts.distinct.size === arts.size)
+      assert(arts.toSet === (exp0 ++ exp1 ++ exp2))
+      assert(ops.seen(spark).collect().map(_.getString(0)).toSet ===
+        (exp0 ++ exp1 ++ exp2))
+
+      // incremental consumer checkpointed mid-stream (at the article
+      // compaction): its window reads EXACTLY the post-checkpoint ticks —
+      // the rewrite appended no logical rows, GC kept the window intact
+      val delta = ops.articlesBetween(spark, ckptSnapshot)
+        .select("canonical_url").as[String].collect().toSet
+      assert(delta === (exp1 ++ exp2),
+        "mid-stream incremental window diverged after maintenance")
+
+      // GC is loud, not silently partial: pre-horizon time travel throws
+      intercept[IllegalArgumentException] {
+        ops.articles(spark, asOf = Some(0)).count()
+      }
+    } finally q.stop()
+  }
+
   test("gated composed tick: batch gates IN-STREAM on raw skewed fixtures " +
       "(blank titles, robots, list_cap, per-row delays) ≡ two batch ticks") {
     import spark.implicits._

@@ -87,6 +87,58 @@ class UrlCanonicalizerSpec extends AnyFunSuite {
     }
   }
 
+  test("percent-encoding case normalization (RFC 3986 §6.2.2.1): escapes " +
+      "uppercase in path and query; malformed escapes pass through") {
+    assert(canonicalize("https://h.com/a%2fb%3A?x=%e4%Bd%a0") ===
+      "https://h.com/a%2Fb%3A?x=%E4%BD%A0")
+    // spelling equivalence: %2f and %2F dedup to one canonical
+    assert(canonicalize("https://h.com/a%2fb") ===
+      canonicalize("https://h.com/a%2Fb"))
+    // normalized spelling drives the SORT: '%3A' < '%3a' would reorder
+    assert(canonicalize("https://h.com/p?b=%3a&a=1") ===
+      "https://h.com/p?a=1&b=%3A")
+    // stray '%' (no two hex digits) is untouched — total, never throws
+    assert(canonicalize("https://h.com/100%?x=5%") ===
+      "https://h.com/100%?x=5%")
+    assert(canonicalize("https://h.com/a%zz") === "https://h.com/a%zz")
+    // non-escape text is untouched (letters that happen to be hex)
+    assert(canonicalize("https://h.com/cafe2f") === "https://h.com/cafe2f")
+  }
+
+  test("IDN hosts map to punycode ACE (RFC 3490); ASCII and punycode " +
+      "inputs are fixed points") {
+    assert(canonicalize("https://BÜCHER.example.com/x") ===
+      "https://xn--bcher-kva.example.com/x")
+    assert(canonicalize("https://münchen.de/straße") ===
+      "https://xn--mnchen-3ya.de/straße") // path is NOT host-mapped
+    // unicode and its ACE spelling dedup to the same canonical
+    assert(canonicalize("https://bücher.example.com/x") ===
+      canonicalize("https://xn--bcher-kva.example.com/x"))
+    // port survives the mapping, default port still strips after it
+    assert(canonicalize("https://bücher.example.com:8443/x") ===
+      "https://xn--bcher-kva.example.com:8443/x")
+    assert(canonicalize("https://bücher.example.com:443/x") ===
+      "https://xn--bcher-kva.example.com/x")
+    // mixed-script label that IDN cannot map keeps its lowercased form
+    // (totality: the frontier keeps the row, fetch surfaces the error)
+    val hostile = "https://a‍b.example.com/x" // zero-width joiner
+    assert(canonicalize(hostile) != null)
+    assert(canonicalize(canonicalize(hostile)) === canonicalize(hostile))
+  }
+
+  test("idempotence holds across the adversarial classes (ports, " +
+      "escapes, IDN)") {
+    val cases = Seq(
+      "HTTPS://BÜCHER.Example.COM:443/a%2fb?t=%3adoc&utm_source=x#f",
+      "http://MÜNCHEN.DE:80/p?z=%2F&a=%2f",
+      "https://h.com:443/%e4%bd%a0?id=1",
+      "https://xn--bcher-kva.com/a%2Fb?x=%3A")
+    cases.foreach { u =>
+      val once = canonicalize(u)
+      assert(canonicalize(once) === once, s"not idempotent for $u → $once")
+    }
+  }
+
   test("hostOf / pathOf decompose canonical urls") {
     assert(hostOf("https://news.example.com/a/b?x=1") === "news.example.com")
     assert(pathOf("https://news.example.com/a/b?x=1") === "/a/b")
