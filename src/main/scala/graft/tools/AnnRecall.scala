@@ -38,11 +38,15 @@ object AnnRecall {
     val ivfPq = TrainingOps.ivfPqRecallAtK(spark, sfDir)
     println(f"ivf-pq recall@10=$ivfPq%.3f (probed lists scored as codes, uniform corpus)")
     val pqFine = TrainingOps.pqFineRecallAtK(spark, sfDir)
-    println(f"pq-adc-FINEGRID recall@10=$pqFine%.3f (plain codes at the residual M=8 K=61 grid — attribution control)")
+    println(f"pq-adc-FINEGRID recall@10=$pqFine%.3f (plain codes at the residual M=8 K=61 grid, no IVF — attribution control)")
+    val ivfPqFine = TrainingOps.ivfPqFineRecallAtK(spark, sfDir)
+    println(f"ivf-pq-FINEGRID recall@10=$ivfPqFine%.3f (plain codes at the residual grid WITH IVF — the direct residual comparator)")
     val ivfPqRes = TrainingOps.ivfPqResRecallAtK(spark, sfDir)
     println(f"ivf-pq-RES recall@10=$ivfPqRes%.3f (residual codes + exact centroid dot)")
     val ivfPqResR = TrainingOps.ivfPqResRerankRecallAtK(spark, sfDir)
     println(f"ivf-pq-RES+rerank recall@10=$ivfPqResR%.3f")
+    val (resC, plainC) = TrainingOps.ivfPqResRecallClustered(spark, sfDir)
+    println(f"ivf-pq-RES recall@10=$resC%.3f vs plain-fine $plainC%.3f (CLUSTERED corpus, same grid/coverage)")
     val ivfPqR = TrainingOps.ivfPqRerankRecallAtK(spark, sfDir)
     println(f"ivf-pq+rerank recall@10=$ivfPqR%.3f (full stack: coarse prune + codes + exact top-${TrainingOps.PqRerankR} refine)")
     spark.stop()
