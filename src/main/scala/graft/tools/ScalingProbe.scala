@@ -9,11 +9,17 @@ package graft.tools
   * the bench's full wall time.
   *
   *   SPARK_GRAFT_FRONTIER_N=2000000 sbt -batch "runMain graft.tools.ScalingProbe"
+  *
+  * Arm cores default to 1→4 (the north-rule pair); pass two args to
+  * probe another pair, e.g. `runMain graft.tools.ScalingProbe 4 16`
+  * for the round-5 driver-parallelism evidence arm.
   */
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "8000000").toLong
-    val json = graft.Bench.scalingRecord(Seq(1, 4), n)
+    val cores =
+      if (args.length >= 2) Seq(args(0).toInt, args(1).toInt) else Seq(1, 4)
+    val json = graft.Bench.scalingRecord(cores, n)
     println(json)
   }
 }
