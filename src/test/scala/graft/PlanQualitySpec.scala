@@ -162,6 +162,25 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       "full-stack refine fetch-back joined by SMJ:\n" + pR)
   }
 
+  test("residual IVF-PQ keeps the same plan discipline: no cartesian, " +
+      "no corpus-sized rank window, gated probe dispatch on both paths") {
+    val pD = planString(TrainingOps.ivfPqResTopK(spark, sf()))
+    assert(!pD.contains("CartesianProduct"), pD)
+    assert(!pD.contains("windowspecdefinition(vec_id"),
+      "corpus-sized rank window in the residual index build:\n" + pD)
+    assert(!pD.contains("ShuffledHashJoin"),
+      "default dispatch unexpectedly shuffled the residual probe join:\n" + pD)
+    val pF = planString(TrainingOps.ivfPqResTopK(spark, sf(),
+      maxProbeBroadcastBytes = 0L))
+    assert(pF.contains("ShuffledHashJoin"),
+      "residual probe join is not SHJ with the gate at 0:\n" + pF)
+    val pR = planString(TrainingOps.ivfPqResRerankTopK(spark, sf()))
+    assert(!pR.contains("CartesianProduct"), pR)
+    assert(!pR.contains("SortMergeJoin [neighbor_id") &&
+        !pR.contains("SortMergeJoin [query_id"),
+      "residual refine fetch-back joined by SMJ:\n" + pR)
+  }
+
   test("IVF probe join is size-dispatched: broadcast by default, " +
       "centroid_id SHJ with the gate at 0 — identical results (r3 ask #2)") {
     // at real query load (10^6 queries × nprobe) the probe side outgrows
