@@ -824,6 +824,10 @@ object Bench {
     // (x ≈ c + small r), residual vs plain at the same grid/coverage
     val (ivfPqResClu, ivfPqFineClu) =
       graft.operators.TrainingOps.ivfPqResRecallClustered(spark, sfDir)
+    // Lloyd-refined residual codebook (one k-means step over the seed
+    // sample): what moving codewords to their capture means buys
+    val ivfPqResKmRecall =
+      graft.operators.TrainingOps.ivfPqResKmeansRecallAtK(spark, sfDir)
     // image-modality retrieval (12×5-bit banded Hamming top-k) vs exact,
     // across the Hamming-1 multi-probe dial (1/3/6 probes per band) — the
     // image sibling of the LSH curve; headline = the default exact dial
@@ -885,7 +889,7 @@ object Bench {
       s"""{"probes":$p,"recall":${f"$r%.3f"},"candidates":$c}"""
     }.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","cpus":$cpus,"frontier_n":$frontierN,"frontier_scheduled_rows":$frontierRows,"frontier_urls_per_sec":$urlsPerSec,"frontier_runs_sec":[${f"$run1Sec%.3f"},${f"$run2Sec%.3f"}],"frontier_stages":${jmap(stages)},"ann_recall_at_10":${f"$annRecall%.3f"},"ann_ivf_recall_at_10":${f"$ivfRecall%.3f"},"ann_ivf_recall_clustered":${f"$ivfRecallC%.3f"},"ann_ivf_kmeans_recall_at_10":${f"$ivfKmRecall%.3f"},"ann_ivf_kmeans_recall_clustered":${f"$ivfKmRecallC%.3f"},"ann_pq_recall_at_10":${f"$pqRecall%.3f"},"ann_pq_rerank_recall_at_10":${f"$pqRerankRecall%.3f"},"ann_sq_recall_at_10":${f"$sqRecall%.3f"},"ann_mrl_recall_at_10":${f"$mrlRecall%.3f"},"ann_ivfpq_recall_at_10":${f"$ivfPqRecall%.3f"},"ann_ivfpq_rerank_recall_at_10":${f"$ivfPqRerankRecall%.3f"},"ann_ivfpq_res_recall_at_10":${f"$ivfPqResRecall%.3f"},"ann_ivfpq_res_rerank_recall_at_10":${f"$ivfPqResRerankRecall%.3f"},"ann_pq_finegrid_recall_at_10":${f"$pqFineRecall%.3f"},"ann_ivfpq_finegrid_recall_at_10":${f"$ivfPqFineRecall%.3f"},"ann_ivfpq_res_recall_clustered":${f"$ivfPqResClu%.3f"},"ann_ivfpq_finegrid_recall_clustered":${f"$ivfPqFineClu%.3f"},"ann_image_recall_at_10":${f"$imgRecall%.3f"},"ann_recall_curve":$annCurveJson,"ann_image_recall_curve":$imgCurveJson,"bench_noise":${suiteNoise.json},"suite_rerun":$suiteRerunJson,"stage_sec":${jmap(stageSecs)},"scaling":$scalingJson,"scaling_4_16":$scaling416Json}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","cpus":$cpus,"frontier_n":$frontierN,"frontier_scheduled_rows":$frontierRows,"frontier_urls_per_sec":$urlsPerSec,"frontier_runs_sec":[${f"$run1Sec%.3f"},${f"$run2Sec%.3f"}],"frontier_stages":${jmap(stages)},"ann_recall_at_10":${f"$annRecall%.3f"},"ann_ivf_recall_at_10":${f"$ivfRecall%.3f"},"ann_ivf_recall_clustered":${f"$ivfRecallC%.3f"},"ann_ivf_kmeans_recall_at_10":${f"$ivfKmRecall%.3f"},"ann_ivf_kmeans_recall_clustered":${f"$ivfKmRecallC%.3f"},"ann_pq_recall_at_10":${f"$pqRecall%.3f"},"ann_pq_rerank_recall_at_10":${f"$pqRerankRecall%.3f"},"ann_sq_recall_at_10":${f"$sqRecall%.3f"},"ann_mrl_recall_at_10":${f"$mrlRecall%.3f"},"ann_ivfpq_recall_at_10":${f"$ivfPqRecall%.3f"},"ann_ivfpq_rerank_recall_at_10":${f"$ivfPqRerankRecall%.3f"},"ann_ivfpq_res_recall_at_10":${f"$ivfPqResRecall%.3f"},"ann_ivfpq_res_rerank_recall_at_10":${f"$ivfPqResRerankRecall%.3f"},"ann_pq_finegrid_recall_at_10":${f"$pqFineRecall%.3f"},"ann_ivfpq_finegrid_recall_at_10":${f"$ivfPqFineRecall%.3f"},"ann_ivfpq_res_recall_clustered":${f"$ivfPqResClu%.3f"},"ann_ivfpq_res_kmeans_recall_at_10":${f"$ivfPqResKmRecall%.3f"},"ann_ivfpq_finegrid_recall_clustered":${f"$ivfPqFineClu%.3f"},"ann_image_recall_at_10":${f"$imgRecall%.3f"},"ann_recall_curve":$annCurveJson,"ann_image_recall_curve":$imgCurveJson,"bench_noise":${suiteNoise.json},"suite_rerun":$suiteRerunJson,"stage_sec":${jmap(stageSecs)},"scaling":$scalingJson,"scaling_4_16":$scaling416Json}"""
     // build.sbt sets outputStrategy := StdoutOutput, so this line reaches
     // the driver's stdout tail UNPREFIXED (sbt's "[info] " wrapper broke
     // the driver's parse in rounds 1-2); the file copy stays as the

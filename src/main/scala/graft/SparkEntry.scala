@@ -107,6 +107,8 @@ object SparkEntry {
     "q_emb_ivfpq_res_topk" -> ((s, d) => TrainingOps.ivfPqResTopK(s, d)),
     "q_emb_ivfpq_res_rerank_topk" ->
       ((s, d) => TrainingOps.ivfPqResRerankTopK(s, d)),
+    "q_emb_ivfpq_res_kmeans_topk" ->
+      ((s, d) => TrainingOps.ivfPqResKmeansTopK(s, d)),
     "q_emb_cosine_dups" -> ((s, d) => TrainingOps.cosineNearDups(s, d)),
     "q_emb_semdedup" -> ((s, d) => TrainingOps.semDedup(s, d)),
     "q_emb_sq_topk" -> ((s, d) => TrainingOps.sqTopK(s, d)),
@@ -2827,6 +2829,95 @@ object SparkEntry {
            |         list_slice(r, m * 8 + 1, m * 8 + 8) AS cw
            |  FROM resid, generate_series(0, 7) AS g(m)
            |  WHERE vec_id % 8 = 0 AND vec_id <= 488),
+           |enc AS (
+           |  SELECT vec_id, m, k FROM (
+           |    SELECT rs.vec_id, cb.m, cb.k,
+           |           ROW_NUMBER() OVER (PARTITION BY rs.vec_id, cb.m ORDER BY
+           |             list_sum(list_transform(range(1, 9),
+           |               i -> (rs.r[cb.m * 8 + i] - cb.cw[i])
+           |                  * (rs.r[cb.m * 8 + i] - cb.cw[i]))) ASC,
+           |             cb.k ASC) AS rn
+           |    FROM resid rs, cb) WHERE rn = 1),
+           |qs AS (SELECT vec_id AS query_id, q AS qv FROM e WHERE vec_id < 8),
+           |lut AS (
+           |  SELECT qs.query_id, cb.m, cb.k,
+           |         CAST(list_sum(list_transform(range(1, 9),
+           |           i -> qs.qv[cb.m * 8 + i] * cb.cw[i])) AS BIGINT) AS lv
+           |  FROM qs, cb),
+           |probes AS (
+           |  SELECT query_id, centroid_id, cdot FROM (
+           |    SELECT q.query_id, ct.centroid_id,
+           |           CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+           |             i -> q.qv[i] * ct.cv[i])) AS BIGINT) AS cdot,
+           |           COUNT(*) OVER (PARTITION BY q.query_id) AS nlist,
+           |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+           |             list_sum(list_transform(range(1, len(q.qv) + 1),
+           |               i -> (q.qv[i] - ct.cv[i]) * (q.qv[i] - ct.cv[i]))) ASC,
+           |             ct.centroid_id ASC) AS rn
+           |    FROM qs q, cents ct)
+           |  WHERE rn <= GREATEST(4, CAST(FLOOR(nlist / 8.0) AS BIGINT))),
+           |s AS (
+           |  SELECT p.query_id, a.vec_id AS neighbor_id,
+           |         CAST(MAX(p.cdot) + SUM(l.lv) AS BIGINT) AS adc
+           |  FROM probes p
+           |  JOIN assigned a USING (centroid_id)
+           |  JOIN enc ON enc.vec_id = a.vec_id
+           |  JOIN lut l ON l.query_id = p.query_id
+           |            AND l.m = enc.m AND l.k = enc.k
+           |  GROUP BY 1, 2),
+           |r AS (
+           |  SELECT query_id, neighbor_id, adc,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |              ORDER BY adc DESC, neighbor_id ASC) AS BIGINT) AS rank
+           |  FROM s)
+           |SELECT query_id, neighbor_id, adc, rank FROM r WHERE rank <= 10""".stripMargin,
+      // residual IVF-PQ with the Lloyd-REFINED residual codebook: the
+      // q_emb_ivfpq_res_topk chain with one unrolled k-means step between
+      // the seed codebook (cb0) and the encode — per-(m,k) argmin carries
+      // the subvector, the new codeword is its element-wise floor-mean
+      // (FLOOR(SUM/COUNT-as-double), exact in double at these magnitudes,
+      // the q_emb_ivf_kmeans_topk pattern at subspace granularity)
+      "q_emb_ivfpq_res_kmeans_topk" ->
+        s"""WITH e AS (SELECT vec_id, $quant AS q FROM embeddings),
+           |corpus AS (SELECT vec_id, q FROM e WHERE vec_id >= 8),
+           |cents AS (
+           |  SELECT vec_id AS centroid_id, q AS cv
+           |  FROM corpus WHERE vec_id % 31 = 0),
+           |assigned AS (
+           |  SELECT vec_id, centroid_id FROM (
+           |    SELECT c.vec_id, ct.centroid_id,
+           |           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+           |             list_sum(list_transform(range(1, len(c.q) + 1),
+           |               i -> (c.q[i] - ct.cv[i]) * (c.q[i] - ct.cv[i]))) ASC,
+           |             ct.centroid_id ASC) AS rn
+           |    FROM corpus c, cents ct) WHERE rn = 1),
+           |resid AS (
+           |  SELECT a.vec_id, a.centroid_id,
+           |         list_transform(range(1, len(c.q) + 1),
+           |           i -> c.q[i] - ct.cv[i]) AS r
+           |  FROM assigned a
+           |  JOIN corpus c ON c.vec_id = a.vec_id
+           |  JOIN cents ct ON ct.centroid_id = a.centroid_id),
+           |cb0 AS (
+           |  SELECT m, (vec_id // 8 - 1) AS k,
+           |         list_slice(r, m * 8 + 1, m * 8 + 8) AS cw
+           |  FROM resid, generate_series(0, 7) AS g(m)
+           |  WHERE vec_id % 8 = 0 AND vec_id <= 488),
+           |sub0 AS (
+           |  SELECT m, k, sv FROM (
+           |    SELECT rs.vec_id, cb.m, cb.k,
+           |           list_slice(rs.r, cb.m * 8 + 1, cb.m * 8 + 8) AS sv,
+           |           ROW_NUMBER() OVER (PARTITION BY rs.vec_id, cb.m ORDER BY
+           |             list_sum(list_transform(range(1, 9),
+           |               i -> (rs.r[cb.m * 8 + i] - cb.cw[i])
+           |                  * (rs.r[cb.m * 8 + i] - cb.cw[i]))) ASC,
+           |             cb.k ASC) AS rn
+           |    FROM resid rs, cb0 cb) WHERE rn = 1),
+           |mm AS (
+           |  SELECT m, k, i,
+           |         CAST(FLOOR(SUM(sv[i]) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS v
+           |  FROM sub0, generate_series(1, 8) AS g(i) GROUP BY 1, 2, 3),
+           |cb AS (SELECT m, k, list(v ORDER BY i) AS cw FROM mm GROUP BY 1, 2),
            |enc AS (
            |  SELECT vec_id, m, k FROM (
            |    SELECT rs.vec_id, cb.m, cb.k,

@@ -47,6 +47,8 @@ object AnnRecall {
     println(f"ivf-pq-RES+rerank recall@10=$ivfPqResR%.3f")
     val (resC, plainC) = TrainingOps.ivfPqResRecallClustered(spark, sfDir)
     println(f"ivf-pq-RES recall@10=$resC%.3f vs plain-fine $plainC%.3f (CLUSTERED corpus, same grid/coverage)")
+    val resKm = TrainingOps.ivfPqResKmeansRecallAtK(spark, sfDir)
+    println(f"ivf-pq-RES-kmeans recall@10=$resKm%.3f (Lloyd-refined residual codebook, 1 step)")
     val ivfPqR = TrainingOps.ivfPqRerankRecallAtK(spark, sfDir)
     println(f"ivf-pq+rerank recall@10=$ivfPqR%.3f (full stack: coarse prune + codes + exact top-${TrainingOps.PqRerankR} refine)")
     spark.stop()

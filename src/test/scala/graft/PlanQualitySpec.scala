@@ -164,6 +164,12 @@ class PlanQualitySpec extends SparkTestBase with AdaptiveSparkPlanHelper {
 
   test("residual IVF-PQ keeps the same plan discipline: no cartesian, " +
       "no corpus-sized rank window, gated probe dispatch on both paths") {
+    // ResidualPqSpec caches this exact frame in the SHARED session; a
+    // cache hit would swap the static plan under inspection for an
+    // InMemoryTableScan over an AQE-FINALIZED plan (where the allowed
+    // vec_id zip-SMJ may legitimately finalize as SHJ) — inspect the
+    // fresh plan, as every other gate does implicitly
+    spark.catalog.clearCache()
     val pD = planString(TrainingOps.ivfPqResTopK(spark, sf()))
     assert(!pD.contains("CartesianProduct"), pD)
     assert(!pD.contains("windowspecdefinition(vec_id"),
