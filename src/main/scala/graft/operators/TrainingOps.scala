@@ -1103,9 +1103,11 @@ object TrainingOps {
     // mass drops from every doc's shingles to the pair-participating
     // subset. The participant id set is pair-bounded (≤ 2·|pairs| longs)
     // → broadcast left-semi, so the prune is a scan-side filter that
-    // never shuffles `sh` (gate in ContainmentSpec); the extra
-    // evaluations of the `pairs` subplan dedup through Spark's
-    // ReuseExchange on its canonical distinct-exchange.
+    // never shuffles `sh` (gate in ContainmentSpec). The prune does add
+    // evaluations of the `pairs` subplan (one per broadcast build; AQE
+    // may reuse the identical shuffle stages at runtime but the static
+    // plan does not show it) — measured NET WIN regardless: isolated
+    // sf0.1 warm 10.3 s → 5.3 s, hash unchanged.
     val participants = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
